@@ -1,0 +1,137 @@
+"""Device-resident mesh for spectral/finite element simulations.
+
+Parity target: reference ``swirl_fem/core/mesh.py`` (Mesh :30-179).  A `Mesh`
+holds device arrays (node coordinates, element connectivity, global node ids,
+physical masks, exchange gather indices) plus static metadata (order, the 1D
+node family, exchange unique indices, and the partition axis name).
+
+Distribution model (TPU-first): a partitioned mesh is a *stacked* pytree with
+a leading partition axis, placed with ``jax.device_put`` +
+``NamedSharding(P(axis_name))`` over a ``jax.sharding.Mesh`` — not with
+``jax.pmap`` as in the reference (``core/premesh.py:216``).  Solver code runs
+under ``shard_map`` (see :mod:`swirlfem_tpu.parallel.spmd`), where each shard
+sees the per-partition view and `exchange` performs the cross-partition
+``lax.psum``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+import flax.struct
+import jax
+from jax import vmap
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.core import topology
+from swirlfem_tpu.core.quadrature import Nodes1D
+from swirlfem_tpu.core.quadrature import NodeType
+
+
+def _default_gridpoints(num_nodes_per_element: int, ndim: int) -> Nodes1D:
+  num_points = int(round(num_nodes_per_element ** (1.0 / ndim)))
+  return Nodes1D.create(num_points=num_points, node_type=NodeType.NEWTON_COTES)
+
+
+@flax.struct.dataclass
+class Mesh:
+  """An N-dimensional tensor-product (quad/hex) mesh.
+
+  Elements are deformed ndim-cubes of uniform order; nodes within an element
+  are in lexicographic tensor order (axis 0 slowest), so each element has
+  ``(order + 1) ** ndim`` nodes.
+
+  Attributes:
+    node_coords: ``(num_nodes, ndim)`` node coordinates.
+    elements: ``(num_elements, nodes_per_element)`` node ids per element.
+    node_indices: ``(num_nodes,)`` globally-unique id of each local node;
+      ``arange`` when unpartitioned/non-periodic.
+    order: polynomial order (static).
+    gridpoints_1d: the 1D node family on the reference element (static).
+    physical_masks: name -> boolean ``(num_nodes,)`` mask of nodes belonging
+      to that physical group.
+    exchange_gather_indices: positions of shared local nodes (see
+      :func:`swirlfem_tpu.core.topology.exchange`).
+    exchange_unique_indices: static map gathered-position -> shared-dof slot.
+    axis_name: collective axis name when partitioned (static).
+  """
+
+  node_coords: jax.Array
+  elements: jax.Array
+  node_indices: jax.Array
+  order: int = flax.struct.field(pytree_node=False)
+  gridpoints_1d: Nodes1D = flax.struct.field(pytree_node=False)
+  physical_masks: Mapping[str, jax.Array] = flax.struct.field(
+      default_factory=dict)
+  exchange_gather_indices: jax.Array | None = None
+  exchange_unique_indices: np.ndarray | None = flax.struct.field(
+      pytree_node=False, default=None)
+  axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
+
+  @classmethod
+  def create(cls, node_coords, elements, node_indices=None, gridpoints_1d=None,
+             physical_masks=None, exchange_gather_indices=None,
+             exchange_unique_indices=None, axis_name=None) -> 'Mesh':
+    node_coords = jnp.asarray(node_coords)
+    elements = jnp.asarray(elements)
+    ndim = node_coords.shape[-1]
+    nper = elements.shape[-1]
+    if gridpoints_1d is None:
+      gridpoints_1d = _default_gridpoints(nper, ndim)
+    if nper != gridpoints_1d.num_points**ndim:
+      raise ValueError(
+          f'nodes per element {nper} != {gridpoints_1d.num_points}^{ndim}')
+    if node_indices is None:
+      node_indices = jnp.arange(node_coords.shape[-2], dtype=jnp.int32)
+    return cls(
+        node_coords=node_coords,
+        elements=elements,
+        node_indices=jnp.asarray(node_indices),
+        order=gridpoints_1d.num_points - 1,
+        gridpoints_1d=gridpoints_1d,
+        physical_masks={k: jnp.asarray(v)
+                        for k, v in (physical_masks or {}).items()},
+        exchange_gather_indices=(None if exchange_gather_indices is None
+                                 else jnp.asarray(exchange_gather_indices)),
+        exchange_unique_indices=exchange_unique_indices,
+        axis_name=axis_name,
+    )
+
+  @property
+  def ndim(self) -> int:
+    return self.node_coords.shape[-1]
+
+  @property
+  def num_nodes(self) -> int:
+    return self.node_coords.shape[-2]
+
+  @property
+  def num_elements(self) -> int:
+    return self.elements.shape[-2]
+
+  @property
+  def num_nodes_per_element(self) -> int:
+    return self.elements.shape[-1]
+
+  def gather(self, u: jax.Array) -> jax.Array:
+    """Nodal ``(num_nodes,)`` -> element-local ``(E, nodes_per_element)``."""
+    if u.shape != (self.num_nodes,):
+      raise ValueError(f'expected shape ({self.num_nodes},), got {u.shape}')
+    return topology.gather(u, self.elements, fill_value=0.0)
+
+  def scatter(self, u_local: jax.Array) -> jax.Array:
+    """Element-local -> nodal, summing contributions of shared nodes."""
+    return topology.scatter(u_local, self.elements, num_nodes=self.num_nodes)
+
+  def element_coords(self) -> jax.Array:
+    """Node coordinates arranged per element: ``(E, nodes_per_element, d)``."""
+    return vmap(self.gather, in_axes=-1, out_axes=-1)(self.node_coords)
+
+  def exchange(self, u: jax.Array) -> jax.Array:
+    """Applies Q Q^T: sums all copies of each shared degree of freedom."""
+    return topology.exchange(
+        u,
+        gather_indices=self.exchange_gather_indices,
+        unique_indices=self.exchange_unique_indices,
+        axis_name=self.axis_name)

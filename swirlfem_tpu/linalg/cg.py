@@ -1,0 +1,98 @@
+"""Matrix-free preconditioned conjugate gradients over pytrees.
+
+Parity target: reference ``swirl_fem/linalg/cg.py`` (cg :30-97): fully
+on-device (``lax.while_loop``), preconditioner-aware stopping test
+(``gamma = <r, M r>``), user-supplied dot product, and a diagnostic info dict
+``{'residual', 'num_iterations'}``.  Designed to run under
+``lax.custom_linear_solve(..., symmetric=True, has_aux=True)`` so solves are
+differentiable via the implicit function theorem, and under ``shard_map``
+where the operator/preconditioner embed their own collectives (`dot_fn` must
+then perform the cross-partition reduction, e.g. a masked vdot + psum).
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from jax import lax
+import jax.numpy as jnp
+from jax.tree_util import tree_leaves
+from jax.tree_util import tree_map
+
+
+def _tree_vdot(a, b, dot_fn):
+  return sum(tree_leaves(tree_map(dot_fn, a, b)))
+
+
+def _axpy(alpha, x, y):
+  """y + alpha * x, leafwise."""
+  return tree_map(lambda xi, yi: yi + alpha * xi, x, y)
+
+
+def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
+       dot_fn=jnp.vdot):
+  """Solves ``A x = b`` with preconditioned conjugate gradients.
+
+  Args:
+    A: linear operator (pytree -> pytree), symmetric positive definite with
+      respect to `dot_fn`.
+    b: right-hand side pytree.
+    x0: optional initial guess (defaults to zeros).
+    tol, atol: convergence when ``gamma <= max(tol^2 * <b,b>, atol^2)`` where
+      ``gamma = <r, M r>``.
+    maxiter: iteration cap (defaults to 10x problem size, as in scipy).
+    M: preconditioner (defaults to identity).  In the spectral-element
+      setting `M = exchange` doubles as the continuity projector so CG runs
+      in the redundant local representation.
+    dot_fn: leaf-wise dot product; must include any cross-partition reduction
+      when running distributed.
+
+  Returns:
+    ``(x, info)`` with ``info = {'residual': gamma, 'num_iterations': k}``.
+  """
+  if x0 is None:
+    x0 = tree_map(jnp.zeros_like, b)
+  if maxiter is None:
+    maxiter = 10 * sum(leaf.size for leaf in tree_leaves(b))
+  if M is None:
+    M = lambda x: x
+
+  bs = _tree_vdot(b, b, dot_fn)
+  threshold = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
+
+  r0 = tree_map(operator.sub, b, A(x0))
+  z0 = M(r0)
+  dtype = jnp.result_type(*tree_leaves(z0))
+  gamma0 = _tree_vdot(r0, z0, dot_fn).astype(dtype)
+
+  def cond(state):
+    _, _, gamma, _, k = state
+    return (gamma > threshold) & (k < maxiter)
+
+  def body(state):
+    x, r, gamma, p, k = state
+    ap = A(p)
+    alpha = (gamma / _tree_vdot(p, ap, dot_fn)).astype(dtype)
+    x = _axpy(alpha, p, x)
+    r = _axpy(-alpha, ap, r)
+    z = M(r)
+    gamma_new = _tree_vdot(r, z, dot_fn).astype(dtype)
+    beta = gamma_new / gamma
+    p = _axpy(beta, p, z)
+    return x, r, gamma_new, p, k + 1
+
+  x, _, gamma, _, iters = lax.while_loop(
+      cond, body, (x0, r0, gamma0, z0, 0))
+  return x, {'residual': gamma, 'num_iterations': iters}
+
+
+def distributed_vdot(axis_name: str):
+  """A `dot_fn` that sums the local vdot across a collective axis."""
+  def _dot(a, b):
+    return lax.psum(jnp.vdot(a, b), axis_name=axis_name)
+  return _dot
+
+
+cg_distributed = functools.partial  # alias placeholder (see parallel.spmd)
+del cg_distributed

@@ -1,0 +1,379 @@
+"""Spectral-element fractional-step incompressible Navier-Stokes solver.
+
+Parity target: reference ``swirl_fem/navier_stokes/navier_stokes.py``
+(StokesPressure :97, StokesVelocity :143, StokesSEM :248, stokes_one_step
+:350, filter :460, vorticity :484), implementing the P_N - P_{N-2}
+pressure-projection scheme of Deville, Fischer & Mund (2002):
+
+* velocity on order-N Gauss-Lobatto-Legendre nodes (collocated GLL
+  quadrature => diagonal mass matrix),
+* pressure on discontinuous order-(N-2) Gauss-Legendre nodes,
+* BDF-k time discretization with extrapolated pressure,
+* dealiased convection on an overintegrated GLL rule,
+* modal low-pass filter stabilization,
+* pressure-Schur solve E = D Q D^T by matrix-free CG with nullspace
+  projection.
+
+Every operator is a `local_covector` transpose of a bilinear/trilinear form,
+evaluated sum-factorized; both CG solves run under
+``lax.custom_linear_solve`` so the whole step is differentiable (this is
+what the NiLES solver-in-the-loop training relies on).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+from jax import lax
+from jax import vmap
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.core.bc import BCType
+from swirlfem_tpu.core.bc import dirichlet_interior_mask
+from swirlfem_tpu.core.fespace import div
+from swirlfem_tpu.core.fespace import FiniteElementSpace
+from swirlfem_tpu.core.fespace import grad
+from swirlfem_tpu.core.fespace import inner
+from swirlfem_tpu.core.mesh import Mesh
+from swirlfem_tpu.core.quadrature import interpolation_grad_matrix_1d
+from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
+from swirlfem_tpu.core.quadrature import Nodes1D
+from swirlfem_tpu.core.quadrature import NodeType
+from swirlfem_tpu.core.quadrature import Quadrature1D
+from swirlfem_tpu.core.refine import refine_premesh
+from swirlfem_tpu.core.premesh import Premesh
+from swirlfem_tpu.core.tensor import BarycentricInterpolator
+from swirlfem_tpu.linalg.cg import cg
+
+# pylint: disable=invalid-name
+
+
+def extk_coeffs(k: int) -> np.ndarray:
+  """Order-k extrapolation coefficients (reference navier_stokes.py:49-58).
+
+  Interpolates through k+1 equispaced history samples and evaluates one step
+  beyond the last sample.
+  """
+  grid = Nodes1D.create(num_points=k + 1, node_type=NodeType.NEWTON_COTES)
+  h = 2.0 / k
+  target = Nodes1D.create_single_point(1.0 + h)
+  return interpolation_matrix_1d(grid, target).reshape(-1)
+
+
+def bdfk_coeffs(k: int) -> np.ndarray:
+  """Order-k backward differentiation coefficients, scaled per unit step.
+
+  ``sum_j coeffs[j] * u(t_j) / dt`` approximates ``du/dt`` at the last
+  sample; `coeffs[-1]` multiplies the newest sample (reference
+  navier_stokes.py:61-70).
+  """
+  grid = Nodes1D.create(num_points=k + 1, node_type=NodeType.NEWTON_COTES)
+  target = Nodes1D.create_single_point(1.0)
+  h = 2.0 / k
+  return interpolation_grad_matrix_1d(grid, target).reshape(-1) * h
+
+
+def _pressure_project_out_nullspace(sem: 'StokesSEM', p: jax.Array):
+  """Removes the constant (all-ones) nullspace component from p."""
+  w = sem.pressure.exchange(p)
+  q = jnp.ones_like(p)
+  scale = sem.dot(q, sem.pressure.B(w)) / sem.dot(q, sem.pressure.B(q))
+  return w - scale * q
+
+
+@flax.struct.dataclass
+class StokesPressure:
+  """Discontinuous Gauss-Legendre pressure space of order N-2."""
+
+  pspace: FiniteElementSpace
+
+  @classmethod
+  def create(cls, premesh: Premesh, quadrature: Quadrature1D,
+             order: int, axis_name: str | None = None,
+             device_mesh=None) -> 'StokesPressure':
+    gridpoints = Nodes1D.create(num_points=order - 1,
+                                node_type=NodeType.GAUSS_LEGENDRE)
+    pmesh = refine_premesh(premesh, gridpoints_1d=gridpoints).finalize(
+        axis_name=axis_name, device_mesh=device_mesh)
+    return cls(pspace=FiniteElementSpace.create(pmesh, quadrature))
+
+  def gather(self, p):
+    return self.pspace.mesh.gather(p)
+
+  def scatter(self, p_local):
+    return self.pspace.mesh.scatter(p_local)
+
+  def exchange(self, p):
+    return self.pspace.mesh.exchange(p)
+
+  def B(self, p):
+    """Pressure mass operator."""
+    def l(u, v):
+      return lambda x: u(x) * v(x)
+    u = self.pspace.scalar_function(self.gather(p))
+    v = self.pspace.scalar_function(None)
+    return self.scatter(self.pspace.local_covector(l, (u, v)))
+
+
+@flax.struct.dataclass
+class StokesVelocity:
+  """Continuous Gauss-Lobatto-Legendre velocity space of order N."""
+
+  vspace: FiniteElementSpace
+  overint_space: FiniteElementSpace
+  interior_mask: jax.Array
+  diag_qqt: jax.Array
+
+  @classmethod
+  def create(cls, premesh: Premesh, order: int, boundary_conditions,
+             num_convection_overint_nodes: int = 2,
+             axis_name: str | None = None,
+             device_mesh=None) -> 'StokesVelocity':
+    gridpoints = Nodes1D.create(num_points=order + 1,
+                                node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
+    vmesh = refine_premesh(premesh, gridpoints_1d=gridpoints).finalize(
+        axis_name=axis_name, device_mesh=device_mesh)
+    vspace = FiniteElementSpace.create(
+        vmesh, Quadrature1D.create_from_nodes_1d(gridpoints))
+    interior_mask = jnp.asarray(
+        dirichlet_interior_mask(vmesh, boundary_conditions))[:, None]
+    overint_grid = Nodes1D.create(
+        num_points=gridpoints.num_points + num_convection_overint_nodes,
+        node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
+    overint_space = FiniteElementSpace.create(
+        vmesh, Quadrature1D.create_from_nodes_1d(overint_grid))
+    diag_qqt = vmesh.scatter(
+        jnp.ones(vmesh.elements.shape, dtype=vmesh.node_coords.dtype))
+    return cls(vspace=vspace, overint_space=overint_space,
+               interior_mask=interior_mask, diag_qqt=diag_qqt)
+
+  @property
+  def mesh(self) -> Mesh:
+    return self.vspace.mesh
+
+  @property
+  def local_shape(self):
+    return (self.mesh.num_elements, self.mesh.num_nodes_per_element,
+            self.mesh.ndim)
+
+  def gather(self, u):
+    return vmap(self.mesh.gather, in_axes=-1, out_axes=-1)(u)
+
+  def scatter(self, u_local):
+    return vmap(self.mesh.scatter, in_axes=-1, out_axes=-1)(u_local)
+
+  def exchange(self, u):
+    return vmap(self.mesh.exchange, in_axes=-1, out_axes=-1)(u)
+
+  def A_local(self, u_local):
+    """Vector stiffness: form ``int grad(u) : grad(v)``."""
+    def a(u, v):
+      return lambda x: inner(grad(u)(x), grad(v)(x))
+    u = self.vspace.vector_function(u_local)
+    v = self.vspace.vector_function(None)
+    return self.vspace.local_covector(a, (u, v))
+
+  def B_local(self, u_local):
+    """Vector mass: form ``int u . v`` (diagonal on collocated GLL)."""
+    def l(u, v):
+      return lambda x: inner(u(x), v(x))
+    u = self.vspace.vector_function(u_local)
+    v = self.vspace.vector_function(None)
+    return self.vspace.local_covector(l, (u, v))
+
+  def C_local(self, u_local):
+    """Dealiased convection: trilinear ``int (u . grad) u . v`` on the
+    overintegrated rule (reference navier_stokes.py:238-245)."""
+    def c(u, w, v):
+      return lambda x: jnp.einsum(
+          'eqi,eqij,eqj->eq', u(x), grad(w)(x), v(x),
+          precision=lax.Precision.HIGHEST)
+    u = self.overint_space.vector_function(u_local)
+    v = self.overint_space.vector_function(None)
+    return self.overint_space.local_covector(c, (u, u, v))
+
+  def C(self, u):
+    return self.interior_mask * self.scatter(self.C_local(self.gather(u)))
+
+
+@flax.struct.dataclass
+class StokesSEM:
+  """Operator algebra + fractional-step update for the NSE system."""
+
+  velocity: StokesVelocity
+  pressure: StokesPressure
+  velocity_mass_diag: jax.Array
+  axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
+
+  @classmethod
+  def create(cls, premesh: Premesh, boundary_conditions, order: int,
+             num_convection_overint_nodes: int = 2,
+             axis_name: str | None = None,
+             device_mesh=None) -> 'StokesSEM':
+    if premesh.order != 1:
+      raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
+    quadrature = Quadrature1D.create(
+        num_points=order + 1,
+        quadrature_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
+    pressure = StokesPressure.create(premesh, quadrature, order,
+                                     axis_name=axis_name,
+                                     device_mesh=device_mesh)
+    velocity = StokesVelocity.create(premesh, order, boundary_conditions,
+                                     num_convection_overint_nodes,
+                                     axis_name=axis_name,
+                                     device_mesh=device_mesh)
+    velocity_mass_diag = velocity.scatter(
+        velocity.B_local(jnp.ones(velocity.local_shape,
+                                  dtype=velocity.mesh.node_coords.dtype)))
+    return cls(velocity=velocity, pressure=pressure,
+               velocity_mass_diag=velocity_mass_diag, axis_name=axis_name)
+
+  # -- distributed-aware inner product --------------------------------------
+
+  def dot(self, a, b):
+    d = jnp.vdot(a, b)
+    if self.axis_name is not None:
+      d = lax.psum(d, axis_name=self.axis_name)
+    return d
+
+  # -- operators -------------------------------------------------------------
+
+  def B(self, u):
+    """Velocity mass (diagonal, row-masked)."""
+    return self.velocity.interior_mask * self.velocity_mass_diag * u
+
+  def Bi(self, u):
+    """Lumped inverse velocity mass: 1/exchange(diag) after exchange."""
+    diag = 1.0 / self.velocity.exchange(self.velocity_mass_diag)
+    return diag * self.velocity.exchange(u)
+
+  def A(self, u):
+    """Velocity stiffness (row-masked)."""
+    return self.velocity.interior_mask * self.velocity.scatter(
+        self.velocity.A_local(self.velocity.gather(u)))
+
+  def C(self, u):
+    return self.velocity.C(u)
+
+  def D_local(self, u_local):
+    """Mixed divergence form ``b(v, q) = int div(v) q`` acting on v."""
+    def b(v, q):
+      return lambda x: div(v)(x) * q(x)
+    v = self.velocity.vspace.vector_function(u_local)
+    q = self.pressure.pspace.scalar_function(None)
+    return self.pressure.pspace.local_covector(b, (v, q))
+
+  def Dt_local(self, p_local):
+    """The transposed mixed form acting on q."""
+    def b(v, q):
+      return lambda x: div(v)(x) * q(x)
+    v = self.velocity.vspace.vector_function(None)
+    q = self.pressure.pspace.scalar_function(p_local)
+    return self.velocity.vspace.local_covector(b, (v, q))
+
+  def D(self, u):
+    """Divergence: velocity -> pressure."""
+    return self.pressure.scatter(self.D_local(self.velocity.gather(u)))
+
+  def Dt(self, p):
+    """Gradient (transpose of D): pressure -> velocity, row-masked."""
+    return self.velocity.interior_mask * self.velocity.scatter(
+        self.Dt_local(self.pressure.gather(p)))
+
+  def Q(self, u, dt, time_order: int):
+    """Q = (dt / beta_k) B^-1."""
+    beta_k = bdfk_coeffs(time_order)[-1]
+    return (dt / beta_k) * self.Bi(u)
+
+  def E(self, p, dt, time_order: int):
+    """Pressure Schur operator E = D Q D^T."""
+    return self.D(self.Q(self.Dt(p), dt=dt, time_order=time_order))
+
+  # -- time stepping ----------------------------------------------------------
+
+  def stokes_one_step(
+      self, us: Sequence[jax.Array], ps: Sequence[jax.Array], f: jax.Array,
+      mu: float, dt: float, time_order: int, alpha: float = 0.05,
+      u_boundary: jax.Array | None = None,
+      pressure_preconditioner=None,
+      project_out_nullspace: bool = True,
+      tol: float = 1e-8, atol: float = 0.0,
+  ) -> tuple[jax.Array, jax.Array, Any]:
+    """Advances the (linear) Stokes system by one BDF-k step.
+
+    Fractional-step scheme (reference navier_stokes.py:350-458):
+      1. tentative velocity: H(u*) = b with H = (beta_k/dt) B + mu A,
+         b = f + D^T(p_ext) - B(sum_j beta_j u^{n-j}) / dt,
+      2. filter-based stabilization of u*,
+      3. pressure correction: D Q D^T (dp) = -D u*,
+      4. u^{n+1} = u* + Q D^T dp;  p^{n+1} = p_ext + dp.
+
+    Nonlinear convection enters through `f` (extrapolated advection), as in
+    the reference datagen/training paths.
+    """
+    if pressure_preconditioner is None and project_out_nullspace:
+      pressure_preconditioner = partial(_pressure_project_out_nullspace, self)
+
+    ext = extk_coeffs(k=1)
+    p_ext = sum(ext[-i] * ps[-i] for i in range(1, len(ext) + 1))
+    f = f + self.Dt(p_ext)
+
+    coeffs = bdfk_coeffs(time_order)
+    beta_hist, beta_k = coeffs[:-1], coeffs[-1]
+    H = lambda u: (beta_k / dt) * self.B(u) + mu * self.A(u)
+    f = f - self.B(sum(c * u for c, u in zip(beta_hist, us)) / dt)
+    if u_boundary is not None:
+      f = f - H(u_boundary)
+
+    solve = partial(cg, M=self.velocity.exchange, tol=tol, atol=atol,
+                    dot_fn=self.dot)
+    u_star, u_info = lax.custom_linear_solve(
+        H, f, solve=solve, symmetric=True, has_aux=True)
+    if u_boundary is not None:
+      u_star = u_star + u_boundary
+
+    u_star = self.filter(u_star, alpha=alpha)
+
+    psolve = partial(cg, M=pressure_preconditioner, tol=tol, atol=atol,
+                     dot_fn=self.dot)
+    dp, p_info = lax.custom_linear_solve(
+        partial(self.E, dt=dt, time_order=time_order), -self.D(u_star),
+        solve=psolve, symmetric=True, has_aux=True)
+
+    u = u_star + self.Q(self.Dt(dp), dt=dt, time_order=time_order)
+    p = p_ext + dp
+    return u, p, {'u_star_info': u_info, 'dp_info': p_info}
+
+  def filter(self, u, alpha: float = 0.05):
+    """Modal low-pass stabilization: restrict to order N-1 and back, blend.
+
+    Reference parity: navier_stokes.py:460-482.
+    """
+    grid = self.velocity.mesh.gridpoints_1d
+    low = Nodes1D.create(num_points=grid.num_points - 1,
+                         node_type=grid.node_type)
+    down = BarycentricInterpolator(self.velocity.mesh.ndim, grid, low)
+    up = BarycentricInterpolator(self.velocity.mesh.ndim, low, grid)
+    u_local = self.velocity.gather(u)  # (E, n^d, k)
+    moved = jnp.moveaxis(u_local, -1, 1)
+    filtered = jnp.moveaxis(up.interpolate(down.interpolate(moved)), 1, -1)
+    averaged = self.velocity.scatter(filtered) / (
+        self.velocity.diag_qqt[:, None])
+    return (1.0 - alpha) * u + alpha * averaged
+
+  def vorticity(self, u):
+    """Scalar vorticity of a 2D velocity field at the nodes."""
+    uq = self.velocity.vspace.vector_function(self.velocity.gather(u))
+
+    def w(x):
+      g = grad(uq)(x)  # (E, Q, j, k) = d u_k / d x_j
+      return g[..., 0, 1] - g[..., 1, 0]
+
+    vort_local = self.velocity.vspace.evaluate(w)
+    vmesh = self.velocity.mesh
+    return vmesh.scatter(vort_local) / self.velocity.diag_qqt
