@@ -319,8 +319,13 @@ class StokesSEM:
     if pressure_preconditioner is None and project_out_nullspace:
       pressure_preconditioner = partial(_pressure_project_out_nullspace, self)
 
-    ext = extk_coeffs(k=1)
-    p_ext = sum(ext[-i] * ps[-i] for i in range(1, len(ext) + 1))
+    # Linear pressure extrapolation; degrades to zeroth order when only one
+    # history entry is available (BDF1 cold start).
+    if len(ps) >= 2:
+      ext = extk_coeffs(k=1)
+      p_ext = sum(ext[-i] * ps[-i] for i in range(1, len(ext) + 1))
+    else:
+      p_ext = ps[-1]
     f = f + self.Dt(p_ext)
 
     coeffs = bdfk_coeffs(time_order)
@@ -330,17 +335,31 @@ class StokesSEM:
     if u_boundary is not None:
       f = f - H(u_boundary)
 
-    solve = partial(cg, M=self.velocity.exchange, tol=tol, atol=atol,
-                    dot_fn=self.dot)
+    # H is singular on Dirichlet rows (row elision), so project the rhs onto
+    # its range before solving.  This matters for the *transpose* solve of
+    # custom_linear_solve: downstream cotangents (e.g. through `filter`)
+    # carry boundary components which would otherwise make CG run away
+    # along the null space and corrupt gradients.
+    def vsolve(matvec, rhs):
+      return cg(matvec, self.velocity.interior_mask * rhs,
+                M=self.velocity.exchange, tol=tol, atol=atol,
+                dot_fn=self.dot)
+
     u_star, u_info = lax.custom_linear_solve(
-        H, f, solve=solve, symmetric=True, has_aux=True)
+        H, f, solve=vsolve, symmetric=True, has_aux=True)
     if u_boundary is not None:
       u_star = u_star + u_boundary
 
     u_star = self.filter(u_star, alpha=alpha)
 
-    psolve = partial(cg, M=pressure_preconditioner, tol=tol, atol=atol,
-                     dot_fn=self.dot)
+    # Project the pressure rhs onto range(E) (remove the constant nullspace
+    # component) for the same reason as above.
+    def psolve(matvec, rhs):
+      if pressure_preconditioner is not None:
+        rhs = pressure_preconditioner(rhs)
+      return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
+                dot_fn=self.dot)
+
     dp, p_info = lax.custom_linear_solve(
         partial(self.E, dt=dt, time_order=time_order), -self.D(u_star),
         solve=psolve, symmetric=True, has_aux=True)
