@@ -35,6 +35,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any, Callable, Protocol
 
+import flax.struct
 import jax
 from jax import lax
 import jax.numpy as jnp
@@ -218,9 +219,13 @@ def _inv_and_det(jacs: jax.Array) -> tuple[jax.Array, jax.Array]:
           jax.vmap(jax.vmap(jnp.linalg.det))(jacs))
 
 
-@dataclasses.dataclass(frozen=True)
+@flax.struct.dataclass
 class FiniteElementSpace:
   """A nodal finite element space on a `Mesh` with a quadrature rule.
+
+  A pytree (flax.struct) so spaces can cross ``jit``/``vmap``/``shard_map``
+  boundaries: the geometric factor arrays are leaves, the quadrature rule and
+  interpolator are hashable static metadata.
 
   Attributes:
     mesh: the underlying mesh.
@@ -232,11 +237,12 @@ class FiniteElementSpace:
   """
 
   mesh: Mesh
-  quadrature: Quadrature1D
-  interpolator: BarycentricInterpolator
   invjacs: jax.Array
   jacdets: jax.Array
   quad_coords: jax.Array
+  quadrature: Quadrature1D = flax.struct.field(pytree_node=False)
+  interpolator: BarycentricInterpolator = flax.struct.field(
+      pytree_node=False)
 
   @classmethod
   def create(cls, mesh: Mesh, quadrature: Quadrature1D) -> 'FiniteElementSpace':
@@ -251,8 +257,9 @@ class FiniteElementSpace:
     ref_grads = interpolator.interpolate_grad(coords_t)  # (E, j, Q, i)
     jacs = jnp.einsum('ejqi->eqij', ref_grads)
     invjacs, jacdets = _inv_and_det(jacs)
-    return cls(mesh=mesh, quadrature=quadrature, interpolator=interpolator,
-               invjacs=invjacs, jacdets=jacdets, quad_coords=quad_coords)
+    return cls(mesh=mesh, invjacs=invjacs, jacdets=jacdets,
+               quad_coords=quad_coords, quadrature=quadrature,
+               interpolator=interpolator)
 
   @property
   def num_elements(self) -> int:

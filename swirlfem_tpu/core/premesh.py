@@ -136,15 +136,18 @@ class Premesh:
         rows[..., None] == topology.SENTINEL, topology.SENTINEL,
         self.elements[np.clip(rows, 0, None)])
     # Partition-local renumbering, then periodic dedup of the global ids.
-    node_indices, local_elements = topology.localize_elements(stacked)
-    node_indices = topology.unique_node_indices(node_indices,
+    # Coordinates must be fetched with the *pre-dedup* ids: the deduped id of
+    # a periodic seam node is its image's id, whose coordinates lie on the
+    # other side of the domain and would corrupt the element geometry.
+    raw_node_indices, local_elements = topology.localize_elements(stacked)
+    node_indices = topology.unique_node_indices(raw_node_indices,
                                                 self.periodic_links)
     gather_idx, uniq = topology.exchange_indices(node_indices)
     masks = {name: _group_mask(facets, node_indices)
              for name, facets in self.physical_groups.items()}
     # Per-partition coordinates; SENTINEL-padded rows point at node 0 (their
     # values are never read because the padded ids do not occur in elements).
-    coords = self.node_coords[np.clip(node_indices, 0, None)]
+    coords = self.node_coords[np.clip(raw_node_indices, 0, None)]
 
     mesh = Mesh.create(
         node_coords=coords,

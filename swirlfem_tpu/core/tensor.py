@@ -87,6 +87,18 @@ class BarycentricInterpolator:
     self.interp_grad_1d = interpolation_grad_matrix_1d(
         gridpoints_1d, evalpoints_1d)
 
+  # Hashable/comparable by construction parameters so instances can serve as
+  # static (non-pytree) metadata in jitted structures.
+  def __eq__(self, other):
+    if not isinstance(other, BarycentricInterpolator):
+      return NotImplemented
+    return (self.ndim == other.ndim
+            and self.gridpoints_1d == other.gridpoints_1d
+            and self.evalpoints_1d == other.evalpoints_1d)
+
+  def __hash__(self):
+    return hash((self.ndim, self.gridpoints_1d, self.evalpoints_1d))
+
   @property
   def _is_identity(self) -> bool:
     return self.gridpoints_1d == self.evalpoints_1d

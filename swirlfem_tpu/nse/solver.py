@@ -100,7 +100,10 @@ class StokesPressure:
                                 node_type=NodeType.GAUSS_LEGENDRE)
     pmesh = refine_premesh(premesh, gridpoints_1d=gridpoints).finalize(
         axis_name=axis_name, device_mesh=device_mesh)
-    return cls(pspace=FiniteElementSpace.create(pmesh, quadrature))
+    make = lambda m: FiniteElementSpace.create(m, quadrature)
+    if premesh.is_partitioned():
+      make = jax.vmap(make)
+    return cls(pspace=make(pmesh))
 
   def gather(self, p):
     return self.pspace.mesh.gather(p)
@@ -138,17 +141,26 @@ class StokesVelocity:
                                 node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
     vmesh = refine_premesh(premesh, gridpoints_1d=gridpoints).finalize(
         axis_name=axis_name, device_mesh=device_mesh)
-    vspace = FiniteElementSpace.create(
-        vmesh, Quadrature1D.create_from_nodes_1d(gridpoints))
-    interior_mask = jnp.asarray(
-        dirichlet_interior_mask(vmesh, boundary_conditions))[:, None]
     overint_grid = Nodes1D.create(
         num_points=gridpoints.num_points + num_convection_overint_nodes,
         node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
-    overint_space = FiniteElementSpace.create(
-        vmesh, Quadrature1D.create_from_nodes_1d(overint_grid))
-    diag_qqt = vmesh.scatter(
-        jnp.ones(vmesh.elements.shape, dtype=vmesh.node_coords.dtype))
+
+    def build(mesh):
+      vspace = FiniteElementSpace.create(
+          mesh, Quadrature1D.create_from_nodes_1d(gridpoints))
+      overint_space = FiniteElementSpace.create(
+          mesh, Quadrature1D.create_from_nodes_1d(overint_grid))
+      diag_qqt = mesh.scatter(
+          jnp.ones(mesh.elements.shape, dtype=mesh.node_coords.dtype))
+      return vspace, overint_space, diag_qqt
+
+    if premesh.is_partitioned():
+      vspace, overint_space, diag_qqt = jax.vmap(build)(vmesh)
+    else:
+      vspace, overint_space, diag_qqt = build(vmesh)
+    # Stacked masks broadcast over the partition axis automatically.
+    interior_mask = jnp.asarray(
+        dirichlet_interior_mask(vmesh, boundary_conditions))[..., None]
     return cls(vspace=vspace, overint_space=overint_space,
                interior_mask=interior_mask, diag_qqt=diag_qqt)
 
@@ -227,9 +239,15 @@ class StokesSEM:
                                      num_convection_overint_nodes,
                                      axis_name=axis_name,
                                      device_mesh=device_mesh)
-    velocity_mass_diag = velocity.scatter(
-        velocity.B_local(jnp.ones(velocity.local_shape,
-                                  dtype=velocity.mesh.node_coords.dtype)))
+
+    def mass_diag(vel: StokesVelocity):
+      ones = jnp.ones(vel.local_shape, dtype=vel.mesh.node_coords.dtype)
+      return vel.scatter(vel.B_local(ones))
+
+    if premesh.is_partitioned():
+      velocity_mass_diag = jax.vmap(mass_diag)(velocity)
+    else:
+      velocity_mass_diag = mass_diag(velocity)
     return cls(velocity=velocity, pressure=pressure,
                velocity_mass_diag=velocity_mass_diag, axis_name=axis_name)
 
