@@ -1,0 +1,145 @@
+"""Communication layer tests: pscan/preduce, semi-traced scalars, crystal
+router vs a numpy oracle (reference pattern: crystal_router_test.py:46-80)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swirlfem_tpu.parallel.crystal_router import crystal_router_setup
+from swirlfem_tpu.parallel.pscan import pscan, preduce
+from swirlfem_tpu.parallel.semi_traced import SemiTracedScalar
+from swirlfem_tpu.parallel.spmd import device_mesh, spmd_map
+
+P = 8
+
+
+@pytest.fixture(scope='module')
+def dmesh():
+  return device_mesh('x', P)
+
+
+@pytest.mark.parametrize('op,expected', [
+    (jnp.add, np.concatenate([[0], np.cumsum(np.arange(1, P))])),
+    (jnp.maximum, np.concatenate(
+        [[np.iinfo(np.int32).min], np.arange(1, P)])),
+])
+def test_pscan_ops(dmesh, op, expected):
+  run = spmd_map(lambda v: pscan(v, op, 'x'), dmesh, 'x')
+  out = np.asarray(run(jnp.arange(1, P + 1, dtype=jnp.int32)))
+  np.testing.assert_array_equal(out, expected)
+
+
+def test_pscan_exclusive_sum(dmesh):
+  x = jnp.asarray(np.random.default_rng(0).integers(0, 10, P),
+                  dtype=jnp.int32)
+  run = spmd_map(lambda v: pscan(v, jnp.add, 'x'), dmesh, 'x')
+  out = np.asarray(run(x))
+  expected = np.concatenate([[0], np.cumsum(np.asarray(x))[:-1]])
+  np.testing.assert_array_equal(out, expected)
+
+
+def test_pscan_with_reduction(dmesh):
+  x = jnp.arange(P, dtype=jnp.float64)
+  run = spmd_map(lambda v: pscan(v, jnp.multiply, 'x', reduction=True),
+                 dmesh, 'x')
+  scan, red = run(x + 1)
+  expected_scan = np.concatenate([[1], np.cumprod(np.arange(1, P))])
+  np.testing.assert_allclose(np.asarray(scan), expected_scan)
+  np.testing.assert_allclose(np.asarray(red),
+                             np.full(P, np.prod(np.arange(1, P + 1))))
+
+
+def test_preduce_bitwise(dmesh):
+  x = jnp.asarray([0b101, 0b011, 0b110, 0b111, 0b001, 0b010, 0b100, 0b111],
+                  dtype=jnp.int32)
+  run = spmd_map(lambda v: preduce(v, jnp.bitwise_or, 'x'), dmesh, 'x')
+  out = np.asarray(run(x))
+  np.testing.assert_array_equal(out, np.full(P, 0b111))
+
+
+def test_pscan_vector_payload(dmesh):
+  x = jnp.asarray(np.arange(P * 3, dtype=np.float64).reshape(P, 3))
+  run = spmd_map(lambda v: pscan(v, jnp.add, 'x'), dmesh, 'x')
+  out = np.asarray(run(x))
+  expected = np.concatenate(
+      [np.zeros((1, 3)), np.cumsum(np.asarray(x), axis=0)[:-1]], axis=0)
+  np.testing.assert_allclose(out, expected)
+
+
+def test_semi_traced_scalar(dmesh):
+  def f(v):
+    idx, n = SemiTracedScalar.index_and_size('x')
+    half = idx < (n // 2)
+    # Static schedule from the global view, traced data from the local one.
+    np.testing.assert_array_equal(half.global_, np.arange(P) < P // 2)
+    return v + jnp.where(half.local, 10, 0)
+
+  run = spmd_map(f, dmesh, 'x')
+  out = np.asarray(run(jnp.zeros(P)))
+  np.testing.assert_array_equal(out, [10] * (P // 2) + [0] * (P // 2))
+
+
+def _route_oracle(n, data, target):
+  """numpy simulation: multiset of (value rows) arriving at each device."""
+  buckets = [[] for _ in range(P)]
+  for p in range(P):
+    for j in range(int(n[p])):
+      buckets[int(target[p, j])].append((p, data[p, j]))
+  return buckets
+
+
+def test_crystal_router_roundtrip(dmesh):
+  rng = np.random.default_rng(42)
+  cap = 6
+  n = rng.integers(0, cap + 1, P).astype(np.int32)
+  target = rng.integers(0, P, (P, cap)).astype(np.int32)
+  data = rng.standard_normal((P, cap)).astype(np.float64)
+
+  router = crystal_router_setup(dmesh, 'x')
+  n_out, data_out, source = router(jnp.asarray(n), jnp.asarray(data),
+                                   jnp.asarray(target))
+  n_out = np.asarray(n_out)
+  data_out = np.asarray(data_out)
+  source = np.asarray(source)
+
+  buckets = _route_oracle(n, data, target)
+  assert list(n_out) == [len(b) for b in buckets]
+  for p in range(P):
+    got = sorted(zip(source[p, :n_out[p]].tolist(),
+                     data_out[p, :n_out[p]].tolist()))
+    expected = sorted((src, float(v)) for src, v in buckets[p])
+    assert got == expected, f'device {p}'
+
+  # Inverse routing restores the original multiset per device.
+  n_back, data_back, back_src = router(jnp.asarray(n_out),
+                                       jnp.asarray(data_out),
+                                       jnp.asarray(source))
+  n_back = np.asarray(n_back)
+  assert list(n_back) == list(n)
+  for p in range(P):
+    got = sorted(np.asarray(data_back)[p, :n_back[p]].tolist())
+    expected = sorted(data[p, :n[p]].tolist())
+    np.testing.assert_allclose(got, expected)
+
+
+def test_crystal_router_pytree_and_growth(dmesh):
+  """All data targeted at device 0 forces receive-capacity growth."""
+  cap = 4
+  n = np.full(P, cap, dtype=np.int32)
+  target = np.zeros((P, cap), dtype=np.int32)
+  data = {'a': np.arange(P * cap, dtype=np.float64).reshape(P, cap),
+          'b': np.arange(P * cap, dtype=np.int32).reshape(P, cap, 1) * 2}
+
+  router = crystal_router_setup(dmesh, 'x')
+  n_out, out, source = router(jnp.asarray(n),
+                              jax.tree.map(jnp.asarray, data),
+                              jnp.asarray(target))
+  n_out = np.asarray(n_out)
+  assert n_out[0] == P * cap and (n_out[1:] == 0).all()
+  got_a = sorted(np.asarray(out['a'])[0, :n_out[0]].tolist())
+  np.testing.assert_allclose(got_a, np.arange(P * cap, dtype=np.float64))
+  got_b = sorted(np.asarray(out['b'])[0, :n_out[0], 0].tolist())
+  np.testing.assert_allclose(got_b, np.arange(P * cap) * 2)
+  assert sorted(np.asarray(source)[0, :n_out[0]].tolist()) == sorted(
+      list(range(P)) * cap)
