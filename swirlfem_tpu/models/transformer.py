@@ -1,0 +1,653 @@
+"""Multiscale transformer encoder-decoder closure model with latent SDE.
+
+Parity target: reference ``swirl_fem/niles/transformer.py`` — an MViT-style
+(Fan et al. 2021 / Li et al. 2022 "MViTv2") multiscale transformer over mesh
+elements: pooled-attention downsampling blocks (:100-146), tile-upsampled
+attention blocks (:149-203), encoder/decoder stacks with doubling heads and
+max-pool/tile skip residuals (:319-428), learned positional embeddings
+(:431-451), an optional stochastic latent-SDE processor between encoder and
+decoder (:576-1009), and the top-level `Model` mapping per-element velocity
+patches to a forcing correction plus KL diagnostics (:454-568).
+
+TPU-first notes: attention runs through ``nn.dot_product_attention`` (XLA
+fuses this well on the MXU); all dense/attention layers accept a `dtype`
+(use bfloat16 for large runs) with f32 LayerNorm statistics; Gaussian KL
+terms use closed forms instead of a distributions library (distrax is not a
+dependency here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from functools import partial
+from typing import Any, Callable
+
+import flax.linen as nn
+import jax
+from jax import lax
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.sde.flax_sde import nn_sdeint
+from swirlfem_tpu.sde.sdeint import brownian_path
+
+
+def pooled_heads(x: jax.Array, window: tuple[int, ...],
+                 strides: tuple[int, ...], mode: str,
+                 num_heads: int) -> jax.Array:
+  """Optionally pools the token grid, then splits heads: (..., H, D/H)."""
+  head_dim = x.shape[-1] // num_heads
+  if mode == 'none' or not window or int(np.prod(window)) == 1:
+    return x.reshape(x.shape[:-1] + (num_heads, head_dim))
+  if mode == 'avg':
+    x = nn.avg_pool(x, window, strides, padding='same')
+  elif mode == 'max':
+    x = nn.max_pool(x, window, strides, padding='same')
+  else:
+    raise ValueError(f'unknown pool mode: {mode}')
+  return x.reshape(x.shape[:-1] + (num_heads, head_dim))
+
+
+class MlpBlock(nn.Module):
+  """Feed-forward block (dense -> gelu -> dense)."""
+
+  mlp_dim: int
+  out_dim: int | None = None
+  use_bias: bool = True
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x):
+    out_dim = x.shape[-1] if self.out_dim is None else self.out_dim
+    dense = partial(nn.Dense, dtype=self.dtype, use_bias=self.use_bias,
+                    kernel_init=nn.initializers.xavier_uniform(),
+                    bias_init=nn.initializers.normal(stddev=1e-6),
+                    precision=self.precision)
+    return dense(out_dim)(nn.gelu(dense(self.mlp_dim)(x)))
+
+
+class PooledSelfAttention(nn.Module):
+  """Downsampling attention: queries pooled to a coarser token grid."""
+
+  num_heads: int
+  pool_q: tuple[int, ...]
+  pool_kv: tuple[int, ...]
+  stride_q: tuple[int, ...]
+  stride_kv: tuple[int, ...]
+  pool_mode: str = 'avg'
+  residual_q: bool = True
+  use_bias: bool = False
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x):
+    features = x.shape[-1]
+    dense = partial(nn.Dense, features=features, dtype=self.dtype,
+                    use_bias=self.use_bias, precision=self.precision)
+    pool = partial(pooled_heads, mode=self.pool_mode,
+                   num_heads=self.num_heads)
+    q = pool(dense(name='query')(x), self.pool_q, self.stride_q)
+    k = pool(dense(name='key')(x), self.pool_kv, self.stride_kv)
+    v = pool(dense(name='value')(x), self.pool_kv, self.stride_kv)
+    out = nn.dot_product_attention(q, k, v, dtype=self.dtype,
+                                   precision=self.precision)
+    if self.residual_q:
+      out = out + q  # MViTv2 residual pooling.
+    return nn.DenseGeneral(features=features, axis=(-2, -1),
+                           use_bias=self.use_bias, dtype=self.dtype,
+                           precision=self.precision, name='out')(out)
+
+
+class TiledSelfAttention(nn.Module):
+  """Upsampling attention: q/k/v tiled to a finer token grid."""
+
+  num_heads: int
+  tile_reps: tuple[int, ...]
+  residual_q: bool = True
+  use_bias: bool = False
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x):
+    features = x.shape[-1]
+    dense = partial(nn.Dense, features=features, dtype=self.dtype,
+                    use_bias=self.use_bias, precision=self.precision)
+
+    def tiled(y):
+      y = jnp.tile(y, self.tile_reps)
+      return y.reshape(y.shape[:2] + (self.num_heads, -1))
+
+    q = tiled(dense(name='query')(x))
+    k = tiled(dense(name='key')(x))
+    v = tiled(dense(name='value')(x))
+    out = nn.dot_product_attention(q, k, v, dtype=self.dtype,
+                                   precision=self.precision)
+    if self.residual_q:
+      out = out + q
+    return nn.DenseGeneral(features=features, axis=(-2, -1),
+                           use_bias=self.use_bias, dtype=self.dtype,
+                           precision=self.precision, name='out')(out)
+
+
+class EncoderBlock(nn.Module):
+  """Pre-norm block: pooled attention + max-pool skip, then MLP."""
+
+  out_dim: int
+  num_heads: int
+  pool_q: tuple[int, ...]
+  pool_kv: tuple[int, ...]
+  stride_q: tuple[int, ...]
+  stride_kv: tuple[int, ...]
+  use_bias: bool = False
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x):
+    inputs = x
+    x = nn.LayerNorm(use_bias=self.use_bias, dtype=self.dtype)(x)
+    x = PooledSelfAttention(
+        num_heads=self.num_heads, pool_q=self.pool_q, pool_kv=self.pool_kv,
+        stride_q=self.stride_q, stride_kv=self.stride_kv,
+        use_bias=self.use_bias, dtype=self.dtype,
+        precision=self.precision)(x)
+
+    if self.stride_q and int(np.prod(self.stride_q)) > 1:
+      # Skip connections across a resolution change always max-pool.
+      skip = pooled_heads(
+          inputs, tuple(s + 1 if s > 1 else s for s in self.stride_q),
+          strides=self.stride_q, mode='max', num_heads=self.num_heads)
+      skip = skip.reshape(skip.shape[:-2] + (-1,))
+    else:
+      skip = inputs
+    x = x + skip
+
+    x_norm = nn.LayerNorm(use_bias=self.use_bias, dtype=self.dtype)(x)
+    y = MlpBlock(mlp_dim=inputs.shape[-1] * 4, out_dim=self.out_dim,
+                 use_bias=self.use_bias, dtype=self.dtype,
+                 precision=self.precision)(x_norm)
+    if self.out_dim == inputs.shape[-1]:
+      return y + x
+    return y + nn.Dense(y.shape[-1], name='project_skip', dtype=self.dtype,
+                        use_bias=self.use_bias,
+                        precision=self.precision)(x_norm)
+
+
+class DecoderBlock(nn.Module):
+  """Pre-norm block: tiled attention + tiled skip, then MLP."""
+
+  out_dim: int
+  num_heads: int
+  tile_reps: tuple[int, ...]
+  use_bias: bool = False
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x):
+    inputs = x
+    x = nn.LayerNorm(use_bias=self.use_bias, dtype=self.dtype)(x)
+    x = TiledSelfAttention(num_heads=self.num_heads,
+                           tile_reps=self.tile_reps, use_bias=self.use_bias,
+                           dtype=self.dtype, precision=self.precision)(x)
+    skip = (jnp.tile(inputs, self.tile_reps)
+            if int(np.prod(self.tile_reps)) > 1 else inputs)
+    x = x + skip
+    x_norm = nn.LayerNorm(use_bias=self.use_bias, dtype=self.dtype)(x)
+    y = MlpBlock(mlp_dim=inputs.shape[-1] * 4, out_dim=self.out_dim,
+                 use_bias=self.use_bias, dtype=self.dtype,
+                 precision=self.precision)(x_norm)
+    if self.out_dim == inputs.shape[-1]:
+      return y + x
+    return y + nn.Dense(y.shape[-1], name='project_skip', dtype=self.dtype,
+                        use_bias=self.use_bias,
+                        precision=self.precision)(x_norm)
+
+
+class MultiscaleEncoder(nn.Module):
+  """Stack of EncoderBlocks; pooling layers halve tokens, double width/heads."""
+
+  depth: int
+  width: int
+  pooling_layers: Sequence[int]
+  pooling_kernel: tuple[int, ...]
+  pooling_strides_q: tuple[int, ...]
+  initial_kv_pooling_strides: tuple[int, ...]
+  num_initial_heads: int = 1
+  use_bias: bool = False
+  pool_q_every_layer: bool = True
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x):
+    assert x.ndim == 3, x.shape  # (batch, tokens, features)
+    skips = {}
+    num_heads = self.num_initial_heads
+    stride_kv = tuple(self.initial_kv_pooling_strides)
+    for layer in range(self.depth):
+      out_dim = x.shape[-1]
+      pool_q = self.pooling_kernel
+      if layer in self.pooling_layers:
+        num_heads *= 2
+        stride_kv = tuple((s // 2) if s > 1 else 1 for s in stride_kv)
+        stride_q = self.pooling_strides_q
+        skips[layer] = x
+      else:
+        stride_q = tuple(1 for _ in self.pooling_strides_q)
+        if not self.pool_q_every_layer:
+          pool_q = tuple(1 for _ in self.pooling_strides_q)
+      if layer + 1 in self.pooling_layers:
+        out_dim = x.shape[-1] * 2
+      x = EncoderBlock(
+          out_dim=out_dim, num_heads=num_heads, pool_q=pool_q,
+          pool_kv=self.pooling_kernel, stride_q=stride_q,
+          stride_kv=stride_kv, use_bias=self.use_bias, dtype=self.dtype,
+          precision=self.precision, name=f'block_{layer}')(x)
+    return nn.LayerNorm(use_bias=self.use_bias, name='encoder_norm')(x), skips
+
+
+class MultiscaleDecoder(nn.Module):
+  """Mirror of the encoder: upsampling blocks with skip residuals."""
+
+  depth: int
+  width: int
+  pooling_layers: Sequence[int]
+  qkv_tile_reps: tuple[int, ...]
+  num_initial_heads: int
+  use_bias: bool = False
+  use_residuals: bool = True
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+
+  @nn.compact
+  def __call__(self, x, skips):
+    assert x.ndim == 3, x.shape
+    for layer in reversed(range(self.depth)):
+      out_dim = x.shape[-1]
+      tile_reps = (self.qkv_tile_reps if layer in self.pooling_layers
+                   else tuple(1 for _ in self.qkv_tile_reps))
+      if layer + 1 in self.pooling_layers:
+        out_dim = x.shape[-1] // 2
+      num_heads = x.shape[-1] // self.width
+      x = DecoderBlock(
+          out_dim=out_dim, num_heads=num_heads, tile_reps=tile_reps,
+          use_bias=self.use_bias, dtype=self.dtype,
+          precision=self.precision, name=f'decoder_block_{layer}')(x)
+      if layer in self.pooling_layers and self.use_residuals:
+        x = x + skips[layer]
+    return nn.LayerNorm(use_bias=self.use_bias, name='decoder_norm')(x)
+
+
+class AddPosEmbs(nn.Module):
+  """Learned positional embeddings over the token axis."""
+
+  posemb_init: Any = nn.initializers.normal(stddev=0.02)
+
+  @nn.compact
+  def __call__(self, x):
+    assert x.ndim == 3, x.shape
+    pos = self.param('pos_embedding', self.posemb_init,
+                     (1, x.shape[1], x.shape[2]), x.dtype)
+    return x + pos
+
+
+class Encoder1DBlock(nn.Module):
+  """Plain pre-norm transformer encoder block (no pooling)."""
+
+  mlp_dim: int
+  num_heads: int
+  dtype: Any = jnp.float32
+
+  @nn.compact
+  def __call__(self, x):
+    assert x.ndim == 3
+    y = nn.LayerNorm(dtype=self.dtype)(x)
+    y = nn.MultiHeadDotProductAttention(
+        num_heads=self.num_heads, dtype=self.dtype,
+        kernel_init=nn.initializers.xavier_uniform())(y, y)
+    x = x + y
+    z = nn.LayerNorm(dtype=self.dtype)(x)
+    return x + MlpBlock(mlp_dim=self.mlp_dim)(z)
+
+
+# ---------------------------------------------------------------------------
+# Latent SDE processor
+# ---------------------------------------------------------------------------
+
+
+def _divide_no_nan(x, y):
+  zero = jnp.isclose(y, jnp.zeros_like(y))
+  return jnp.where(zero, jnp.zeros_like(x), x / jnp.where(zero, 1.0, y))
+
+
+def diag_gaussian_kl(mean_q, std_q, mean_p, std_p):
+  """KL(N(mean_q, diag std_q^2) || N(mean_p, diag std_p^2)), closed form."""
+  var_ratio = jnp.square(std_q / std_p)
+  t1 = jnp.square((mean_q - mean_p) / std_p)
+  return 0.5 * jnp.sum(var_ratio + t1 - 1.0 - jnp.log(var_ratio), axis=-1)
+
+
+class MLP(nn.Module):
+  """Small MLP with zero-init kernels (stable closure-model start)."""
+
+  features: tuple[int, ...]
+  activation_fn: Callable = nn.gelu
+  final_activation_fn: Callable = lambda x: x
+  bias_stddev: float = 1e-6
+
+  @nn.compact
+  def __call__(self, x):
+    for feat in self.features[:-1]:
+      x = nn.Dense(feat, kernel_init=nn.initializers.zeros,
+                   bias_init=nn.initializers.normal(self.bias_stddev))(x)
+      x = self.activation_fn(x)
+    x = nn.Dense(self.features[-1], kernel_init=nn.initializers.zeros,
+                 bias_init=nn.initializers.normal(self.bias_stddev))(x)
+    return self.final_activation_fn(x)
+
+
+class Drift(nn.Module):
+  """Drift network of the latent SDE (tanh output for stability)."""
+
+  features: tuple[int, ...]
+
+  @nn.compact
+  def __call__(self, x, context=None):
+    assert x.ndim == 1, x.shape
+    if context is not None:
+      x = jnp.concatenate([x, context], axis=0)
+    return MLP(self.features, final_activation_fn=nn.tanh)(x)
+
+
+class Diffusion(nn.Module):
+  """Strongly-diagonal diffusion: per-coordinate independent positive MLPs."""
+
+  features: tuple[int, ...]
+  ndim: int
+
+  @nn.compact
+  def __call__(self, x):
+    assert x.shape == (self.ndim,), x.shape
+    ys = [MLP(self.features, final_activation_fn=jnp.exp,
+              name=f'coord_{i}')(x[i][None]) for i in range(self.ndim)]
+    return jnp.concatenate(ys, axis=0)
+
+
+class VariationalDriftDiffusion(nn.Module):
+  """Posterior/prior drifts + diagonal diffusion + pathwise KL integrand.
+
+  The SDE state is ``[z; logqp]``; the augmented drift appends the Girsanov
+  KL integrand ``0.5 ||(post - prior) / sigma||^2``.
+  """
+
+  prior_drift_features: tuple[int, ...]
+  post_drift_features: tuple[int, ...]
+  diffusion_features: tuple[int, ...]
+
+  @nn.compact
+  def __call__(self, state, ts, dw, context):
+    del ts
+    latent_size = self.post_drift_features[-1]
+    z = state[:latent_size]
+    post = Drift(self.post_drift_features, name='post_drift')(z, context)
+    prior = Drift(self.prior_drift_features, name='prior_drift')(z)
+    sigma = Diffusion(self.diffusion_features, ndim=latent_size,
+                      name='diffusion')(z)
+    logqp = 0.5 * jnp.sum(
+        jnp.square(_divide_no_nan(post - prior, sigma)))[None]
+    aug_drift = jnp.concatenate([post, logqp], axis=-1)
+    aug_diffusion = jnp.concatenate(
+        [dw * sigma, jnp.zeros((1,), dtype=state.dtype)], axis=-1)
+    return aug_drift, aug_diffusion
+
+
+class TransformerDynamics(nn.Module):
+  """Transformer-parameterized drift over a sequence-valued latent state.
+
+  Parity: reference `Dynamics` (transformer.py:704-778).
+  """
+
+  num_layers: int
+  latent_size: int
+  hidden_size: int = 32
+
+  def _block(self, x, name):
+    for layer in range(self.num_layers):
+      x = Encoder1DBlock(mlp_dim=self.latent_size, num_heads=2,
+                         name=f'{name}_block_{layer}')(x)
+    x = nn.LayerNorm(name=f'{name}_norm')(x)
+    return nn.Dense(self.latent_size, name=f'{name}_out',
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.normal(stddev=1e-6))(x)
+
+  @nn.compact
+  def __call__(self, state, ts, dw, context):
+    assert state.ndim == 1 and state.shape[0] % self.latent_size == 1
+    latent = state[:-1]
+    x = latent.reshape((1, -1, self.latent_size))
+    seq_len = x.shape[1]
+    t_token = jnp.tile(jnp.asarray(ts)[None, None, None],
+                       [1, 1, self.latent_size])
+    x_t = jnp.concatenate([x, t_token], axis=-2)
+    ctx = context.reshape((1, seq_len, self.latent_size))
+    post = self._block(jnp.concatenate([x_t, ctx], axis=-2), 'post')
+    prior = self._block(x_t, 'prior')
+    post = post[0, :seq_len].reshape(-1)
+    prior = prior[0, :seq_len].reshape(-1)
+    sigma = MLP((self.hidden_size,) * self.num_layers + (1,),
+                activation_fn=nn.tanh, final_activation_fn=jnp.exp,
+                name='diffusion_mlp')(latent[:, None]).reshape(-1)
+    logqp = 0.5 * jnp.sum(
+        jnp.square(_divide_no_nan(post - prior, sigma)))[None]
+    aug_drift = jnp.concatenate([post, logqp], axis=-1)
+    aug_diffusion = jnp.concatenate(
+        [dw * sigma, jnp.zeros((1,), dtype=state.dtype)], axis=-1)
+    return aug_drift, aug_diffusion
+
+
+class LatentSDE(nn.Module):
+  """Stochastic processor: encode -> integrate latent SDE -> decode.
+
+  `model_config` is any attribute mapping (e.g. ml_collections ConfigDict)
+  with fields: num_gridpoints, latent_size, context_size, data_size,
+  prior_scale, use_transformer, num_layers, num_sde_layers, hidden_size,
+  num_samples.
+  """
+
+  model_config: Any
+
+  @property
+  def cfg(self):
+    return self.model_config
+
+  @nn.compact
+  def __call__(self, inputs, rng):
+    cfg = self.cfg
+    batch_size = inputs.shape[0]
+    if cfg.use_transformer:
+      # Sequence-valued latent state; z0 is the encoder output itself.
+      seq_len = inputs.shape[1]
+      z0 = inputs.reshape((batch_size, -1))
+      if cfg.num_samples > 1:
+        z1, kl_path, kl_q0 = self._sample_sde_transformer(z0, rng)
+      else:
+        z1 = self._sample_ode_transformer(z0)
+        kl_path = jnp.zeros((batch_size, 1), dtype=jnp.float32)
+        kl_q0 = jnp.zeros((batch_size,), dtype=jnp.float32)
+      z1 = z1.reshape((batch_size, cfg.num_samples, seq_len, cfg.latent_size))
+      aux = {
+          'kl_q0': kl_q0,
+          'kl_path': kl_path.mean(axis=-1),
+          'z0_means': z0.mean(axis=-1),
+          'z1_means': z1.reshape((batch_size, -1)).mean(axis=-1),
+      }
+      return z1, aux
+
+    # MLP variant: encode to (q0, context), integrate, decode.
+    hidden = MLP((cfg.hidden_size,) * cfg.num_layers
+                 + (2 * cfg.latent_size + cfg.context_size,),
+                 final_activation_fn=nn.gelu, name='sde_encoder_mlp')(inputs)
+    q0_mean, q0_logstd, context = jnp.split(
+        hidden, [cfg.latent_size, 2 * cfg.latent_size], axis=-1)
+    q0_std = jnp.exp(q0_logstd)
+    kl_q0 = diag_gaussian_kl(q0_mean, q0_std, jnp.zeros_like(q0_mean),
+                             cfg.prior_scale * jnp.ones_like(q0_std))
+
+    z0 = jnp.broadcast_to(q0_mean[:, None, :],
+                          (batch_size, cfg.num_samples, cfg.latent_size))
+    z1, kl_path = self._sample_mlp(z0, context, rng)
+    y = MLP((cfg.hidden_size,) * cfg.num_layers + (cfg.data_size,),
+            final_activation_fn=nn.gelu, name='sde_decoder_mlp')(z1)
+    return y, {'kl_q0': kl_q0, 'kl_path': kl_path}
+
+  def _sde_net(self):
+    cfg = self.cfg
+    return nn_sdeint(VariationalDriftDiffusion)(
+        prior_drift_features=(cfg.hidden_size,) * cfg.num_sde_layers
+        + (cfg.latent_size,),
+        post_drift_features=(cfg.hidden_size, cfg.latent_size),
+        diffusion_features=(cfg.hidden_size,) * cfg.num_sde_layers + (1,))
+
+  def _sample_mlp(self, z0, context, rng):
+    cfg = self.cfg
+    batch_size = z0.shape[0]
+    expanded = batch_size * cfg.num_samples
+    z0 = z0.reshape((expanded, cfg.latent_size))
+    context = jnp.broadcast_to(
+        context[:, None, :],
+        (batch_size, cfg.num_samples, cfg.context_size)).reshape(
+            (expanded, cfg.context_size))
+    init = jnp.concatenate(
+        [z0, jnp.zeros((expanded, 1), dtype=z0.dtype)], axis=-1)
+    dw_rngs = jax.random.split(rng, expanded * cfg.latent_size)
+    dw = jax.vmap(partial(brownian_path, n=cfg.num_gridpoints),
+                  out_axes=-1)(dw_rngs).reshape(
+                      (expanded, cfg.num_gridpoints, cfg.latent_size))
+    ts = jnp.broadcast_to(jnp.asarray([0.0, 1.0])[None, :], (expanded, 2))
+    states = jax.vmap(self._sde_net())(init, ts, dw, context)
+    z1 = states[:, 0, :cfg.latent_size].reshape(
+        (batch_size, cfg.num_samples, cfg.latent_size))
+    kl_path = states[:, 0, -1].reshape((batch_size, cfg.num_samples))
+    return z1, kl_path.sum(axis=-1)
+
+  def _dynamics_net(self):
+    cfg = self.cfg
+    return nn_sdeint(TransformerDynamics)(
+        num_layers=cfg.num_sde_layers, latent_size=cfg.latent_size)
+
+  def _sample_ode_transformer(self, z0):
+    cfg = self.cfg
+    batch_size = z0.shape[0]
+    dw = jnp.zeros((batch_size, cfg.num_gridpoints, z0.shape[-1] + 1))
+    # Deterministic path: reuse the dynamics with zero noise, no KL.
+    ts = jnp.broadcast_to(jnp.asarray([0.0, 1.0])[None, :], (batch_size, 2))
+    aug0 = jnp.concatenate(
+        [z0, jnp.zeros((batch_size, 1), dtype=z0.dtype)], axis=-1)
+    aug1 = jax.vmap(self._dynamics_net())(aug0, ts, dw[..., :-1], z0)
+    return aug1[:, 0, :-1][:, None, :]
+
+  def _sample_sde_transformer(self, z0, rng):
+    cfg = self.cfg
+    batch_size, expanded_latent = z0.shape
+    expanded = batch_size * cfg.num_samples
+    z0_rng, dw_rng = jax.random.split(rng)
+    noise = jax.random.normal(
+        z0_rng, (batch_size, cfg.num_samples, expanded_latent), z0.dtype)
+    samples = z0[:, None, :] + cfg.prior_scale * noise
+    kl_q0 = diag_gaussian_kl(
+        z0, cfg.prior_scale * jnp.ones_like(z0), jnp.zeros_like(z0),
+        cfg.prior_scale * jnp.ones_like(z0))
+    samples = samples.reshape((expanded, expanded_latent))
+    dw_rngs = jax.random.split(dw_rng, expanded * expanded_latent)
+    dw = jax.vmap(partial(brownian_path, n=cfg.num_gridpoints),
+                  out_axes=-1)(dw_rngs).reshape(
+                      (expanded, cfg.num_gridpoints, expanded_latent))
+    ts = jnp.broadcast_to(jnp.asarray([0.0, 1.0])[None, :], (expanded, 2))
+    aug0 = jnp.concatenate(
+        [samples, jnp.zeros((expanded, 1), dtype=z0.dtype)], axis=-1)
+    aug1 = jax.vmap(self._dynamics_net())(aug0, ts, dw, samples)
+    z1 = aug1[:, 0, :expanded_latent].reshape(
+        (batch_size, cfg.num_samples, expanded_latent))
+    kl_path = aug1[:, 0, -1].reshape((batch_size, cfg.num_samples))
+    return z1, kl_path, kl_q0
+
+
+class Model(nn.Module):
+  """Top-level closure model: element patches -> forcing correction + aux.
+
+  Parity: reference `Model` (transformer.py:454-568).  Inputs are
+  ``(batch, num_elements, patch_dim)`` per-element velocity patches; outputs
+  a same-shaped forcing correction and a dict of KL/latent diagnostics.
+  """
+
+  num_layers: int
+  num_heads: int
+  depth: int
+  width: int
+  pooling_layers: tuple[int, ...]
+  pooling_kernel: tuple[int, ...]
+  pooling_strides_q: tuple[int, ...]
+  initial_kv_pooling_strides: tuple[int, ...]
+  qkv_tile_reps: tuple[int, ...]
+  processor_config: Any
+  num_initial_heads: int = 1
+  use_residuals: bool = True
+  use_bias: bool = False
+  pool_q_every_layer: bool = True
+  dtype: Any = jnp.float32
+  precision: lax.Precision | None = None
+  mean_after_decoder: bool = False
+
+  @nn.compact
+  def __call__(self, inputs, z_rng):
+    assert inputs.ndim == 3, inputs.shape
+    aux = {}
+    x = nn.Dense(self.width, name='embedding')(inputs)
+    x = AddPosEmbs(name='encoder_posembed')(x)
+    encoded = x
+
+    if self.depth > 0:
+      x, skips = MultiscaleEncoder(
+          depth=self.depth, width=self.width,
+          pooling_layers=self.pooling_layers,
+          pooling_kernel=self.pooling_kernel,
+          pooling_strides_q=self.pooling_strides_q,
+          initial_kv_pooling_strides=self.initial_kv_pooling_strides,
+          num_initial_heads=self.num_initial_heads, use_bias=self.use_bias,
+          pool_q_every_layer=self.pool_q_every_layer, dtype=self.dtype,
+          precision=self.precision, name='multiscale_encoder')(encoded)
+
+      if self.processor_config.num_samples > 0:
+        if not self.processor_config.use_transformer:
+          x = x.reshape((inputs.shape[0], -1))
+        x, aux = LatentSDE(model_config=self.processor_config)(x, z_rng)
+        if not self.mean_after_decoder:
+          x = x.mean(axis=1)
+
+      decoder = MultiscaleDecoder(
+          depth=self.depth, width=self.width,
+          num_initial_heads=(self.num_initial_heads
+                             * 2 ** len(self.pooling_layers)),
+          qkv_tile_reps=self.qkv_tile_reps,
+          pooling_layers=self.pooling_layers, use_bias=self.use_bias,
+          use_residuals=self.use_residuals, dtype=self.dtype,
+          precision=self.precision, name='multiscale_decoder')
+      if not self.mean_after_decoder:
+        x = decoder(x, skips=skips)
+      else:
+        x = jax.vmap(lambda y: decoder(y, skips=skips),
+                     in_axes=1, out_axes=1)(x)
+        x = x.mean(axis=1)
+
+    x = nn.Dense(inputs.shape[-1], name='decoded_patches',
+                 kernel_init=nn.initializers.zeros,
+                 bias_init=nn.initializers.normal(stddev=1e-6))(x)
+
+    batch_size = inputs.shape[0]
+    for key in ['kl_path', 'kl_q0', 'z0_means', 'z1_means', 'z1_stds']:
+      aux.setdefault(key, jnp.zeros(batch_size, dtype=jnp.float32))
+    return x, aux

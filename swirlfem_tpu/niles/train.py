@@ -1,0 +1,462 @@
+"""NiLES trainer: differentiable-solver-in-the-loop closure learning.
+
+Parity target: reference ``swirl_fem/niles/train.py`` — the loss rolls the
+spectral-element NSE solver forward ``config.num_steps`` steps inside
+``lax.scan`` with the transformer predicting a nodal forcing correction each
+step (pushforward trick: early steps' corrections are ``stop_gradient``-ed,
+:246-249), MSE against the DNS trajectory plus a scheduled KL penalty from
+the latent SDE, adamw with warmup-cosine LR, and TKE / energy-spectrum
+evaluation metrics on a uniform transfer grid.
+
+TPU-first redesign versus the reference:
+
+* **jit + NamedSharding data parallelism** instead of ``jax.pmap``
+  (:630-637): one jitted train step over a ``jax.sharding.Mesh`` with a
+  ``'batch'`` axis; gradients are globally averaged by XLA-inserted
+  collectives — no explicit ``lax.pmean``, no replicated-state bookkeeping,
+  and the step composes with additional model/spatial axes.
+* **Orbax checkpointing** instead of flax.training.checkpoints (:499-507).
+* The uniform-grid transfer for TKE metrics interpolates GLL -> equispaced
+  nodes per element with the sum-factorized interpolator (the reference
+  calls a nonexistent ``Mesh.interpolate`` on this path, train.py:65-66).
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import time
+from typing import Any, Callable
+
+from absl import logging
+import jax
+from jax import lax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training import train_state
+
+from swirlfem_tpu.core.quadrature import Nodes1D, NodeType
+from swirlfem_tpu.core.refine import refine_premesh
+from swirlfem_tpu.core.tensor import BarycentricInterpolator
+from swirlfem_tpu.models import transformer
+from swirlfem_tpu.niles import input_pipeline
+from swirlfem_tpu.nse import solver as navier_stokes
+from swirlfem_tpu.utils.box import unit_cube_mesh
+
+# ---------------------------------------------------------------------------
+# Solver step with extrapolated advection + Kolmogorov forcing
+# ---------------------------------------------------------------------------
+
+
+def kolmogorov_forcing(config, x, u):
+  """Body force: sin(2 pi k y) in x plus linear drag (datagen parity)."""
+  k = 4.0
+  f0 = jnp.sin(2 * jnp.pi * k * x[..., 1])
+  f = jnp.stack([f0, jnp.zeros_like(f0)], axis=-1)
+  return f - config.drag_coeff * u
+
+
+def solve_one_step(us, ps, cus, f, sem, config):
+  """One NSE step with EXTk-extrapolated advection entering the forcing."""
+  ext = [float(c) for c in navier_stokes.extk_coeffs(k=config.time_order - 1)]
+  cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
+  f = f + kolmogorov_forcing(config, sem.velocity.mesh.node_coords, us[-1])
+  f = -cu + sem.B(f)
+  u, p, _ = sem.stokes_one_step(
+      list(us), list(ps), f, mu=1.0 / config.reynolds_number, dt=config.dt,
+      alpha=config.alpha, time_order=config.time_order, tol=0.0, atol=1e-7)
+  return u, p, sem.C(u)
+
+
+# ---------------------------------------------------------------------------
+# Element permutation and uniform-grid transfer
+# ---------------------------------------------------------------------------
+
+
+def make_multiscale_perm(size=12, patch_sizes=(2, 3), factors=(2, 4)):
+  """Element order placing spatially nearby elements adjacently in the
+  token sequence (reference train.py:176-193)."""
+
+  def lex(n):
+    return np.array(list(itertools.product(range(n), repeat=2)),
+                    dtype=np.int32)
+
+  p = lex(int(size / np.prod(patch_sizes)))
+  for ps, factor in zip(patch_sizes, factors):
+    shifts = lex(ps)
+    p = np.concatenate([p + factor * s for s in shifts])
+  return np.array([size * i + j for i, j in p], dtype=np.int32)
+
+
+def transfer_perm(source_mesh, target_mesh):
+  """Nearest-node permutation from source mesh nodes to target mesh nodes."""
+  import scipy.spatial
+  kdtree = scipy.spatial.KDTree(np.asarray(source_mesh.node_coords))
+  _, idx = kdtree.query(np.asarray(target_mesh.node_coords))
+  return np.asarray(idx, dtype=np.int32)
+
+
+def make_uniform_transfer(sem, config):
+  """Returns fn: nodal GLL velocity -> (n, n, ndim) uniform-grid field."""
+  premesh = unit_cube_mesh(config.element_grid_size, periodic_dims=(0, 1))
+  uniform_mesh = refine_premesh(
+      premesh, Nodes1D.create(config.order + 1, NodeType.NEWTON_COTES)
+  ).finalize()
+  grid_mesh = unit_cube_mesh(
+      config.element_grid_size * config.order).finalize()
+  perm = transfer_perm(uniform_mesh, grid_mesh)
+  interp = BarycentricInterpolator(
+      ndim=config.ndim,
+      gridpoints_1d=sem.velocity.mesh.gridpoints_1d,
+      evalpoints_1d=Nodes1D.create(config.order + 1, NodeType.NEWTON_COTES))
+  multiplicity = uniform_mesh.scatter(
+      jnp.ones(uniform_mesh.elements.shape,
+               dtype=uniform_mesh.node_coords.dtype))
+  n = config.resolution  # periodic grid: n x n unique points... (n+1 nodes)
+
+  def to_grid(u):
+    u_local = jax.vmap(sem.velocity.mesh.gather, in_axes=-1,
+                       out_axes=-1)(u)
+    vals = jnp.moveaxis(
+        interp.interpolate(jnp.moveaxis(u_local, -1, 1)), 1, -1)
+    nodal = jax.vmap(uniform_mesh.scatter, in_axes=-1, out_axes=-1)(vals)
+    nodal = nodal / multiplicity[:, None]
+    side = n + 1
+    return nodal[perm].reshape(side, side, u.shape[-1])[:-1, :-1]
+
+  return to_grid
+
+
+def get_tke(u, to_grid):
+  """Turbulent kinetic energy on the uniform grid (reference :62-76)."""
+  u_grid = to_grid(u)
+  u_hat = jax.vmap(
+      lambda x: jnp.abs(jnp.fft.fftshift(jnp.fft.fftn(x))),
+      in_axes=-1, out_axes=-1)(u_grid)
+  return 0.5 * jnp.square(u_hat).sum(axis=-1)
+
+
+def get_energy_spectrum(tke, num_bins: int = 20):
+  """Radially binned energy spectrum of a TKE field."""
+  n = tke.shape[0]
+  freqs = np.fft.fftshift(np.fft.fftfreq(n, 1.0 / n))
+  kx, ky = np.meshgrid(freqs, freqs)
+  k = np.sqrt(kx**2 + ky**2)
+  bins = np.linspace(0, np.max(k), num=num_bins)
+  indices = np.digitize(k, bins)
+  spectrum = [jnp.sum(tke * (indices == i)) for i in range(1, num_bins - 1)]
+  return bins[1:-1], jnp.stack(spectrum)
+
+
+# ---------------------------------------------------------------------------
+# Loss
+# ---------------------------------------------------------------------------
+
+
+def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
+                     sem, to_grid, config, train: bool):
+  """Rollout loss: MSE of predicted trajectory + KL penalty."""
+  us = tuple(batch['u'][:, i] for i in range(config.time_order))
+  ps = tuple(batch['p'][:, i] for i in range(config.time_order))
+  cus = tuple(jax.vmap(sem.C)(u) for u in us)
+  dropout_rng, z_rng = jax.random.split(step_rng)
+  batch_size = us[-1].shape[0]
+  if config.permute_elements:
+    perm = make_multiscale_perm(size=config.element_grid_size)
+    invperm = np.argsort(perm)
+  vmesh = sem.velocity.mesh
+
+  def body_fn(carry, i):
+    us, ps, cus, prev_aux = carry
+    z_key = jax.random.fold_in(z_rng, i)
+    drop_key = jax.random.fold_in(dropout_rng, i)
+
+    inputs = jax.vmap(sem.velocity.gather)(us[-1]).astype(jnp.float32)
+    inputs = inputs.reshape(
+        (batch_size, vmesh.num_elements,
+         vmesh.num_nodes_per_element * vmesh.ndim))
+    if config.permute_elements:
+      inputs = inputs[:, perm, :]
+
+    forcing, aux = model_apply_fn(
+        {'params': params}, inputs, z_rng=z_key,
+        rngs={'dropout': drop_key} if train else None)
+    if train and config.num_pushforward_steps > 0:
+      # Pushforward trick: only the last rollout steps carry gradients.
+      forcing = lax.cond(i < config.num_pushforward_steps,
+                         lax.stop_gradient, lambda x: x, forcing)
+
+    if config.permute_elements:
+      forcing = forcing[:, invperm, :]
+    forcing = forcing.reshape(
+        (batch_size, vmesh.num_elements, vmesh.num_nodes_per_element,
+         vmesh.ndim)).astype(us[-1].dtype)
+    forcing = jax.vmap(sem.velocity.scatter)(forcing)
+
+    u, p, cu = jax.vmap(
+        functools.partial(solve_one_step, sem=sem, config=config))(
+            us, ps, cus, forcing)
+
+    new_aux = {k: (aux[k] + prev_aux[k] if k in ('kl_path', 'kl_q0')
+                   else aux[k]) for k in prev_aux}
+    return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (cu,), new_aux), u
+
+  num_solver_steps = config.num_steps if train else config.eval_num_steps
+  zeros = jnp.zeros(batch_size, dtype=jnp.float32)
+  aux0 = {k: zeros for k in
+          ('kl_q0', 'kl_path', 'z0_means', 'z1_means', 'z1_stds')}
+  (_, _, _, aux), preds = lax.scan(
+      body_fn, (us, ps, cus, aux0),
+      jnp.arange(num_solver_steps, dtype=jnp.int32))
+  preds = jnp.moveaxis(preds, 0, 1)  # (batch, steps, nodes, ndim)
+
+  targets = lax.slice_in_dim(batch['u'], config.time_order,
+                             config.time_order + num_solver_steps, axis=1)
+  mse = optax.l2_loss(predictions=preds, targets=targets)
+  mse = mse.sum(axis=(-1, -2)).mean(axis=0)  # per-step, batch-averaged
+  kl_q0 = aux['kl_q0'].mean()
+  kl_path = aux['kl_path'].mean()
+  kl = kl_q0 + kl_path
+  loss = mse.sum() + kl_penalty * kl
+
+  if not train and to_grid is not None:
+    tke_fn = jax.vmap(jax.vmap(functools.partial(get_tke, to_grid=to_grid)))
+    pred_tke = tke_fn(preds)[:, num_solver_steps // 2:].mean(axis=1)
+    target_tke = tke_fn(targets)[:, num_solver_steps // 2:].mean(axis=1)
+    _, pred_spec = jax.vmap(get_energy_spectrum)(pred_tke)
+    _, target_spec = jax.vmap(get_energy_spectrum)(target_tke)
+    tke_err = jnp.square(jnp.log(pred_spec) - jnp.log(target_spec)).sum(-1)
+  else:
+    tke_err = zeros
+
+  out_aux = {
+      'kl_q0': kl_q0,
+      'kl_path': kl_path,
+      'mse': mse,
+      'kl': kl_penalty * kl,
+      'z0_means': jnp.abs(aux['z0_means']).mean(),
+      'z1_means': jnp.abs(aux['z1_means']).mean(),
+      'z1_stds': jnp.abs(aux['z1_stds']).mean(),
+      'tke_err': tke_err.mean(),
+  }
+  return loss, out_aux
+
+
+def compute_metrics(loss, aux, train: bool):
+  metrics = {
+      'loss': loss,
+      'kl_q0': aux['kl_q0'],
+      'kl_path': aux['kl_path'],
+      'kl': aux['kl'],
+      'mse': aux['mse'].mean(),
+      'z0_means': aux['z0_means'],
+      'z1_means': aux['z1_means'],
+      'z1_stds': aux['z1_stds'],
+  }
+  if not train:
+    metrics['tke_err'] = aux['tke_err']
+    mse = aux['mse']
+    metrics['mse@1to8'] = mse[:8].mean()
+    for horizon in (8, 16, 32, 64):
+      if mse.shape[0] >= horizon:
+        metrics[f'mse@{horizon}'] = mse[horizon - 1]
+  return metrics
+
+
+# ---------------------------------------------------------------------------
+# Schedules / state
+# ---------------------------------------------------------------------------
+
+
+def create_learning_rate_fn(config, base_learning_rate, steps_per_epoch):
+  warmup = optax.linear_schedule(
+      0.0, base_learning_rate,
+      transition_steps=config.warmup_epochs * steps_per_epoch)
+  cosine_epochs = max(config.num_epochs - config.warmup_epochs, 1)
+  cosine = optax.cosine_decay_schedule(
+      base_learning_rate, decay_steps=cosine_epochs * steps_per_epoch)
+  return optax.join_schedules(
+      [warmup, cosine], boundaries=[config.warmup_epochs * steps_per_epoch])
+
+
+def create_kl_penalty_fn(config, steps_per_epoch):
+  ramp = optax.linear_schedule(
+      0.0, config.kl_penalty,
+      transition_steps=config.kl_transition_epochs * steps_per_epoch)
+  return optax.join_schedules(
+      [optax.constant_schedule(0.0), ramp],
+      boundaries=[config.kl_zero_epochs * steps_per_epoch])
+
+
+def create_model(model_name: str, model_config):
+  if model_name != 'multiscale_transformer':
+    raise ValueError(f'unsupported model {model_name!r}')
+  return transformer.Model(
+      num_layers=model_config.num_layers,
+      num_heads=model_config.num_heads,
+      depth=model_config.depth,
+      width=model_config.width,
+      use_residuals=model_config.use_residuals,
+      mean_after_decoder=model_config.mean_after_decoder,
+      processor_config=model_config.processor_config,
+      num_initial_heads=model_config.num_initial_heads,
+      pooling_layers=tuple(model_config.pooling_layers),
+      pooling_kernel=tuple(model_config.pooling_kernel),
+      pooling_strides_q=tuple(model_config.pooling_strides_q),
+      initial_kv_pooling_strides=tuple(
+          model_config.initial_kv_pooling_strides),
+      qkv_tile_reps=tuple(model_config.qkv_tile_reps))
+
+
+def create_train_state(rng, model, learning_rate_fn, config):
+  init_key, z_rng = jax.random.split(rng)
+  params = jax.jit(model.init)(
+      {'params': init_key},
+      jnp.ones((1, config.num_elements, config.num_channels),
+               dtype=jnp.float32), z_rng)['params']
+  tx = optax.adamw(learning_rate=learning_rate_fn, b1=0.9, b2=0.95,
+                   eps=1e-6, weight_decay=config.weight_decay)
+  if config.grad_clip_norm is not None:
+    tx = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), tx)
+  return train_state.TrainState.create(apply_fn=model.apply, params=params,
+                                       tx=tx)
+
+
+def train_step(state, batch, step_rng, learning_rate_fn, kl_penalty_fn, sem,
+               config):
+  """One global train step (data-parallel via sharding annotations)."""
+  kl_penalty = kl_penalty_fn(state.step)
+
+  def loss_fn(params):
+    return compute_mse_loss(batch, params, state.apply_fn, step_rng,
+                            kl_penalty, sem, None, config, train=True)
+
+  (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+  metrics = compute_metrics(loss, aux, train=True)
+  metrics['learning_rate'] = learning_rate_fn(state.step)
+  metrics['kl_penalty'] = kl_penalty
+  return state.apply_gradients(grads=grads), metrics
+
+
+def eval_step(state, batch, step_rng, kl_penalty_fn, sem, to_grid, config):
+  loss, aux = compute_mse_loss(batch, state.params, state.apply_fn, step_rng,
+                               kl_penalty_fn(state.step), sem, to_grid,
+                               config, train=False)
+  return compute_metrics(loss, aux, train=False)
+
+
+# ---------------------------------------------------------------------------
+# Checkpointing (orbax)
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(manager, state):
+  import orbax.checkpoint as ocp
+  manager.save(int(state.step), args=ocp.args.StandardSave(state))
+
+
+def restore_checkpoint(manager, state):
+  step = manager.latest_step()
+  if step is None:
+    return state
+  import orbax.checkpoint as ocp
+  return manager.restore(step, args=ocp.args.StandardRestore(state))
+
+
+# ---------------------------------------------------------------------------
+# Top-level loop
+# ---------------------------------------------------------------------------
+
+
+def train_and_evaluate(config, workdir: str):
+  """Runs training + periodic evaluation; returns the final TrainState."""
+  import orbax.checkpoint as ocp
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  rng = jax.random.PRNGKey(0)
+  if config.batch_size % jax.device_count():
+    raise ValueError('batch size must divide the device count')
+  local_batch_size = config.batch_size // jax.process_count()
+
+  # Data-parallel device mesh; batches are sharded on their leading axis.
+  mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ('batch',))
+  batch_sharding = NamedSharding(mesh, P('batch'))
+  replicated = NamedSharding(mesh, P())
+
+  train_iter = input_pipeline.create_split(local_batch_size, True, config)
+  eval_iter = input_pipeline.create_split(local_batch_size, False, config)
+
+  steps_per_epoch = input_pipeline.get_num_examples(
+      config.dataset_dir, True, config.train_window_size,
+      config.train_window_stride, debug=config.debug) // config.batch_size
+  num_steps = (int(steps_per_epoch * config.num_epochs)
+               if config.num_train_steps <= 0 else config.num_train_steps)
+  steps_per_checkpoint = max(
+      1, int(steps_per_epoch * config.checkpoint_epochs))
+  eval_every_steps = max(1, int(steps_per_epoch * config.eval_every_epochs))
+
+  base_learning_rate = config.learning_rate * config.batch_size / 256.0
+  model = create_model(config.model_name, config.model)
+  learning_rate_fn = create_learning_rate_fn(config, base_learning_rate,
+                                             steps_per_epoch)
+  kl_penalty_fn = create_kl_penalty_fn(config, steps_per_epoch)
+
+  state = create_train_state(rng, model, learning_rate_fn, config)
+  manager = ocp.CheckpointManager(
+      workdir + '/checkpoints',
+      options=ocp.CheckpointManagerOptions(max_to_keep=50))
+  state = restore_checkpoint(manager, state)
+  step_offset = int(state.step)
+  state = jax.device_put(state, replicated)
+
+  sem = navier_stokes.StokesSEM.create(
+      unit_cube_mesh(config.element_grid_size, periodic_dims=(0, 1)),
+      boundary_conditions={}, order=config.order)
+  sem = jax.device_put(sem, replicated)
+  to_grid = make_uniform_transfer(sem, config)
+
+  train_rng, eval_rng = jax.random.split(rng)
+
+  p_train_step = jax.jit(
+      functools.partial(train_step, learning_rate_fn=learning_rate_fn,
+                        kl_penalty_fn=kl_penalty_fn, sem=sem, config=config),
+      donate_argnums=0)
+  p_eval_step = jax.jit(
+      functools.partial(eval_step, kl_penalty_fn=kl_penalty_fn, sem=sem,
+                        to_grid=to_grid, config=config))
+
+  train_metrics = []
+  last_t = time.time()
+  logging.info('starting training: %d steps', num_steps)
+  for step in range(step_offset, num_steps):
+    batch = jax.device_put(next(train_iter), batch_sharding)
+    step_rng = jax.random.fold_in(train_rng, step)
+    state, metrics = p_train_step(state, batch, step_rng)
+
+    if config.log_every_steps:
+      train_metrics.append(jax.device_get(metrics))
+      if (step + 1) % config.log_every_steps == 0:
+        stacked = {k: np.mean([m[k] for m in train_metrics])
+                   for k in train_metrics[0]}
+        stacked['steps_per_second'] = config.log_every_steps / (
+            time.time() - last_t)
+        logging.info('step %d: %s', step + 1,
+                     {k: float(v) for k, v in stacked.items()})
+        train_metrics, last_t = [], time.time()
+
+    if (step + 1) % eval_every_steps == 0:
+      evals = []
+      for _ in range(config.steps_per_eval):
+        eval_batch = jax.device_put(next(eval_iter), batch_sharding)
+        evals.append(jax.device_get(
+            p_eval_step(state, eval_batch,
+                        jax.random.fold_in(eval_rng, step))))
+      summary = {k: np.mean([m[k] for m in evals]) for k in evals[0]}
+      logging.info('eval at step %d: loss %.5f', step + 1, summary['loss'])
+
+    if (step + 1) % steps_per_checkpoint == 0 or step + 1 == num_steps:
+      save_checkpoint(manager, jax.device_get(state))
+
+  manager.wait_until_finished()
+  return state

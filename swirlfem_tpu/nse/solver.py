@@ -305,7 +305,7 @@ class StokesSEM:
 
   def Q(self, u, dt, time_order: int):
     """Q = (dt / beta_k) B^-1."""
-    beta_k = bdfk_coeffs(time_order)[-1]
+    beta_k = float(bdfk_coeffs(time_order)[-1])
     return (dt / beta_k) * self.Bi(u)
 
   def E(self, p, dt, time_order: int):
@@ -340,13 +340,14 @@ class StokesSEM:
     # Linear pressure extrapolation; degrades to zeroth order when only one
     # history entry is available (BDF1 cold start).
     if len(ps) >= 2:
-      ext = extk_coeffs(k=1)
+      # Python-float coefficients stay weakly typed (no f64 promotion).
+      ext = [float(c) for c in extk_coeffs(k=1)]
       p_ext = sum(ext[-i] * ps[-i] for i in range(1, len(ext) + 1))
     else:
       p_ext = ps[-1]
     f = f + self.Dt(p_ext)
 
-    coeffs = bdfk_coeffs(time_order)
+    coeffs = [float(c) for c in bdfk_coeffs(time_order)]
     beta_hist, beta_k = coeffs[:-1], coeffs[-1]
     H = lambda u: (beta_k / dt) * self.B(u) + mu * self.A(u)
     f = f - self.B(sum(c * u for c, u in zip(beta_hist, us)) / dt)

@@ -58,6 +58,7 @@ def sdeint(
   """
   t0, touts = ts[0], ts[1:]
   segments = dw.reshape((len(touts), -1) + dw.shape[1:])
+  tdtype = jnp.result_type(*jax.tree_util.tree_leaves(y0))
 
   def scan_fn(carry, x):
     y, t = carry
@@ -65,8 +66,8 @@ def sdeint(
     y_next = _segment(f, False, y, (t, t_next), seg, *args)
     return (y_next, t_next), y_next
 
-  _, ys = lax.scan(scan_fn, (y0, jnp.asarray(t0)),
-                   (segments, jnp.asarray(touts)))
+  _, ys = lax.scan(scan_fn, (y0, jnp.asarray(t0, dtype=tdtype)),
+                   (segments, jnp.asarray(touts, dtype=tdtype)))
   return ys
 
 
@@ -85,19 +86,24 @@ def _segment(f, reverse: bool, y0, ts, dw, *args):
 
 
 def _euler_heun_scan(f, reverse, y0, ts, dw, args):
-  dt = (ts[1] - ts[0]) / len(dw)
+  # Keep time arithmetic in the state dtype so the scan carry is stable
+  # (f32 states must not get promoted by f64 time scalars under x64).
+  tdtype = y0.dtype
+  t0 = jnp.asarray(ts[0], dtype=tdtype)
+  t1 = jnp.asarray(ts[1], dtype=tdtype)
+  dt = (t1 - t0) / len(dw)
 
   def step(carry, dw_step):
     t, x = carry
     drift, diff = f(x, t, dw_step, *args)
     _, diff_heun = f(x + diff, t + dt, dw_step, *args)
-    x_new = x + drift * dt + 0.5 * (diff + diff_heun)
+    x_new = (x + drift * dt + 0.5 * (diff + diff_heun)).astype(x.dtype)
     # Guard against accumulating outside [t0, t1) under float drift.
-    inside = jnp.logical_and(t >= ts[0], t < ts[1])
+    inside = jnp.logical_and(t >= t0, t < t1)
     x_new = jnp.where(inside, x_new, x)
     return (t + dt, x_new), None
 
-  (_, y1), _ = lax.scan(step, (jnp.asarray(ts[0]), y0), dw, reverse=reverse)
+  (_, y1), _ = lax.scan(step, (t0, y0), dw, reverse=reverse)
   return y1
 
 
@@ -114,6 +120,28 @@ def _integrate_fwd(f, reverse, y0, ts, dw, *args):
   return y1, (y1, ts, dw, args)
 
 
+def _is_float0(x):
+  return getattr(x, 'dtype', None) == jax.dtypes.float0
+
+
+def _densify(cotangents, primals):
+  """float0 cotangents (int/key primals) -> f32 zeros so they can ride in
+  the augmented SDE state."""
+  return jax.tree_util.tree_map(
+      lambda c, p: (jnp.zeros(jnp.shape(p), jnp.float32)
+                    if _is_float0(c) else c), cotangents, primals,
+      is_leaf=_is_float0)
+
+
+def _refloat0(bars, primals):
+  """Convert zero cotangents of non-inexact primals back to float0."""
+  import numpy as _np
+  return jax.tree_util.tree_map(
+      lambda b, p: (_np.zeros(jnp.shape(p), jax.dtypes.float0)
+                    if not jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact)
+                    else b), bars, primals)
+
+
 def _integrate_rev(f, reverse, res, y1_bar):
   """Adjoint SDE: integrate (y, y_bar, args_bar) backward in time."""
   y1, ts, dw, args = res
@@ -124,18 +152,24 @@ def _integrate_rev(f, reverse, res, y1_bar):
     diff_fn = lambda y, *a: f(y, -t, dw_step, *a)[1]
 
     drift, drift_vjp = jax.vjp(drift_fn, y, *args)
-    d_y, *d_args = drift_vjp(y_bar)
+    d_y, *d_args = _densify(drift_vjp(y_bar), (y,) + args)
     drift_term = (-drift, d_y, tuple(d_args))
 
     diff, diff_vjp = jax.vjp(diff_fn, y, *args)
-    s_y, *s_args = diff_vjp(y_bar)
+    s_y, *s_args = _densify(diff_vjp(y_bar), (y,) + args)
     diff_term = (-diff, s_y, tuple(s_args))
     return drift_term, diff_term
 
-  zeros_args = jax.tree_util.tree_map(jnp.zeros_like, args)
+  # Cotangent accumulators: float zeros even for int/key-valued args.
+  zeros_args = jax.tree_util.tree_map(
+      lambda p: jnp.zeros(
+          jnp.shape(p),
+          p.dtype if jnp.issubdtype(jnp.asarray(p).dtype, jnp.inexact)
+          else jnp.float32), args)
   aug0 = (y1, y1_bar, zeros_args)
   _, y0_bar, args_bar = _segment(
       aug_f, not reverse, aug0, (-ts[1], -ts[0]), dw, *args)
+  args_bar = _refloat0(args_bar, args)
   # No gradients for ts or dw.
   return (y0_bar, None, None, *args_bar)
 

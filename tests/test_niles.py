@@ -1,0 +1,164 @@
+"""NiLES stack tests: model shapes, datagen shards, pipeline, train step."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import ml_collections
+import numpy as np
+import pytest
+
+from swirlfem_tpu.models import transformer
+from swirlfem_tpu.niles import config as niles_config
+from swirlfem_tpu.niles import datagen
+from swirlfem_tpu.niles import input_pipeline
+from swirlfem_tpu.niles import train as niles_train
+
+
+def tiny_config():
+  cfg = niles_config.get_config()
+  cfg.debug = True
+  cfg.batch_size = 2
+  cfg.num_steps = 2
+  cfg.eval_num_steps = 2
+  cfg.num_pushforward_steps = 1
+  cfg.permute_elements = False
+  cfg.element_grid_size = 4
+  cfg.order = 2
+  cfg.resolution = 8
+  cfg.time_order = 2
+  cfg.num_nodes = 81
+  cfg.num_elements = 16
+  cfg.num_channels = 18
+  cfg.train_window_size = (cfg.num_steps + 3)
+  cfg.eval_window_size = (cfg.eval_num_steps + 3)
+  cfg.model.width = 8
+  cfg.model.depth = 4
+  cfg.model.pooling_layers = (1, 3)
+  cfg.model.pooling_kernel = (1, 5)
+  cfg.model.initial_kv_pooling_strides = (1, 4)
+  cfg.model.pooling_strides_q = (1, 4)
+  cfg.model.qkv_tile_reps = (4, 1)
+  cfg.model.processor_config.num_samples = 2
+  cfg.model.processor_config.latent_size = cfg.model.width * 4
+  cfg.model.processor_config.data_size = cfg.model.width * 4 * 1
+  cfg.model.processor_config.num_gridpoints = 4
+  cfg.model.processor_config.num_sde_layers = 1
+  cfg.model.processor_config.hidden_size = 8
+  cfg.model.mean_after_decoder = True
+  return cfg
+
+
+@pytest.fixture(scope='module')
+def cfg():
+  return ml_collections.FrozenConfigDict(tiny_config())
+
+
+@pytest.fixture(scope='module')
+def model_and_params(cfg):
+  model = niles_train.create_model(cfg.model_name, cfg.model)
+  rng = jax.random.PRNGKey(0)
+  params = jax.jit(model.init)(
+      {'params': rng},
+      jnp.ones((1, cfg.num_elements, cfg.num_channels), jnp.float32),
+      jax.random.PRNGKey(1))['params']
+  return model, params
+
+
+def test_model_forward_shapes(cfg, model_and_params):
+  model, params = model_and_params
+  x = jnp.ones((3, cfg.num_elements, cfg.num_channels), jnp.float32)
+  out, aux = model.apply({'params': params}, x, jax.random.PRNGKey(2))
+  assert out.shape == x.shape
+  for key in ('kl_path', 'kl_q0', 'z0_means', 'z1_means'):
+    assert aux[key].shape == (3,), (key, aux[key].shape)
+  # Zero-init output head: closure starts as a no-op.
+  assert float(jnp.abs(out).max()) < 1e-4
+
+
+def test_model_without_processor(cfg):
+  raw = tiny_config()
+  raw.model.processor_config.num_samples = 0
+  raw.model.mean_after_decoder = False
+  frozen = ml_collections.FrozenConfigDict(raw)
+  model = niles_train.create_model(frozen.model_name, frozen.model)
+  x = jnp.ones((2, frozen.num_elements, frozen.num_channels), jnp.float32)
+  params = model.init({'params': jax.random.PRNGKey(0)}, x,
+                      jax.random.PRNGKey(1))['params']
+  out, aux = model.apply({'params': params}, x, jax.random.PRNGKey(2))
+  assert out.shape == x.shape
+  np.testing.assert_allclose(np.asarray(aux['kl_path']), 0.0)
+
+
+def test_multiscale_perm_roundtrip():
+  perm = niles_train.make_multiscale_perm(size=12)
+  assert sorted(perm.tolist()) == list(range(144))
+
+
+def test_datagen_writes_readable_shards(tmp_path):
+  cfg = datagen.DatagenConfig(
+      resolution=4, order=3, time_order=2, reynolds_number=1000.0,
+      num_cycles=2, num_steps_per_cycle=4, dt=1e-3, snapshot_every=2,
+      split='train')
+  datagen.run_simulation(str(tmp_path), cfg)
+  import h5py
+  import glob
+  shards = sorted(glob.glob(str(tmp_path / 'train_*.h5')))
+  assert len(shards) == 2
+  with h5py.File(shards[0], 'r') as f:
+    assert f['u'].shape == (3, 169, 2)  # (4*3+1)^2 = 169 nodes
+    assert f['p'].shape == (3, 16 * 4)  # 16 elements x (3-1)^2 GL nodes
+    assert np.isfinite(f['u'][:]).all()
+
+
+def test_input_pipeline_debug_batches(cfg):
+  it = input_pipeline.create_split(2, train=True, config=cfg, prefetch=0)
+  batch = next(it)
+  assert batch['u'].shape == (2, cfg.train_window_size, cfg.num_nodes, 2)
+  assert batch['p'].shape[0:2] == (2, cfg.train_window_size)
+  batch2 = next(it)
+  assert not np.allclose(batch['u'], batch2['u'])
+
+
+def test_train_step_end_to_end(cfg, model_and_params):
+  """One full jitted train step: solver-in-the-loop loss + adamw update."""
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  model, _ = model_and_params
+  lr_fn = lambda step: 1e-3  # constant: warmup would give lr=0 at step 0
+  kl_fn = niles_train.create_kl_penalty_fn(cfg, 10)
+  state = niles_train.create_train_state(jax.random.PRNGKey(0), model,
+                                         lr_fn, cfg)
+  sem = StokesSEM.create(
+      unit_cube_mesh(cfg.element_grid_size, periodic_dims=(0, 1)),
+      boundary_conditions={}, order=cfg.order)
+  # Cast solver to f32 (matches data dtype on TPU runs).
+  sem = jax.tree.map(
+      lambda x: x.astype(jnp.float32)
+      if jnp.issubdtype(x.dtype, jnp.floating) else x, sem)
+
+  it = input_pipeline.create_split(cfg.batch_size, train=True, config=cfg,
+                                   prefetch=0)
+  batch = jax.tree.map(jnp.asarray, next(it))
+
+  step = jax.jit(functools.partial(
+      niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
+      sem=sem, config=cfg))
+  new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+  assert int(new_state.step) == 1
+  assert np.isfinite(float(metrics['loss']))
+  assert np.isfinite(float(metrics['mse']))
+  # Parameters changed.
+  diff = jax.tree_util.tree_reduce(
+      lambda acc, ab: acc + float(jnp.abs(ab).sum()),
+      jax.tree.map(lambda a, b: a - b, new_state.params, state.params), 0.0)
+  assert diff > 0.0
+
+  # Gradients flow end-to-end (loss responds to params through the solver).
+  ev = jax.jit(functools.partial(
+      niles_train.eval_step, kl_penalty_fn=kl_fn, sem=sem, to_grid=None,
+      config=cfg))
+  m1 = ev(state, batch, jax.random.PRNGKey(4))
+  m2 = ev(new_state, batch, jax.random.PRNGKey(4))
+  assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
