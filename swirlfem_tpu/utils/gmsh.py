@@ -1,0 +1,235 @@
+"""Native Gmsh MSH 4.1 (ASCII) reader producing a `Premesh`.
+
+Parity target: reference ``swirl_fem/common/mesh_reader.py`` (read :78-114):
+line/quad/hexahedron cells reordered from Gmsh corner conventions to
+lexicographic tensor order, and ``$Periodic`` node correspondences converted
+to facet-pair periodic links.  The reference delegates parsing to `meshio`;
+this environment has no meshio, so the MSH 4.1 format is parsed directly —
+which also lets us surface ``$PhysicalNames`` as Premesh physical groups
+(the reference reader drops them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from swirlfem_tpu.core.premesh import Premesh
+
+# Gmsh corner ordering -> lexicographic tensor ordering, per element dim.
+# (Same tables as reference mesh_reader.py:40-44.)
+_GMSH_TO_LEX = {
+    1: [0, 1],
+    2: [0, 3, 1, 2],
+    3: [0, 4, 3, 7, 1, 5, 2, 6],
+}
+
+# Gmsh element type code -> (dimension, number of corner nodes).
+_ELEM_TYPES = {1: (1, 2), 3: (2, 4), 5: (3, 8), 15: (0, 1)}
+
+
+class _Tokens:
+  """Sequential token reader over the section body lines."""
+
+  def __init__(self, lines):
+    self._tokens = ' '.join(lines).split()
+    self._pos = 0
+
+  def take(self, n=1):
+    out = self._tokens[self._pos:self._pos + n]
+    self._pos += n
+    return out
+
+  def int(self):
+    return int(self.take()[0])
+
+  def ints(self, n):
+    return [int(t) for t in self.take(n)]
+
+  def floats(self, n):
+    return [float(t) for t in self.take(n)]
+
+
+def _sections(text: str) -> dict[str, list[str]]:
+  out = {}
+  lines = text.splitlines()
+  i = 0
+  while i < len(lines):
+    line = lines[i].strip()
+    if line.startswith('$') and not line.startswith('$End'):
+      name = line[1:]
+      j = i + 1
+      body = []
+      while j < len(lines) and lines[j].strip() != f'$End{name}':
+        body.append(lines[j])
+        j += 1
+      out[name] = body
+      i = j + 1
+    else:
+      i += 1
+  return out
+
+
+def _parse_entities(body):
+  """entity (dim, tag) -> list of physical tags."""
+  tok = _Tokens(body)
+  counts = tok.ints(4)  # points, curves, surfaces, volumes
+  phys = {}
+  for dim, count in enumerate(counts):
+    for _ in range(count):
+      tag = tok.int()
+      # Points carry xyz; higher-dim entities carry a bounding box.
+      tok.floats(3 if dim == 0 else 6)
+      num_phys = tok.int()
+      phys[(dim, tag)] = tok.ints(num_phys)
+      if dim > 0:
+        num_bounding = tok.int()
+        tok.ints(num_bounding)
+  return phys
+
+
+def _parse_nodes(body):
+  tok = _Tokens(body)
+  num_blocks, total, _, _ = tok.ints(4)
+  tags = np.empty(total, dtype=np.int64)
+  coords = np.empty((total, 3), dtype=np.float64)
+  filled = 0
+  for _ in range(num_blocks):
+    _, _, parametric, count = tok.ints(4)
+    if parametric:
+      raise NotImplementedError('parametric nodes are not supported')
+    block_tags = tok.ints(count)
+    tags[filled:filled + count] = block_tags
+    for k in range(count):
+      coords[filled + k] = tok.floats(3)
+    filled += count
+  return tags, coords
+
+
+def _parse_elements(body):
+  """Yields (entity_dim, entity_tag, elem_type, node_tag_rows)."""
+  tok = _Tokens(body)
+  num_blocks, _, _, _ = tok.ints(4)
+  blocks = []
+  for _ in range(num_blocks):
+    entity_dim, entity_tag, etype, count = tok.ints(4)
+    if etype not in _ELEM_TYPES:
+      # Skip unsupported element types (triangles etc.).
+      _, guess_nodes = (None, None)
+      raise NotImplementedError(
+          f'unsupported Gmsh element type {etype}; only points, 2-node '
+          'lines, 4-node quads and 8-node hexahedra are supported')
+    _, nper = _ELEM_TYPES[etype]
+    rows = np.empty((count, nper), dtype=np.int64)
+    for k in range(count):
+      vals = tok.ints(1 + nper)  # elementTag + node tags
+      rows[k] = vals[1:]
+    blocks.append((entity_dim, entity_tag, etype, rows))
+  return blocks
+
+
+def _parse_periodic(body):
+  """slave node tag -> master node tag, per entity dimension."""
+  tok = _Tokens(body)
+  num_links = tok.int()
+  mapping_by_dim: dict[int, dict[int, int]] = {}
+  for _ in range(num_links):
+    entity_dim, _, _ = tok.ints(3)
+    num_affine = tok.int()
+    tok.floats(num_affine)
+    count = tok.int()
+    table = mapping_by_dim.setdefault(entity_dim, {})
+    for _ in range(count):
+      slave, master = tok.ints(2)
+      table[slave] = master
+  return mapping_by_dim
+
+
+def read(path, ndim: int) -> Premesh:
+  """Parses an MSH 4.1 ASCII file into an order-1 `Premesh`."""
+  if ndim not in (1, 2, 3):
+    raise ValueError(f'invalid ndim {ndim}; expected 1, 2 or 3')
+  with open(path) as f:
+    text = f.read()
+  sections = _sections(text)
+  if 'MeshFormat' not in sections:
+    raise ValueError(f'{path} is not a Gmsh MSH file')
+  version = sections['MeshFormat'][0].split()
+  if not version[0].startswith('4'):
+    raise NotImplementedError(
+        f'only MSH format 4.x is supported, got {version[0]}')
+  if int(version[1]) != 0:
+    raise NotImplementedError('binary MSH files are not supported')
+
+  tags, coords3 = _parse_nodes(sections['Nodes'])
+  tag_to_idx = {int(t): i for i, t in enumerate(tags)}
+  node_coords = coords3[:, :ndim]
+
+  blocks = _parse_elements(sections['Elements'])
+
+  def to_indices(rows, dim):
+    idx = np.vectorize(tag_to_idx.__getitem__)(rows)
+    return np.asarray(idx, dtype=np.int32)[:, _GMSH_TO_LEX[dim]]
+
+  cell_blocks = [(d, t, to_indices(rows, d))
+                 for d, t, etype, rows in blocks
+                 if _ELEM_TYPES[etype][0] == ndim]
+  if not cell_blocks:
+    raise ValueError(f'no {ndim}-dimensional cells found in {path}')
+  elements = np.concatenate([rows for _, _, rows in cell_blocks], axis=0)
+
+  # Physical groups: facet-dimension entities carrying physical tags.
+  physical_groups = {}
+  if 'PhysicalNames' in sections and 'Entities' in sections:
+    tok = _Tokens(sections['PhysicalNames'])
+    num_names = tok.int()
+    names = {}
+    for _ in range(num_names):
+      dim, tag = tok.ints(2)
+      name = tok.take(1)[0].strip('"')
+      names[(dim, tag)] = name
+    entity_phys = _parse_entities(sections['Entities'])
+    facet_dim = ndim - 1
+    facets_by_name: dict[str, list[np.ndarray]] = {}
+    for d, t, etype, rows in blocks:
+      if _ELEM_TYPES[etype][0] != facet_dim:
+        continue
+      for ptag in entity_phys.get((d, t), []):
+        name = names.get((facet_dim, ptag))
+        if name is not None:
+          facets_by_name.setdefault(name, []).append(
+              to_indices(rows, facet_dim) if facet_dim else
+              np.vectorize(tag_to_idx.__getitem__)(rows).astype(np.int32))
+    physical_groups = {name: np.concatenate(parts, axis=0)
+                       for name, parts in facets_by_name.items()}
+
+  # Periodic links: node correspondences on (ndim-1)-dim entities, turned
+  # into facet pairs over the facet cells present in the file.
+  periodic_links = None
+  if 'Periodic' in sections:
+    mapping = {}
+    for dim, table in _parse_periodic(sections['Periodic']).items():
+      if dim <= ndim - 1:
+        mapping.update(table)
+    mapping = {tag_to_idx[s]: tag_to_idx[m] for s, m in mapping.items()
+               if s in tag_to_idx and m in tag_to_idx}
+    facet_nper = {1: 1, 2: 2, 3: 4}[ndim]
+    links = []
+    for d, t, etype, rows in blocks:
+      if _ELEM_TYPES[etype][0] != ndim - 1:
+        continue
+      facets = np.vectorize(tag_to_idx.__getitem__)(rows).astype(np.int32)
+      for facet in facets:
+        if all(int(n) in mapping for n in facet):
+          target = np.asarray([mapping[int(n)] for n in facet],
+                              dtype=np.int32)
+          links.append(np.stack([facet, target]))
+    if links:
+      periodic_links = np.stack(links).astype(np.int32)
+      assert periodic_links.shape[1:] == (2, facet_nper), periodic_links.shape
+
+  return Premesh.create(
+      node_coords=node_coords,
+      elements=elements,
+      physical_groups=physical_groups,
+      periodic_links=periodic_links,
+  )

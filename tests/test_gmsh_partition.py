@@ -1,0 +1,125 @@
+"""Gmsh reader (against reference testdata meshes) and partitioner tests."""
+
+import numpy as np
+import pytest
+
+from swirlfem_tpu.core.quadrature import Nodes1D, NodeType
+from swirlfem_tpu.core.refine import refine_premesh
+from swirlfem_tpu.utils import gmsh
+from swirlfem_tpu.utils.box import unit_cube_mesh
+from swirlfem_tpu.utils.partition import element_adjacency, partition
+
+TESTDATA = '/root/reference/swirl_fem/testdata'
+
+
+def test_read_line1d():
+  pm = gmsh.read(f'{TESTDATA}/line1d.msh', ndim=1)
+  assert pm.ndim == 1
+  assert pm.num_nodes_per_element == 2
+  # Elements must be valid node indices with positive length.
+  coords = pm.node_coords[pm.elements]
+  lengths = np.abs(coords[:, 1, 0] - coords[:, 0, 0])
+  assert (lengths > 0).all()
+  # The segments exactly tile the interval.
+  lo, hi = pm.node_coords.min(), pm.node_coords.max()
+  np.testing.assert_allclose(lengths.sum(), hi - lo, atol=1e-12)
+
+
+def test_read_kovasznay_periodic_2d():
+  pm = gmsh.read(f'{TESTDATA}/kovasznay.msh', ndim=2)
+  assert pm.ndim == 2
+  assert pm.num_nodes_per_element == 4
+  assert pm.periodic_links is not None
+  assert pm.periodic_links.shape[1:] == (2, 2)
+  # Paired facet nodes coincide in x and differ by the y-period.
+  a = pm.node_coords[pm.periodic_links[:, 0].reshape(-1)]
+  b = pm.node_coords[pm.periodic_links[:, 1].reshape(-1)]
+  np.testing.assert_allclose(a[:, 0], b[:, 0], atol=1e-9)
+  period = np.abs(a[:, 1] - b[:, 1])
+  np.testing.assert_allclose(period, period[0], atol=1e-9)
+
+  # Lexicographic corner ordering: element Jacobians must be orientation
+  # consistent (positive determinants) once refined and finalized.
+  grid = Nodes1D.create(3, NodeType.GAUSS_LOBATTO_LEGENDRE)
+  mesh = refine_premesh(pm, grid).finalize()
+  from swirlfem_tpu.core.fespace import FiniteElementSpace
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  fes = FiniteElementSpace.create(
+      mesh, Quadrature1D.create(3, NodeType.GAUSS_LEGENDRE))
+  assert (np.asarray(fes.jacdets) > 0).all()
+
+
+def test_read_cube_3d():
+  pm = gmsh.read(f'{TESTDATA}/cube.msh', ndim=3)
+  assert pm.ndim == 3
+  assert pm.num_nodes_per_element == 8
+  from swirlfem_tpu.core.fespace import FiniteElementSpace
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  mesh = refine_premesh(
+      pm, Nodes1D.create(2, NodeType.GAUSS_LOBATTO_LEGENDRE)).finalize()
+  fes = FiniteElementSpace.create(
+      mesh, Quadrature1D.create(2, NodeType.GAUSS_LEGENDRE))
+  assert (np.asarray(fes.jacdets) > 0).all()
+  # Total volume of the cube mesh.
+  import jax.numpy as jnp
+  one = fes.scalar_function(mesh.gather(jnp.ones(mesh.num_nodes)))
+  vol = float(fes.integrate(lambda x: one(x)))
+  assert vol > 0
+
+
+def test_read_periodic_cube_3d():
+  pm = gmsh.read(f'{TESTDATA}/periodic_cube.msh', ndim=3)
+  assert pm.periodic_links is not None
+  assert pm.periodic_links.shape[1:] == (2, 4)
+  # Finalizing must produce a consistent exchange (periodic dedup works).
+  mesh = pm.finalize()
+  import jax.numpy as jnp
+  out = mesh.exchange(jnp.ones(mesh.num_nodes))
+  assert np.asarray(out).min() >= 1.0
+
+
+def test_reader_rejects_wrong_ndim():
+  with pytest.raises(ValueError):
+    gmsh.read(f'{TESTDATA}/line1d.msh', ndim=2)
+
+
+def test_partition_balance_and_adjacency():
+  pm = unit_cube_mesh(8, ndim=2)
+  parts = partition(pm, 4)
+  counts = np.bincount(parts, minlength=4)
+  np.testing.assert_array_equal(counts, [16, 16, 16, 16])
+
+  # Partition blocks are connected in the element adjacency graph.
+  adjacency = element_adjacency(pm)
+  for p in range(4):
+    members = set(np.nonzero(parts == p)[0].tolist())
+    seen = {min(members)}
+    frontier = [min(members)]
+    while frontier:
+      e = frontier.pop()
+      for nb in adjacency[e]:
+        if nb in members and nb not in seen:
+          seen.add(nb)
+          frontier.append(nb)
+    assert seen == members, f'partition {p} disconnected'
+
+
+def test_partition_non_power_of_two():
+  pm = unit_cube_mesh(6, ndim=2)
+  parts = partition(pm, 3)
+  counts = np.bincount(parts, minlength=3)
+  np.testing.assert_array_equal(counts, [12, 12, 12])
+
+
+def test_partitioned_gmsh_mesh_solves():
+  """Partition a Gmsh mesh and run a finalize + exchange cycle."""
+  pm = gmsh.read(f'{TESTDATA}/kovasznay.msh', ndim=2)
+  parts = partition(pm, 2)
+  # Periodic images must land on distinct partitions for finalize to work;
+  # if RCB split along the periodic axis, skip (mesh-specific).
+  pm2 = pm.replace(partitions=parts)
+  try:
+    mesh = pm2.finalize(axis_name='part')
+  except NotImplementedError:
+    pytest.skip('periodic images in one partition for this split')
+  assert mesh.node_coords.ndim == 3  # stacked (P, n_local, 2)
