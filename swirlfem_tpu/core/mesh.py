@@ -68,25 +68,50 @@ class Mesh:
   exchange_unique_indices: np.ndarray | None = flax.struct.field(
       pytree_node=False, default=None)
   axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
+  # Static transpose-gather tables (TPU fast paths; see core.topology).
+  scatter_copies: jax.Array | None = None
+  exchange_scatter_slots: jax.Array | None = None
 
   @classmethod
   def create(cls, node_coords, elements, node_indices=None, gridpoints_1d=None,
              physical_masks=None, exchange_gather_indices=None,
              exchange_unique_indices=None, axis_name=None) -> 'Mesh':
     node_coords = jnp.asarray(node_coords)
-    elements = jnp.asarray(elements)
     ndim = node_coords.shape[-1]
-    nper = elements.shape[-1]
+    nper = np.shape(elements)[-1]
     if gridpoints_1d is None:
       gridpoints_1d = _default_gridpoints(nper, ndim)
     if nper != gridpoints_1d.num_points**ndim:
       raise ValueError(
           f'nodes per element {nper} != {gridpoints_1d.num_points}^{ndim}')
+    num_nodes = node_coords.shape[-2]
     if node_indices is None:
-      node_indices = jnp.arange(node_coords.shape[-2], dtype=jnp.int32)
+      node_indices = jnp.arange(num_nodes, dtype=jnp.int32)
+
+    # Host-side transpose-gather tables: scatter as dense gather + sum
+    # instead of TPU scatter-adds.
+    elements_np = np.asarray(elements)
+    if elements_np.ndim == 2:
+      copies = topology.scatter_copies(elements_np, num_nodes)
+    else:  # stacked (P, E, nper)
+      per_part = [topology.scatter_copies(e, num_nodes) for e in elements_np]
+      width = max(c.shape[1] for c in per_part)
+      copies = np.stack([
+          np.pad(c, ((0, 0), (0, width - c.shape[1])),
+                 constant_values=topology.SENTINEL) for c in per_part])
+
+    slots = None
+    if exchange_gather_indices is not None:
+      gi = np.asarray(exchange_gather_indices)
+      if gi.ndim == 1:
+        slots = topology.exchange_scatter_slots(gi, num_nodes)
+      else:
+        slots = np.stack([topology.exchange_scatter_slots(row, num_nodes)
+                          for row in gi])
+
     return cls(
         node_coords=node_coords,
-        elements=elements,
+        elements=jnp.asarray(elements),
         node_indices=jnp.asarray(node_indices),
         order=gridpoints_1d.num_points - 1,
         gridpoints_1d=gridpoints_1d,
@@ -96,6 +121,9 @@ class Mesh:
                                  else jnp.asarray(exchange_gather_indices)),
         exchange_unique_indices=exchange_unique_indices,
         axis_name=axis_name,
+        scatter_copies=jnp.asarray(copies),
+        exchange_scatter_slots=(None if slots is None
+                                else jnp.asarray(slots)),
     )
 
   @property
@@ -122,6 +150,8 @@ class Mesh:
 
   def scatter(self, u_local: jax.Array) -> jax.Array:
     """Element-local -> nodal, summing contributions of shared nodes."""
+    if self.scatter_copies is not None:
+      return topology.scatter_via_copies(u_local, self.scatter_copies)
     return topology.scatter(u_local, self.elements, num_nodes=self.num_nodes)
 
   def element_coords(self) -> jax.Array:
@@ -134,4 +164,5 @@ class Mesh:
         u,
         gather_indices=self.exchange_gather_indices,
         unique_indices=self.exchange_unique_indices,
-        axis_name=self.axis_name)
+        axis_name=self.axis_name,
+        scatter_slots=self.exchange_scatter_slots)

@@ -52,11 +52,58 @@ def scatter(u: jax.Array, indices, num_nodes: int) -> jax.Array:
       jnp.where(mask, u, jnp.zeros_like(u)))
 
 
+def scatter_copies(elements, num_nodes: int) -> np.ndarray:
+  """Static transpose-gather table for `scatter` (host-side).
+
+  Returns ``(num_nodes, max_multiplicity)`` indices into the *flattened*
+  element-local array (``elements.size`` entries), SENTINEL padded: row n
+  lists every (element, local node) slot that contributes to node n.  With
+  this table, scatter becomes a dense gather + masked sum — on TPUs this is
+  vastly faster than ``.at[].add`` scatter-adds, which serialize.
+  """
+  flat = np.asarray(elements).reshape(-1)
+  order = np.argsort(flat, kind='stable')
+  sorted_nodes = flat[order]
+  valid = sorted_nodes != SENTINEL
+  order, sorted_nodes = order[valid], sorted_nodes[valid]
+  counts = np.bincount(sorted_nodes, minlength=num_nodes)
+  width = int(counts.max()) if counts.size else 0
+  out = np.full((num_nodes, max(width, 1)), SENTINEL, dtype=np.int32)
+  starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+  slot = np.arange(len(sorted_nodes)) - starts[sorted_nodes]
+  out[sorted_nodes, slot] = order
+  return out
+
+
+def scatter_via_copies(u_local: jax.Array, copies: jax.Array) -> jax.Array:
+  """Gather-based scatter: sums element-local values into nodal values."""
+  flat = u_local.reshape((-1,) + u_local.shape[2:])
+  mask = copies != SENTINEL
+  vals = flat[jnp.clip(copies, 0, None)]  # (num_nodes, M) + value dims
+  mask = mask.reshape(mask.shape + (1,) * (vals.ndim - 2))
+  return jnp.where(mask, vals, jnp.zeros_like(vals)).sum(axis=1)
+
+
+def exchange_scatter_slots(gather_indices: np.ndarray,
+                           num_nodes: int) -> np.ndarray:
+  """Static inverse of `gather_indices` for gather-based exchange writes.
+
+  ``slots[node]`` is the position of `node` within `gather_indices`, or
+  SENTINEL if the node is not shared.
+  """
+  gather_indices = np.asarray(gather_indices)
+  slots = np.full(num_nodes, SENTINEL, dtype=np.int32)
+  valid = gather_indices != SENTINEL
+  slots[gather_indices[valid]] = np.nonzero(valid)[0]
+  return slots
+
+
 def exchange(
     u: jax.Array,
     gather_indices,
     unique_indices: np.ndarray | None = None,
     axis_name: str | None = None,
+    scatter_slots: jax.Array | None = None,
 ) -> jax.Array:
   """Applies Q Q^T to the local nodal values `u`.
 
@@ -92,9 +139,16 @@ def exchange(
   if unique_indices is not None:
     summed = summed[unique_indices]
 
+  delta = jnp.where(mask, summed - own, jnp.zeros_like(own))
+  if scatter_slots is not None:
+    # Gather-based write-back (TPU fast path): every node reads its own
+    # delta (or zero) instead of a scatter-add.
+    picked = delta[jnp.clip(scatter_slots, 0, None)]
+    return u + jnp.where(scatter_slots != SENTINEL, picked,
+                         jnp.zeros_like(picked))
   # Replace (not add): add the delta so SENTINEL rows (which alias index -1)
   # contribute zero and repeated targets stay correct.
-  return u.at[gather_indices].add(jnp.where(mask, summed - own, 0.0))
+  return u.at[gather_indices].add(delta)
 
 
 # ---------------------------------------------------------------------------
