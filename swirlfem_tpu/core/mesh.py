@@ -71,11 +71,16 @@ class Mesh:
   # Static transpose-gather tables (TPU fast paths; see core.topology).
   scatter_copies: jax.Array | None = None
   exchange_scatter_slots: jax.Array | None = None
+  # Structured-grid descriptor enabling index-free gather/scatter
+  # (see core.structured); None for unstructured meshes.
+  structured: object | None = flax.struct.field(pytree_node=False,
+                                                default=None)
 
   @classmethod
   def create(cls, node_coords, elements, node_indices=None, gridpoints_1d=None,
              physical_masks=None, exchange_gather_indices=None,
-             exchange_unique_indices=None, axis_name=None) -> 'Mesh':
+             exchange_unique_indices=None, axis_name=None,
+             structured=None) -> 'Mesh':
     node_coords = jnp.asarray(node_coords)
     ndim = node_coords.shape[-1]
     nper = np.shape(elements)[-1]
@@ -124,6 +129,7 @@ class Mesh:
         scatter_copies=jnp.asarray(copies),
         exchange_scatter_slots=(None if slots is None
                                 else jnp.asarray(slots)),
+        structured=structured,
     )
 
   @property
@@ -146,10 +152,16 @@ class Mesh:
     """Nodal ``(num_nodes,)`` -> element-local ``(E, nodes_per_element)``."""
     if u.shape != (self.num_nodes,):
       raise ValueError(f'expected shape ({self.num_nodes},), got {u.shape}')
+    if self.structured is not None:
+      from swirlfem_tpu.core import structured as _structured
+      return _structured.structured_gather(u, self.structured)
     return topology.gather(u, self.elements, fill_value=0.0)
 
   def scatter(self, u_local: jax.Array) -> jax.Array:
     """Element-local -> nodal, summing contributions of shared nodes."""
+    if self.structured is not None:
+      from swirlfem_tpu.core import structured as _structured
+      return _structured.structured_scatter(u_local, self.structured)
     if self.scatter_copies is not None:
       return topology.scatter_via_copies(u_local, self.scatter_copies)
     return topology.scatter(u_local, self.elements, num_nodes=self.num_nodes)

@@ -56,6 +56,12 @@ class Premesh:
   physical_groups: Mapping[str, np.ndarray]
   periodic_links: np.ndarray | None = None
   partitions: np.ndarray | None = None
+  # Structured-box metadata (see core.structured): `box_info` marks an
+  # order-1 box premesh as (num_elements_per_dim, periodic_dims) enabling
+  # fast-path refinement; `structured` marks a refined premesh whose node
+  # numbering is the lexicographic grid (index-free gather/scatter).
+  box_info: tuple | None = None
+  structured: object | None = None
 
   @classmethod
   def create(cls, node_coords, elements, order=None, gridpoints_1d=None,
@@ -125,7 +131,8 @@ class Premesh:
           gridpoints_1d=self.gridpoints_1d,
           physical_masks=masks,
           exchange_gather_indices=gather_idx,
-          exchange_unique_indices=uniq)
+          exchange_unique_indices=uniq,
+          structured=self.structured)
 
     if not axis_name:
       raise ValueError('a partitioned premesh requires an axis_name')

@@ -28,9 +28,17 @@ from swirlfem_tpu.utils.facets import FacetDimType
 
 
 def refine_premesh(premesh: Premesh, gridpoints_1d: Nodes1D) -> Premesh:
-  """Returns the p-refined premesh on the given 1D node family."""
+  """Returns the p-refined premesh on the given 1D node family.
+
+  Box premeshes (carrying `box_info`, unpartitioned) take the structured
+  fast path: grid node numbering enabling index-free gather/scatter on TPU
+  (see core.structured).
+  """
   if premesh.order != 1:
     raise ValueError(f'expected an order-1 premesh, got order {premesh.order}')
+  if premesh.box_info is not None and not premesh.is_partitioned():
+    from swirlfem_tpu.core.structured import structured_refine
+    return structured_refine(premesh, gridpoints_1d)
   return _Refiner(premesh, gridpoints_1d).refine()
 
 

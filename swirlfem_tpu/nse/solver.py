@@ -79,11 +79,18 @@ def bdfk_coeffs(k: int) -> np.ndarray:
 
 
 def _pressure_project_out_nullspace(sem: 'StokesSEM', p: jax.Array):
-  """Removes the constant (all-ones) nullspace component from p."""
+  """Removes the constant (all-ones) nullspace component from p.
+
+  E = D Q D^T is symmetric in the *euclidean* inner product, so its range is
+  the euclidean orthogonal complement of span{1}; the projector must be the
+  euclidean-orthogonal one to keep PCG's <r, M r> positive.  (The reference
+  uses a mass-weighted — oblique — projection, navier_stokes.py:73-78, which
+  makes the preconditioner asymmetric and lets CG lose positivity near
+  convergence.)
+  """
   w = sem.pressure.exchange(p)
   q = jnp.ones_like(p)
-  scale = sem.dot(q, sem.pressure.B(w)) / sem.dot(q, sem.pressure.B(q))
-  return w - scale * q
+  return w - (sem.dot(q, w) / sem.dot(q, q)) * q
 
 
 @flax.struct.dataclass
@@ -400,8 +407,14 @@ class StokesSEM:
     u_local = self.velocity.gather(u)  # (E, n^d, k)
     moved = jnp.moveaxis(u_local, -1, 1)
     filtered = jnp.moveaxis(up.interpolate(down.interpolate(moved)), 1, -1)
-    averaged = self.velocity.scatter(filtered) / (
-        self.velocity.diag_qqt[:, None])
+    # Average over *all* copies of each dof — including periodic images and
+    # partition copies (exchange) — so the filtered field stays continuous.
+    # (Dividing by the local multiplicity only, as the reference does at
+    # navier_stokes.py:480-481, leaves O(alpha) jumps across periodic seams
+    # which poison the pressure solve.)
+    total = self.velocity.exchange(self.velocity.scatter(filtered))
+    mult = self.velocity.vspace.mesh.exchange(self.velocity.diag_qqt)
+    averaged = total / mult[:, None]
     return (1.0 - alpha) * u + alpha * averaged
 
   def vorticity(self, u):
@@ -414,4 +427,5 @@ class StokesSEM:
 
     vort_local = self.velocity.vspace.evaluate(w)
     vmesh = self.velocity.mesh
-    return vmesh.scatter(vort_local) / self.velocity.diag_qqt
+    total = vmesh.exchange(vmesh.scatter(vort_local))
+    return total / vmesh.exchange(self.velocity.diag_qqt)

@@ -105,9 +105,12 @@ def unit_cube_mesh(
                              axis=axis)
     flat_partitions = partitions.reshape(-1)
 
-  return Premesh.create(
+  premesh = Premesh.create(
       node_coords=node_coords,
       elements=elements,
       physical_groups=physical_groups,
       periodic_links=periodic_links,
       partitions=flat_partitions)
+  if flat_partitions is None:
+    premesh = premesh.replace(box_info=(n, tuple(periodic_dims)))
+  return premesh

@@ -62,21 +62,38 @@ def test_refine_boundary_group():
   pm = unit_cube_mesh(3, ndim=2)
   grid = Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)
   refined = refine_premesh(pm, grid)
+  boundary = np.unique(refined.physical_groups['boundary'].reshape(-1))
+  # Exactly the nodes on the box boundary, each exactly once.
+  coords = refined.node_coords
+  on_bdry = np.any((np.abs(coords) < 1e-12) | (np.abs(coords - 1) < 1e-12),
+                   axis=1)
+  np.testing.assert_array_equal(np.sort(boundary), np.nonzero(on_bdry)[0])
+
+
+def test_refine_boundary_group_unstructured_path():
+  """Same check through the generic (non-box) refiner."""
+  pm = unit_cube_mesh(3, ndim=2).replace(box_info=None)
+  grid = Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)
+  refined = refine_premesh(pm, grid)
   boundary = refined.physical_groups['boundary']
   assert boundary.shape == (12, 4)  # 12 boundary edges, 4 nodes each
-  # All refined boundary nodes lie on the box boundary.
   coords = refined.node_coords[boundary.reshape(-1)]
   on_bdry = np.any((np.abs(coords) < 1e-12) | (np.abs(coords - 1) < 1e-12),
                    axis=1)
   assert on_bdry.all()
 
 
-def test_refine_periodic_links_parallel():
+@pytest.mark.parametrize('structured', [True, False])
+def test_refine_periodic_links_parallel(structured):
   pm = unit_cube_mesh(2, ndim=2, periodic_dims=(0,))
+  if not structured:
+    pm = pm.replace(box_info=None)
   grid = Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)
   refined = refine_premesh(pm, grid)
   links = refined.periodic_links
-  assert links.shape == (2, 2, 4)
+  # Facet granularity differs between the structured (whole-face) and
+  # generic (per-element-edge) refiners; pairing semantics are identical.
+  assert links.shape == ((1, 2, 7) if structured else (2, 2, 4))
   # Paired nodes must have identical non-periodic coordinates (axis 1).
   a = refined.node_coords[links[:, 0].reshape(-1)]
   b = refined.node_coords[links[:, 1].reshape(-1)]

@@ -161,10 +161,13 @@ def test_stokes_one_step(sem):
 
 
 def test_vorticity_closed_form(sem):
-  """Vorticity of u = (y-stuff) matches d(u1)/dx - d(u0)/dy."""
+  """Vorticity matches d(u1)/dx - d(u0)/dy for a periodic field.
+
+  (The field must respect the mesh's y-periodicity: vorticity averages all
+  copies of each dof, including periodic images.)"""
   coords = np.asarray(sem.velocity.mesh.node_coords)
-  u = jnp.stack([jnp.asarray(coords[:, 1] ** 2),
-                 jnp.asarray(2 * coords[:, 0])], axis=-1)
+  u = jnp.asarray(np.stack([np.sin(coords[:, 1]),
+                            np.sin(np.pi * coords[:, 0])], axis=-1))
   w = sem.vorticity(u)
-  expected = 2.0 - 2.0 * coords[:, 1]
-  np.testing.assert_allclose(np.asarray(w), expected, atol=1e-8)
+  expected = np.pi * np.cos(np.pi * coords[:, 0]) - np.cos(coords[:, 1])
+  np.testing.assert_allclose(np.asarray(w), expected, atol=1e-6)

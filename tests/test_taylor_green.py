@@ -88,8 +88,22 @@ def test_taylor_green_dt_convergence(sem):
   vc = sem.velocity.mesh.node_coords
   pc = sem.pressure.pspace.mesh.node_coords
 
+  # Use a larger viscosity so the O(dt^2) temporal error clears the
+  # spectral floor while dt stays safely below the advective CFL limit
+  # (dt >= ~8e-3 is marginally unstable at this resolution).
+  nu = 0.1
+
+  def _ana(t):
+    x, y = np.asarray(vc).T
+    decay = np.exp(-2 * nu * K**2 * t)
+    u = np.stack([np.cos(K * x) * np.sin(K * y),
+                  -np.sin(K * x) * np.cos(K * y)], axis=-1) * decay
+    xp, yp = np.asarray(pc).T
+    p = -0.25 * (np.cos(2 * K * xp) + np.cos(2 * K * yp)) * decay**2
+    return jnp.asarray(u), jnp.asarray(p)
+
   def run(dt, num_steps):
-    states = [_analytic(vc, pc, i * dt) for i in range(TIME_ORDER)]
+    states = [_ana(i * dt) for i in range(TIME_ORDER)]
     us = tuple(s[0] for s in states)
     ps = tuple(s[1] for s in states)
     cus = tuple(sem.C(u) for u in us)
@@ -99,18 +113,16 @@ def test_taylor_green_dt_convergence(sem):
     def step(us, ps, cus):
       cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
       u, p, _ = sem.stokes_one_step(
-          list(us), list(ps), -cu, mu=NU, dt=dt, time_order=TIME_ORDER,
+          list(us), list(ps), -cu, mu=nu, dt=dt, time_order=TIME_ORDER,
           tol=1e-12, atol=1e-12)
       return us[1:] + (u,), ps[1:] + (p,), cus[1:] + (sem.C(u),)
 
     for _ in range(num_steps):
       us, ps, cus = step(us, ps, cus)
     t_end = (TIME_ORDER - 1 + num_steps) * dt
-    u_exact, _ = _analytic(vc, pc, t_end)
+    u_exact, _ = _ana(t_end)
     return float(jnp.abs(us[-1] - u_exact).max())
 
-  # dt large enough that the O(dt^2) temporal error dominates the
-  # spectral-accuracy floor (~4e-7 at this resolution).
-  e_coarse = run(1.6e-2, 4)
-  e_fine = run(8e-3, 8)
+  e_coarse = run(4e-3, 4)
+  e_fine = run(2e-3, 8)
   assert e_fine < 0.35 * e_coarse, (e_coarse, e_fine)
