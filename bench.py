@@ -3,22 +3,24 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Headline metric: sum-factorized stiffness operator apply throughput in
-GDOF/s (nodal points x vector components per second) on the Kolmogorov
-datagen workload geometry (2D, 64x64 elements, order 8 GLL — reference
-``niles/datagen/datagen.py:48-56``), f32 on the attached TPU chip.
+Headline metric: stiffness operator apply throughput in GDOF/s (nodal
+points x vector components per second) on the Kolmogorov datagen workload
+geometry (2D, 64x64 elements, order 8 GLL — reference
+``niles/datagen/datagen.py:48-56``), f32 on the attached TPU chip, using the
+E-last element-operator fast path (ops/sem2d.py).
 
 ``vs_baseline``: speedup over the *reference algorithm* on identical
 hardware — the full-Kronecker einsum operator apply that
 google-research/swirl-fem uses (``core/interpolation.py:246-292``,
-O(N^{2d}) flops/element vs our O(N^{d+1})).  The reference publishes no
-performance numbers (BASELINE.md), so its own algorithm at parity precision
-is the honest baseline.
+O(N^{2d}) flops/element vs our O(N^{d+1})), in the reference's (E, nper, k)
+data layout.  The reference publishes no performance numbers (BASELINE.md),
+so its own algorithm at parity precision is the honest baseline.
 
-Also reports NSE wall-clock per stokes_one_step as a secondary detail.
+Timing methodology: K dependent applications chained inside one jitted
+fori_loop (measures steady-state device throughput, not host->device
+dispatch latency through the tunneled TPU).
 """
 
-import functools
 import json
 import time
 
@@ -26,9 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from swirlfem_tpu.core.bc import BCType
 from swirlfem_tpu.core.fespace import PRECISION
 from swirlfem_tpu.nse.solver import StokesSEM
+from swirlfem_tpu.ops import sem2d
 from swirlfem_tpu.utils.box import unit_cube_mesh
 
 N_ELEMS = 64
@@ -36,7 +38,7 @@ ORDER = 8
 DTYPE = jnp.float32
 
 
-def _timeit(fn, *args, iters=20, warmup=3):
+def _timeit(fn, *args, iters=3, warmup=1):
   for _ in range(warmup):
     out = fn(*args)
   jax.block_until_ready(out)
@@ -47,33 +49,26 @@ def _timeit(fn, *args, iters=20, warmup=3):
   return (time.perf_counter() - start) / iters
 
 
-def _timeit_chained(apply_fn, u, chain=50, iters=5):
-  """Times `apply_fn` by chaining `chain` dependent applications inside one
-  jitted fori_loop: measures steady-state device throughput rather than
-  host->device dispatch latency (which dominates through a tunneled TPU)."""
-
+def _timeit_chained(apply_fn, u, chain=10, iters=3):
   @jax.jit
   def run(u):
     return jax.lax.fori_loop(0, chain, lambda i, v: apply_fn(v), u)
 
-  t = _timeit(run, u, iters=iters, warmup=2)
-  return t / chain
+  return _timeit(run, u, iters=iters) / chain
 
 
 def _kron_stiffness(sem):
-  """Reference-algorithm oracle: full Kronecker einsum stiffness apply."""
+  """Reference-algorithm baseline: full Kronecker einsum stiffness apply in
+  the reference's (E, nodes, components) layout."""
   vspace = sem.velocity.vspace
-  interp = vspace.interpolator
-  grad_mats = jnp.asarray(interp.interpolation_matrix_grad(), dtype=DTYPE)
+  grad_mats = jnp.asarray(
+      vspace.interpolator.interpolation_matrix_grad(), dtype=DTYPE)
   invjacs = vspace.invjacs
   jacdets = vspace.jacdets
-  weights = jnp.asarray(
-      vspace.quadrature.weights_nd(2), dtype=DTYPE)
+  weights = jnp.asarray(vspace.quadrature.weights_nd(2), dtype=DTYPE)
 
   def apply_a(u):
-    u_local = sem.velocity.gather(u)  # (E, n^d, k)
-    # Reference-style: one big (q^d, n^d, d) einsum per element per
-    # component — O(N^{2d}) flops (core/interpolation.py:260-261 TODO).
+    u_local = sem.velocity.gather(u)
     ref_grads = jnp.einsum('qnd,enk->eqdk', grad_mats, u_local,
                            precision=PRECISION)
     phys = jnp.einsum('eqdk,eqjd->eqjk', ref_grads, invjacs,
@@ -98,67 +93,68 @@ def main():
     sem = jax.tree.map(
         lambda x: (x.astype(DTYPE)
                    if jnp.issubdtype(x.dtype, jnp.floating) else x), sem)
-  # One bulk transfer to the benchmark device.
   device = jax.devices()[0]
   sem = jax.tree.map(lambda x: jax.device_put(x, device), sem)
 
   mesh = sem.velocity.mesh
   num_dofs = mesh.num_nodes * mesh.ndim
   rng = np.random.default_rng(0)
-  u = jnp.asarray(rng.standard_normal((mesh.num_nodes, mesh.ndim)),
-                  dtype=DTYPE)
+  ut = tuple(
+      jax.device_put(jnp.asarray(rng.standard_normal(mesh.num_nodes), DTYPE),
+                     device) for _ in range(2))
 
-  apply_sumfact = jax.jit(sem.A)
-  apply_kron = jax.jit(_kron_stiffness(sem))
+  mask = jnp.squeeze(sem.velocity.interior_mask, -1)
 
-  # Correctness cross-check (f32 tolerance).
-  ref = apply_kron(u)
-  got = apply_sumfact(u)
+  def apply_fast(ut):
+    return tuple(mask * a for a in sem._fast_stiffness(ut))  # pylint: disable=protected-access
+
+  # Correctness cross-check against the reference-algorithm baseline (f32).
+  u2 = jnp.stack(ut, axis=-1)
+  ref = _kron_stiffness(sem)(u2)
+  got = jnp.stack(apply_fast(ut), axis=-1)
   err = float(jnp.abs(ref - got).max() / (jnp.abs(ref).max() + 1e-30))
-  assert err < 1e-3, f'sum-factorized vs kron mismatch: {err}'
+  assert err < 1e-3, f'fast vs reference-algorithm mismatch: {err}'
 
-  t_sumfact = _timeit_chained(sem.A, u)
-  t_kron = _timeit_chained(_kron_stiffness(sem), u, chain=10)
+  t_fast = _timeit_chained(apply_fast, ut)
+  t_kron = _timeit_chained(_kron_stiffness(sem), u2, chain=4)
+  gdofs = num_dofs / t_fast / 1e9
 
-  gdofs = num_dofs / t_sumfact / 1e9
-
-  # Secondary: one NSE step wall-clock (fixed 20 CG iteration cap so the
-  # measurement is iteration-count independent).
+  # Secondary: NSE wall-clock per step (10 chained steps, tuple carriers).
   vc = np.asarray(mesh.node_coords)
-  u0 = jnp.asarray(
-      np.stack([np.sin(2 * np.pi * vc[:, 1]), np.sin(2 * np.pi * vc[:, 0])],
-               axis=-1), dtype=DTYPE)
-  pc = np.asarray(sem.pressure.pspace.mesh.node_coords)
-  p0 = jnp.zeros(pc.shape[0], dtype=DTYPE)
+  u0 = tuple(
+      jax.device_put(jnp.asarray(np.sin(2 * np.pi * vc[:, 1 - j]), DTYPE),
+                     device) for j in range(2))
+  p0 = jax.device_put(
+      jnp.zeros(sem.pressure.pspace.mesh.num_nodes, DTYPE), device)
 
   @jax.jit
-  def ten_steps(us, ps):
+  def some_steps(us, ps):
     def body(carry, _):
       us, ps = carry
       u, p, _ = sem.stokes_one_step(
-          list(us), list(ps), f=jnp.zeros_like(us[-1]),
-          mu=DTYPE(1e-4), dt=DTYPE(1e-4), time_order=2, tol=1e-5)
+          list(us), list(ps), 0, mu=DTYPE(1e-4), dt=DTYPE(1e-4),
+          time_order=2, tol=1e-5, maxiter=300)
       return ((us[1], u), (ps[1], p)), None
-    carry, _ = jax.lax.scan(body, (us, ps), None, length=10)
+    carry, _ = jax.lax.scan(body, (us, ps), None, length=3)
     return carry
 
-  t_step = _timeit(ten_steps, (u0, u0), (p0, p0), iters=3, warmup=1) / 10
+  t_step = _timeit(some_steps, (u0, u0), (p0, p0), iters=2) / 3
 
   result = {
       'metric': 'stiffness_apply_throughput',
       'value': round(gdofs, 4),
       'unit': 'GDOF/s',
-      'vs_baseline': round(t_kron / t_sumfact, 4),
+      'vs_baseline': round(t_kron / t_fast, 4),
       'details': {
           'workload': f'2D {N_ELEMS}x{N_ELEMS} elements, order {ORDER} GLL',
           'num_dofs': num_dofs,
-          'sumfact_ms': round(t_sumfact * 1e3, 4),
+          'fast_ms': round(t_fast * 1e3, 4),
           'kron_baseline_ms': round(t_kron * 1e3, 4),
           'nse_step_ms': round(t_step * 1e3, 4),
           'device': str(jax.devices()[0]),
       },
   }
-  print(json.dumps(result))
+  print(json.dumps(result), flush=True)
 
 
 if __name__ == '__main__':

@@ -228,6 +228,8 @@ class StokesSEM:
   pressure: StokesPressure
   velocity_mass_diag: jax.Array
   axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
+  # E-last fast operator core (structured 2D meshes only; see ops.sem2d).
+  fast_ops: Any | None = None
 
   @classmethod
   def create(cls, premesh: Premesh, boundary_conditions, order: int,
@@ -255,8 +257,17 @@ class StokesSEM:
       velocity_mass_diag = jax.vmap(mass_diag)(velocity)
     else:
       velocity_mass_diag = mass_diag(velocity)
+
+    fast_ops = None
+    if (not premesh.is_partitioned()
+        and velocity.mesh.structured is not None
+        and pressure.pspace.mesh.structured is not None
+        and premesh.ndim == 2):
+      from swirlfem_tpu.ops.sem2d import build_sem2d_ops
+      fast_ops = build_sem2d_ops(velocity, pressure)
     return cls(velocity=velocity, pressure=pressure,
-               velocity_mass_diag=velocity_mass_diag, axis_name=axis_name)
+               velocity_mass_diag=velocity_mass_diag, axis_name=axis_name,
+               fast_ops=fast_ops)
 
   # -- distributed-aware inner product --------------------------------------
 
@@ -319,6 +330,148 @@ class StokesSEM:
     """Pressure Schur operator E = D Q D^T."""
     return self.D(self.Q(self.Dt(p), dt=dt, time_order=time_order))
 
+  # -- E-last fast path -------------------------------------------------------
+
+  def _fast_stiffness(self, ut):
+    from swirlfem_tpu.ops import sem2d
+    ops, vinfo = self.fast_ops, self.fast_ops.vinfo
+    return tuple(
+        sem2d.el_to_nodal(ops.stiffness_el(sem2d.nodal_to_el(u, vinfo)),
+                          vinfo) for u in ut)
+
+  def _fast_D(self, ut):
+    from swirlfem_tpu.ops import sem2d
+    ops = self.fast_ops
+    comps = [sem2d.nodal_to_el(u, ops.vinfo) for u in ut]
+    return sem2d.el_to_nodal(ops.divergence_el(*comps), ops.pinfo)
+
+  def _fast_Dt(self, p):
+    from swirlfem_tpu.ops import sem2d
+    ops = self.fast_ops
+    mask = jnp.squeeze(self.velocity.interior_mask, -1)
+    outs = ops.gradient_el(sem2d.nodal_to_el(p, ops.pinfo))
+    return tuple(mask * sem2d.el_to_nodal(o, ops.vinfo) for o in outs)
+
+  def _fast_C(self, ut):
+    from swirlfem_tpu.ops import sem2d
+    ops = self.fast_ops
+    comps = [sem2d.nodal_to_el(u, ops.vinfo) for u in ut]
+    outs = ops.convection_el(*comps)
+    return tuple(sem2d.el_to_nodal(o, ops.vinfo) for o in outs)
+
+  def _fast_filter(self, ut, alpha):
+    from swirlfem_tpu.ops import sem2d
+    from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
+    ops, vinfo = self.fast_ops, self.fast_ops.vinfo
+    grid = self.velocity.mesh.gridpoints_1d
+    low = Nodes1D.create(grid.num_points - 1, grid.node_type)
+    blend = jnp.asarray(
+        interpolation_matrix_1d(low, grid)
+        @ interpolation_matrix_1d(grid, low), dtype=ut[0].dtype)
+    vmesh = self.velocity.vspace.mesh
+    mult = vmesh.exchange(self.velocity.diag_qqt)
+    outs = []
+    for u in ut:
+      el = sem2d.nodal_to_el(u, vinfo)
+      f = ops._ax1(blend, ops._ax0(blend, el))
+      avg = vmesh.exchange(sem2d.el_to_nodal(f, vinfo)) / mult
+      outs.append((1.0 - alpha) * u + alpha * avg)
+    return tuple(outs)
+
+  def _stokes_one_step_fast(self, us, ps, f, mu, dt, time_order, alpha,
+                            u_boundary, pressure_preconditioner,
+                            project_out_nullspace, tol, atol, maxiter):
+    """Fractional step on component-tuple states in E-last element layout.
+
+    Identical math to the generic path; nodal fields travel as flat
+    per-component arrays so no (N, 2) lane padding enters the CG loops.
+    """
+    vmesh = self.velocity.vspace.mesh
+    mask = jnp.squeeze(self.velocity.interior_mask, -1)
+    md = self.velocity_mass_diag[:, 0]
+
+    def tup(u):
+      return u if isinstance(u, tuple) else (u[..., 0], u[..., 1])
+
+    as_tuple_input = isinstance(us[-1], tuple)
+    us = [tup(u) for u in us]
+    ps = list(ps)
+    if isinstance(f, (int, float)) and f == 0:
+      f = tuple(jnp.zeros_like(c) for c in us[-1])
+    else:
+      f = tup(f)
+    if u_boundary is not None:
+      u_boundary = tup(u_boundary)
+
+    tmap = jax.tree_util.tree_map
+    if pressure_preconditioner is None and project_out_nullspace:
+      pressure_preconditioner = partial(_pressure_project_out_nullspace,
+                                        self)
+
+    if len(ps) >= 2:
+      ext = [float(c) for c in extk_coeffs(k=1)]
+      p_ext = sum(ext[-i] * ps[-i] for i in range(1, len(ext) + 1))
+    else:
+      p_ext = ps[-1]
+    f = tmap(lambda a, b: a + b, f, self._fast_Dt(p_ext))
+
+    coeffs = [float(c) for c in bdfk_coeffs(time_order)]
+    beta_hist, beta_k = coeffs[:-1], coeffs[-1]
+
+    def B_t(ut):
+      return tuple(mask * md * u for u in ut)
+
+    def H_t(ut):
+      a = self._fast_stiffness(ut)
+      return tuple(mask * ((beta_k / dt) * md * u + mu * av)
+                   for u, av in zip(ut, a))
+
+    hist = tmap(lambda *xs: sum(c * x for c, x in zip(beta_hist, xs)) / dt,
+                *us)
+    f = tmap(lambda a, b: a - b, f, B_t(hist))
+    if u_boundary is not None:
+      f = tmap(lambda a, b: a - b, f, H_t(u_boundary))
+
+    def exch_t(ut):
+      return tuple(vmesh.exchange(u) for u in ut)
+
+    def vsolve(matvec, rhs):
+      rhs = tuple(mask * r for r in rhs)
+      return cg(matvec, rhs, M=exch_t, tol=tol, atol=atol, dot_fn=self.dot,
+                maxiter=maxiter)
+
+    u_star, u_info = lax.custom_linear_solve(
+        H_t, f, solve=vsolve, symmetric=True, has_aux=True)
+    if u_boundary is not None:
+      u_star = tmap(lambda a, b: a + b, u_star, u_boundary)
+
+    u_star = self._fast_filter(u_star, alpha)
+
+    diag_i = 1.0 / vmesh.exchange(md)
+
+    def Q_t(ut):
+      return tuple((dt / beta_k) * diag_i * vmesh.exchange(u) for u in ut)
+
+    def E_fast(p):
+      return self._fast_D(Q_t(self._fast_Dt(p)))
+
+    def psolve(matvec, rhs):
+      if pressure_preconditioner is not None:
+        rhs = pressure_preconditioner(rhs)
+      return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
+                dot_fn=self.dot, maxiter=maxiter)
+
+    neg_du = -self._fast_D(u_star)
+    dp, p_info = lax.custom_linear_solve(
+        E_fast, neg_du, solve=psolve, symmetric=True, has_aux=True)
+
+    u = tmap(lambda a, b: a + b, u_star, Q_t(self._fast_Dt(dp)))
+    p = p_ext + dp
+    aux = {'u_star_info': u_info, 'dp_info': p_info}
+    if not as_tuple_input:
+      u = jnp.stack(u, axis=-1)
+    return u, p, aux
+
   # -- time stepping ----------------------------------------------------------
 
   def stokes_one_step(
@@ -328,6 +481,7 @@ class StokesSEM:
       pressure_preconditioner=None,
       project_out_nullspace: bool = True,
       tol: float = 1e-8, atol: float = 0.0,
+      maxiter: int | None = None,
   ) -> tuple[jax.Array, jax.Array, Any]:
     """Advances the (linear) Stokes system by one BDF-k step.
 
@@ -341,6 +495,10 @@ class StokesSEM:
     Nonlinear convection enters through `f` (extrapolated advection), as in
     the reference datagen/training paths.
     """
+    if self.fast_ops is not None:
+      return self._stokes_one_step_fast(
+          us, ps, f, mu, dt, time_order, alpha, u_boundary,
+          pressure_preconditioner, project_out_nullspace, tol, atol, maxiter)
     if pressure_preconditioner is None and project_out_nullspace:
       pressure_preconditioner = partial(_pressure_project_out_nullspace, self)
 
@@ -369,7 +527,7 @@ class StokesSEM:
     def vsolve(matvec, rhs):
       return cg(matvec, self.velocity.interior_mask * rhs,
                 M=self.velocity.exchange, tol=tol, atol=atol,
-                dot_fn=self.dot)
+                dot_fn=self.dot, maxiter=maxiter)
 
     u_star, u_info = lax.custom_linear_solve(
         H, f, solve=vsolve, symmetric=True, has_aux=True)
@@ -384,7 +542,7 @@ class StokesSEM:
       if pressure_preconditioner is not None:
         rhs = pressure_preconditioner(rhs)
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
-                dot_fn=self.dot)
+                dot_fn=self.dot, maxiter=maxiter)
 
     dp, p_info = lax.custom_linear_solve(
         partial(self.E, dt=dt, time_order=time_order), -self.D(u_star),

@@ -1,0 +1,242 @@
+"""E-last element-operator core for 2D structured spectral elements.
+
+The TPU memory system tiles the last two array axes to (8 sublanes, 128
+lanes).  Any element-local array with trailing axes of size (order+1) ~ 9
+is padded ~14x in HBM, and nodal arrays shaped (N, 2) are padded 64x; the
+measured cost of the generic operator apply was ~100x speed-of-light purely
+from layout.  This module keeps all element-local data in ``(n, n, E)``
+("E-last") layout — elements ride the 128-lane axis — and implements the
+classical Deville-Fischer-Mund factorized operator algebra directly:
+
+    A u = D_xi^T (G11 D_xi u + G12 D_eta u) + D_eta^T (G12 D_xi u + G22 D_eta u)
+
+with geometric factor fields G_ab = w_q |J| (J^-1 J^-T)_ab precomputed in
+E-last layout, plus the mixed divergence/gradient coupling to the
+discontinuous Gauss-Legendre pressure space and the overintegrated
+convection form.  Every contraction is a small-matrix einsum whose output
+keeps E last; XLA fuses the pointwise geometric factors into the GEMMs.
+
+Velocity fields travel through the hot loop as *component tuples* of flat
+nodal arrays ``(u_x, u_y)`` (1D arrays have no padding), converted to/from
+the public ``(N, 2)`` layout only at API boundaries.
+
+Used by `StokesSEM` as a fast path when the velocity mesh is a structured
+2D box (see core.structured); validated against the generic
+`local_covector` operators in tests.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+from jax import lax
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.core.structured import StructuredInfo
+
+PRECISION = lax.Precision.HIGHEST
+
+
+# -- layout transforms -------------------------------------------------------
+
+
+def nodal_to_el(u: jax.Array, info: StructuredInfo) -> jax.Array:
+  """Flat nodal ``(num_nodes,)`` -> element-local ``(n, n, E)`` (E-last)."""
+  n, p = info.num_elements_per_dim, info.order
+  if not info.continuous:
+    k = p + 1
+    g = u.reshape(n, k, n, k)
+    return g.transpose(1, 3, 0, 2).reshape(k, k, n * n)
+  big = n * p + 1
+  g = u.reshape(big, big)
+  # axis 0 split: rows (n, p) + the closing row of each element.
+  head0 = g[:-1].reshape(n, p, big)
+  last0 = g[1:].reshape(n, p, big)[:, p - 1:p]
+  s0 = jnp.concatenate([head0, last0], axis=1)  # (n, p+1, big)
+  head1 = s0[:, :, :-1].reshape(n, p + 1, n, p)
+  last1 = s0[:, :, 1:].reshape(n, p + 1, n, p)[..., p - 1:p]
+  s1 = jnp.concatenate([head1, last1], axis=3)  # (n, p+1, n, p+1)
+  return s1.transpose(1, 3, 0, 2).reshape(p + 1, p + 1, n * n)
+
+
+def el_to_nodal(w: jax.Array, info: StructuredInfo) -> jax.Array:
+  """Transpose of `nodal_to_el`: sums overlapping element boundaries."""
+  n, p = info.num_elements_per_dim, info.order
+  if not info.continuous:
+    k = p + 1
+    return w.reshape(k, k, n, n).transpose(2, 0, 3, 1).reshape(-1)
+  big = n * p + 1
+  k = p + 1
+  s1 = w.reshape(k, k, n, n).transpose(2, 0, 3, 1)  # (n, p+1, n, p+1)
+
+  def combine_last(x):  # (..., n, p+1) -> (..., n*p + 1)
+    lead = x.shape[:-2]
+    main = x[..., :p].reshape(lead + (n * p,))
+    blk = jnp.concatenate(
+        [jnp.zeros(lead + (n, p - 1), x.dtype), x[..., p:p + 1]], axis=-1
+    ) if p > 1 else x[..., p:p + 1]
+    shifted = blk.reshape(lead + (n * p,))
+    zero = jnp.zeros(lead + (1,), x.dtype)
+    return (jnp.concatenate([main, zero], axis=-1)
+            + jnp.concatenate([zero, shifted], axis=-1))
+
+  out = combine_last(s1)                   # (n, k, big): eta combined
+  out = combine_last(jnp.moveaxis(out, 2, 0))  # (big_eta, big_xi)
+  return out.T.reshape(-1)
+
+
+# -- factor container --------------------------------------------------------
+
+
+@flax.struct.dataclass
+class Sem2DOps:
+  """Precomputed E-last operator factors for one structured 2D SEM setup.
+
+  Static 1D matrices (numpy, hashable by content id) and E-last geometric
+  factor fields.  All `_v` fields live on the velocity GLL points, `_o`
+  fields on the overintegration GLL points.
+  """
+
+  # geometric factors at velocity GLL points, (n, n, E)
+  g11: jax.Array
+  g12: jax.Array
+  g22: jax.Array
+  wmass: jax.Array                     # w_q |J|
+  kinv: jax.Array                      # (2, 2, n, n, E): K[j, i] = dxi_i/dx_j
+  # overintegration fields, (m_o, m_o, E)
+  wmass_o: jax.Array
+  kinv_o: jax.Array                    # (2, 2, m_o, m_o, E)
+  # static 1D matrices
+  dmat: np.ndarray = flax.struct.field(pytree_node=False)     # (n, n) GLL diff
+  interp_p: np.ndarray = flax.struct.field(pytree_node=False)  # (n, m_p) GL->GLL
+  interp_o: np.ndarray = flax.struct.field(pytree_node=False)  # (m_o, n)
+  interp_o_grad: np.ndarray = flax.struct.field(pytree_node=False)  # (m_o, n)
+  vinfo: StructuredInfo = flax.struct.field(pytree_node=False)
+  pinfo: StructuredInfo = flax.struct.field(pytree_node=False)
+
+  # -- 1D contractions (axis 0 = xi, axis 1 = eta; E last) ----------------
+
+  def _m(self, mat):
+    return jnp.asarray(mat, dtype=self.wmass.dtype)
+
+  @staticmethod
+  def _ax0(mat, u):
+    return jnp.einsum('qn,nje->qje', mat, u, precision=PRECISION)
+
+  @staticmethod
+  def _ax1(mat, u):
+    return jnp.einsum('qn,jne->jqe', mat, u, precision=PRECISION)
+
+  # -- scalar element operators -------------------------------------------
+
+  def stiffness_el(self, u: jax.Array) -> jax.Array:
+    """A_local on one component, (n, n, E) -> (n, n, E)."""
+    d = self._m(self.dmat)
+    ur = self._ax0(d, u)
+    us = self._ax1(d, u)
+    a = self.g11 * ur + self.g12 * us
+    b = self.g12 * ur + self.g22 * us
+    return self._ax0(d.T, a) + self._ax1(d.T, b)
+
+  def phys_grad_el(self, u: jax.Array):
+    """Physical gradient at GLL points: returns (du/dx, du/dy)."""
+    d = self._m(self.dmat)
+    ur = self._ax0(d, u)
+    us = self._ax1(d, u)
+    k = self.kinv
+    return (k[0, 0] * ur + k[0, 1] * us, k[1, 0] * ur + k[1, 1] * us)
+
+  def divergence_el(self, ux: jax.Array, uy: jax.Array) -> jax.Array:
+    """Pressure-space covector of int div(u) q: (n,n,E)x2 -> (m,m,E)."""
+    gx = self.phys_grad_el(ux)[0]
+    gy = self.phys_grad_el(uy)[1]
+    w = self.wmass * (gx + gy)
+    ipt = self._m(self.interp_p).T  # (m, n)
+    return self._ax1(ipt, self._ax0(ipt, w))
+
+  def gradient_el(self, p: jax.Array):
+    """Velocity-space covector of int div(v) p: (m,m,E) -> 2 x (n,n,E)."""
+    ip = self._m(self.interp_p)
+    q = self.wmass * self._ax1(ip, self._ax0(ip, p))
+    d = self._m(self.dmat)
+    k = self.kinv
+    outs = []
+    for j in range(2):
+      outs.append(self._ax0(d.T, k[j, 0] * q) + self._ax1(d.T, k[j, 1] * q))
+    return tuple(outs)
+
+  def convection_el(self, ux: jax.Array, uy: jax.Array):
+    """Covector of the dealiased trilinear form int (u . grad u) . v."""
+    io = self._m(self.interp_o)
+    ig = self._m(self.interp_o_grad)
+    uxo = self._ax1(io, self._ax0(io, ux))
+    uyo = self._ax1(io, self._ax0(io, uy))
+    ko, wo = self.kinv_o, self.wmass_o
+    outs = []
+    for comp in (ux, uy):
+      # grad of comp at overint points (reference-space).
+      tr = self._ax1(io, self._ax0(ig, comp))
+      ts = self._ax1(ig, self._ax0(io, comp))
+      dx = ko[0, 0] * tr + ko[0, 1] * ts
+      dy = ko[1, 0] * tr + ko[1, 1] * ts
+      conv = wo * (uxo * dx + uyo * dy)
+      outs.append(self._ax1(io.T, self._ax0(io.T, conv)))
+    return tuple(outs)
+
+
+def build_sem2d_ops(velocity, pressure) -> Sem2DOps:
+  """Builds E-last factors from the generic spaces (host/setup time).
+
+  Args:
+    velocity: `StokesVelocity` with a structured 2D GLL mesh (collocated
+      quadrature: vspace quad points == mesh gridpoints).
+    pressure: `StokesPressure` with the matching structured GL mesh.
+  """
+  vspace = velocity.vspace
+  vinfo = vspace.mesh.structured
+  pinfo = pressure.pspace.mesh.structured
+  assert vinfo is not None and pinfo is not None and vinfo.ndim == 2
+  n = vinfo.order + 1
+  num_elems = vinfo.num_elements_per_dim ** 2
+
+  def to_el(arr):  # (E, Q) -> (n_q, n_q, E), lexicographic quad order
+    q = int(round(np.sqrt(arr.shape[1])))
+    return jnp.moveaxis(arr.reshape(num_elems, q, q), 0, -1)
+
+  # invjacs (E, Q, 2, 2): [j, i] = dxi_i / dx_j.
+  def kinv_of(space):
+    q = int(round(np.sqrt(space.invjacs.shape[1])))
+    k = jnp.moveaxis(space.invjacs.reshape(num_elems, q, q, 2, 2), 0, -1)
+    return jnp.moveaxis(k, (2, 3), (0, 1))  # (2, 2, q, q, E)
+
+  wq_v = jnp.asarray(
+      vspace.quadrature.weights_nd(2), dtype=vspace.jacdets.dtype)
+  wmass = to_el(vspace.jacdets * wq_v[None, :])
+  kinv = kinv_of(vspace)
+
+  # G_ab = W * sum_j K[j,a] K[j,b].
+  g11 = wmass * (kinv[0, 0] ** 2 + kinv[1, 0] ** 2)
+  g12 = wmass * (kinv[0, 0] * kinv[0, 1] + kinv[1, 0] * kinv[1, 1])
+  g22 = wmass * (kinv[0, 1] ** 2 + kinv[1, 1] ** 2)
+
+  ospace = velocity.overint_space
+  wq_o = jnp.asarray(
+      ospace.quadrature.weights_nd(2), dtype=ospace.jacdets.dtype)
+  wmass_o = to_el(ospace.jacdets * wq_o[None, :])
+  kinv_o = kinv_of(ospace)
+
+  from swirlfem_tpu.core.quadrature import (interpolation_grad_matrix_1d,
+                                            interpolation_matrix_1d,
+                                            differentiation_matrix_1d)
+  vgrid = vspace.mesh.gridpoints_1d
+  pgrid = pressure.pspace.mesh.gridpoints_1d
+  ogrid = ospace.quadrature.nodes
+  return Sem2DOps(
+      g11=g11, g12=g12, g22=g22, wmass=wmass, kinv=kinv,
+      wmass_o=wmass_o, kinv_o=kinv_o,
+      dmat=differentiation_matrix_1d(vgrid),
+      interp_p=interpolation_matrix_1d(pgrid, vgrid),
+      interp_o=interpolation_matrix_1d(vgrid, ogrid),
+      interp_o_grad=interpolation_grad_matrix_1d(vgrid, ogrid),
+      vinfo=vinfo, pinfo=pinfo)
