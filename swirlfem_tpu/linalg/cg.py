@@ -58,7 +58,11 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
   if M is None:
     M = lambda x: x
 
-  bs = _tree_vdot(b, b, dot_fn)
+  # Consistent preconditioned stopping test: gamma = <r, M r> is compared
+  # against tol^2 <b, M b> (same M-weighted norm).  An euclidean <b, b>
+  # reference (as in the reference cg) makes the relative test meaningless
+  # when M rescales aggressively (e.g. near-exact preconditioners).
+  bs = _tree_vdot(b, M(b), dot_fn)
   threshold = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
 
   r0 = tree_map(operator.sub, b, A(x0))

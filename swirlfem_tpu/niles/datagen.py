@@ -67,6 +67,7 @@ def min_node_spacing(mesh) -> float:
 
 def make_step_fn(sem, cfg: DatagenConfig):
   """Jitted scan of `snapshot_every` steps between snapshots."""
+  precond = sem.fft_pressure_preconditioner(cfg.dt, cfg.time_order)
 
   def one_step(us, ps, cus):
     ext = [float(c) for c in navier_stokes.extk_coeffs(k=cfg.time_order - 1)]
@@ -75,7 +76,8 @@ def make_step_fn(sem, cfg: DatagenConfig):
     f = -cu + sem.B(f)
     u, p, _ = sem.stokes_one_step(
         list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
-        time_order=cfg.time_order, tol=1e-5, atol=1e-4)
+        time_order=cfg.time_order, tol=1e-5, atol=1e-4,
+        pressure_preconditioner=precond)
     return u, p, sem.C(u)
 
   @jax.jit

@@ -456,8 +456,10 @@ class StokesSEM:
       return self._fast_D(Q_t(self._fast_Dt(p)))
 
     def psolve(matvec, rhs):
-      if pressure_preconditioner is not None:
-        rhs = pressure_preconditioner(rhs)
+      # Project the rhs onto range(E) (remove the constant component);
+      # independent of whatever preconditioner is in use.
+      ones = jnp.ones_like(rhs)
+      rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=self.dot, maxiter=maxiter)
 
@@ -537,10 +539,11 @@ class StokesSEM:
     u_star = self.filter(u_star, alpha=alpha)
 
     # Project the pressure rhs onto range(E) (remove the constant nullspace
-    # component) for the same reason as above.
+    # component) for the same reason as above; done with the plain
+    # mean-removal projector regardless of the preconditioner in use.
     def psolve(matvec, rhs):
-      if pressure_preconditioner is not None:
-        rhs = pressure_preconditioner(rhs)
+      ones = jnp.ones_like(rhs)
+      rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=self.dot, maxiter=maxiter)
 
@@ -551,6 +554,27 @@ class StokesSEM:
     u = u_star + self.Q(self.Dt(dp), dt=dt, time_order=time_order)
     p = p_ext + dp
     return u, p, {'u_star_info': u_info, 'dp_info': p_info}
+
+  def fft_pressure_preconditioner(self, dt, time_order: int):
+    """Near-exact FFT pressure preconditioner for uniform periodic boxes.
+
+    Returns a preconditioner callable for `stokes_one_step` (block-FFT
+    inverse of E composed with the nullspace projection), or None when the
+    mesh is not a uniform fully-periodic structured 2D box.  With it, the
+    pressure CG converges in O(1) iterations.  See ops.fft_pressure.
+    """
+    from swirlfem_tpu.ops.fft_pressure import (build_fft_pressure_solver,
+                                               is_uniform_periodic)
+    if not is_uniform_periodic(self):
+      return None
+    solve = build_fft_pressure_solver(self, dt, time_order)
+
+    def precondition(p):
+      w = solve(p)
+      ones = jnp.ones_like(w)
+      return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
+
+    return precondition
 
   def filter(self, u, alpha: float = 0.05):
     """Modal low-pass stabilization: restrict to order N-1 and back, blend.
