@@ -378,6 +378,152 @@ class StokesSEM:
       outs.append((1.0 - alpha) * u + alpha * avg)
     return tuple(outs)
 
+  def _stokes_one_step_el(self, us, ps, f, mu, dt, time_order, alpha,
+                          pressure_preconditioner, project_out_nullspace,
+                          tol, atol, maxiter, as_tuple_input):
+    """Fractional step with CG fully in element-local (k,k,n,n) form.
+
+    Fully-periodic structured boxes only: the continuity projector QQ^T is
+    two passes of rolls over the element axes (`sem2d.exchange_el`) — no
+    layout transforms or index ops inside the CG loops at all.  Inputs are
+    converted once at entry and back once at exit.
+    """
+    from swirlfem_tpu.ops import sem2d
+    ops = self.fast_ops
+    vinfo, pinfo = ops.vinfo, ops.pinfo
+    n = vinfo.num_elements_per_dim
+    kk = vinfo.order + 1
+    mm = pinfo.order + 1
+    tmap = jax.tree_util.tree_map
+
+    def v_in(u):  # nodal flat -> (k, k, n, n)
+      return sem2d.nodal_to_el(u, vinfo).reshape(kk, kk, n, n)
+
+    ones_el = jnp.ones((kk, kk, n * n), dtype=us[-1][0].dtype)
+    grid_mult = sem2d.el_to_nodal(ones_el, vinfo)
+
+    def v_out(w):  # continuous el rep -> nodal flat (average grid copies)
+      flat = w.reshape(kk, kk, n * n)
+      return sem2d.el_to_nodal(flat, vinfo) / grid_mult
+
+    def p_in(p):
+      return sem2d.nodal_to_el(p, pinfo).reshape(mm, mm, n, n)
+
+    def p_out(w):
+      return sem2d.el_to_nodal(w.reshape(mm, mm, n * n), pinfo)
+
+    exch = lambda w: sem2d.exchange_el(w, vinfo)
+    mult = sem2d.multiplicity_el(vinfo, dtype=us[-1][0].dtype)
+    wmass = ops.wmass.reshape(kk, kk, n, n)
+
+    us_el = [tuple(v_in(c) for c in u) for u in us]
+    ps_el = [p_in(p) for p in ps]
+    # `f` is a nodal covector: its value must be *partitioned* among the
+    # grid copies (each nodal image carries partial sums already), not
+    # duplicated, so that per-dof totals are preserved in the el rep.
+    f_el = tuple(v_in(c / grid_mult) for c in f)
+
+    # el-shaped operator wrappers (flatten E for the einsum core).
+    def flat(w):
+      return w.reshape(kk, kk, n * n)
+
+    def unflat(w):
+      return w.reshape(kk, kk, n, n)
+
+    def stiff(w):
+      return unflat(ops.stiffness_el(flat(w)))
+
+    def div_el(ut):
+      return ops.divergence_el(flat(ut[0]), flat(ut[1])).reshape(mm, mm, n, n)
+
+    def grad_el(p):
+      outs = ops.gradient_el(p.reshape(mm, mm, n * n))
+      return tuple(unflat(o) for o in outs)
+
+    if len(ps_el) >= 2:
+      ext = [float(c) for c in extk_coeffs(k=1)]
+      p_ext = sum(ext[-i] * ps_el[-i] for i in range(1, len(ext) + 1))
+    else:
+      p_ext = ps_el[-1]
+    f_el = tmap(lambda a, b: a + b, f_el, grad_el(p_ext))
+
+    coeffs = [float(c) for c in bdfk_coeffs(time_order)]
+    beta_hist, beta_k = coeffs[:-1], coeffs[-1]
+
+    def H_t(ut):
+      return tuple((beta_k / dt) * wmass * w + mu * stiff(w) for w in ut)
+
+    hist = tmap(lambda *xs: sum(c * x for c, x in zip(beta_hist, xs)) / dt,
+                *us_el)
+    f_el = tmap(lambda a, b: a - wmass * b, f_el, hist)
+
+    diag_h = exch((beta_k / dt) * wmass
+                  + mu * unflat(ops.stiffness_diag_el()))
+
+    def M_t(rt):
+      return tuple(exch(r) / diag_h for r in rt)
+
+    def vsolve(matvec, rhs):
+      return cg(matvec, rhs, M=M_t, tol=tol, atol=atol, dot_fn=self.dot,
+                maxiter=maxiter)
+
+    u_star, u_info = lax.custom_linear_solve(
+        H_t, f_el, solve=vsolve, symmetric=True, has_aux=True)
+
+    # Modal filter in el form (exchange-averaged).
+    if alpha:
+      from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
+      grid = self.velocity.mesh.gridpoints_1d
+      low = Nodes1D.create(grid.num_points - 1, grid.node_type)
+      blend = jnp.asarray(
+          interpolation_matrix_1d(low, grid)
+          @ interpolation_matrix_1d(grid, low), dtype=wmass.dtype)
+      def filt(w):
+        fw = unflat(ops._ax1(blend, ops._ax0(blend, flat(w))))  # pylint: disable=protected-access
+        return (1.0 - alpha) * w + alpha * exch(fw) / mult
+      u_star = tuple(filt(w) for w in u_star)
+
+    diag_i = 1.0 / exch(wmass)
+
+    def Q_t(ut):
+      return tuple((dt / beta_k) * diag_i * exch(w) for w in ut)
+
+    def E_fast(p):
+      return div_el(Q_t(grad_el(p)))
+
+    if pressure_preconditioner is None and project_out_nullspace:
+      def pressure_preconditioner(p):  # noqa: F811 - local default
+        ones = jnp.ones_like(p)
+        return p - (self.dot(ones, p) / self.dot(ones, ones)) * ones
+
+    def psolve(matvec, rhs):
+      ones = jnp.ones_like(rhs)
+      rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
+      return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
+                dot_fn=self.dot, maxiter=maxiter)
+
+    dp, p_info = lax.custom_linear_solve(
+        E_fast, -div_el(u_star), solve=psolve, symmetric=True, has_aux=True)
+
+    u = tmap(lambda a, b: a + b, u_star, Q_t(grad_el(dp)))
+    p = p_out(p_ext + dp)
+    u = tuple(v_out(w) for w in u)
+    aux = {'u_star_info': u_info, 'dp_info': p_info}
+    if not as_tuple_input:
+      u = jnp.stack(u, axis=-1)
+    return u, p, aux
+
+  @property
+  def _mult_nodal(self):
+    # Nodal copy-multiplicity including periodic images (cached per trace).
+    vmesh = self.velocity.vspace.mesh
+    return vmesh.exchange(self.velocity.diag_qqt)
+
+  @property
+  def _fully_periodic(self) -> bool:
+    mask = np.asarray(self.velocity.interior_mask)
+    return bool((mask == 1).all()) and not self.velocity.mesh.physical_masks
+
   def _stokes_one_step_fast(self, us, ps, f, mu, dt, time_order, alpha,
                             u_boundary, pressure_preconditioner,
                             project_out_nullspace, tol, atol, maxiter):
@@ -402,6 +548,26 @@ class StokesSEM:
       f = tup(f)
     if u_boundary is not None:
       u_boundary = tup(u_boundary)
+
+    if u_boundary is None and self._fully_periodic:
+      # Fully-periodic boxes: run CG entirely in element-local form
+      # (roll-based exchange; zero layout transforms per iteration).
+      from swirlfem_tpu.ops import sem2d as _s2
+      pinfo = self.fast_ops.pinfo
+      precond_el = None
+      if pressure_preconditioner is not None:
+        mm = pinfo.order + 1
+        nn = pinfo.num_elements_per_dim
+
+        def precond_el(p_el):  # wrap a nodal preconditioner for el states
+          p_nodal = _s2.el_to_nodal(p_el.reshape(mm, mm, nn * nn), pinfo)
+          out = pressure_preconditioner(p_nodal)
+          return _s2.nodal_to_el(out, pinfo).reshape(mm, mm, nn, nn)
+
+      u, p, aux = self._stokes_one_step_el(
+          us, ps, f, mu, dt, time_order, alpha, precond_el,
+          project_out_nullspace, tol, atol, maxiter, as_tuple_input)
+      return u, p, aux
 
     tmap = jax.tree_util.tree_map
     if pressure_preconditioner is None and project_out_nullspace:
@@ -432,8 +598,16 @@ class StokesSEM:
     if u_boundary is not None:
       f = tmap(lambda a, b: a - b, f, H_t(u_boundary))
 
+    # Jacobi-preconditioned continuity projector for the viscous solve:
+    # M(r) = exchange(r) / diag(H) with the assembled diagonal (constant
+    # across dof copies, so it commutes with QQ^T and M stays symmetric).
+    from swirlfem_tpu.ops import sem2d as _sem2d
+    diag_a = _sem2d.el_to_nodal(self.fast_ops.stiffness_diag_el(),
+                                self.fast_ops.vinfo)
+    diag_h = vmesh.exchange((beta_k / dt) * md + mu * diag_a)
+
     def exch_t(ut):
-      return tuple(vmesh.exchange(u) for u in ut)
+      return tuple(vmesh.exchange(u) / diag_h for u in ut)
 
     def vsolve(matvec, rhs):
       rhs = tuple(mask * r for r in rhs)

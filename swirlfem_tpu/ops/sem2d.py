@@ -60,6 +60,36 @@ def nodal_to_el(u: jax.Array, info: StructuredInfo) -> jax.Array:
   return s1.transpose(1, 3, 0, 2).reshape(p + 1, p + 1, n * n)
 
 
+def exchange_el(w: jax.Array, info: StructuredInfo) -> jax.Array:
+  """Direct-stiffness summation (Q Q^T) in element-local form, periodic box.
+
+  Input/output ``(k, k, n, n)`` with element axes last (k = order+1 local
+  nodes, n elements per dim).  Shared element-boundary copies are summed
+  with two sequential axis passes of rolls (the second pass propagates edge
+  sums so corners receive all four contributions); periodic wraparound is
+  the roll itself.  No gathers, no scatters.
+  """
+  k = info.order + 1
+  p = k - 1
+  # axis 1 (local axis 1 <-> element axis 3).
+  s = w[:, p] + jnp.roll(w[:, 0], -1, axis=-1)
+  w = w.at[:, p].set(s)
+  w = w.at[:, 0].set(jnp.roll(s, 1, axis=-1))
+  # axis 0 (local axis 0 <-> element axis 2).
+  s = w[p] + jnp.roll(w[0], -1, axis=-2)
+  w = w.at[p].set(s)
+  w = w.at[0].set(jnp.roll(s, 1, axis=-2))
+  return w
+
+
+def multiplicity_el(info: StructuredInfo, dtype=jnp.float32) -> jax.Array:
+  """Copy-count of each element-local node on the periodic box."""
+  k = info.order + 1
+  n = info.num_elements_per_dim
+  ones = jnp.ones((k, k, n, n), dtype=dtype)
+  return exchange_el(ones, info)
+
+
 def el_to_nodal(w: jax.Array, info: StructuredInfo) -> jax.Array:
   """Transpose of `nodal_to_el`: sums overlapping element boundaries."""
   n, p = info.num_elements_per_dim, info.order
@@ -138,6 +168,22 @@ class Sem2DOps:
     a = self.g11 * ur + self.g12 * us
     b = self.g12 * ur + self.g22 * us
     return self._ax0(d.T, a) + self._ax1(d.T, b)
+
+  def stiffness_diag_el(self) -> jax.Array:
+    """Element-local diagonal of the stiffness operator, (n, n, E).
+
+    diag(A)_(i,j) = sum_q D[q,i]^2 G11[q,j] + sum_r D[r,j]^2 G22[i,r]
+                    + 2 D[i,i] D[j,j] G12[i,j]   (tensor-product closed form).
+    Assembled (scattered + exchanged) it yields the Jacobi preconditioner
+    diagonal for the viscous Helmholtz solve.
+    """
+    d = self._m(self.dmat)
+    d2 = d * d
+    t1 = jnp.einsum('qi,qje->ije', d2, self.g11, precision=PRECISION)
+    t2 = jnp.einsum('rj,ire->ije', d2, self.g22, precision=PRECISION)
+    dd = jnp.diagonal(d)
+    cross = 2.0 * dd[:, None, None] * dd[None, :, None] * self.g12
+    return t1 + t2 + cross
 
   def phys_grad_el(self, u: jax.Array):
     """Physical gradient at GLL points: returns (du/dx, du/dy)."""
