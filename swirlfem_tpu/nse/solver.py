@@ -235,7 +235,8 @@ class StokesSEM:
   def create(cls, premesh: Premesh, boundary_conditions, order: int,
              num_convection_overint_nodes: int = 2,
              axis_name: str | None = None,
-             device_mesh=None) -> 'StokesSEM':
+             device_mesh=None,
+             use_pallas_kernels: bool = False) -> 'StokesSEM':
     if premesh.order != 1:
       raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
     quadrature = Quadrature1D.create(
@@ -264,7 +265,8 @@ class StokesSEM:
         and pressure.pspace.mesh.structured is not None
         and premesh.ndim == 2):
       from swirlfem_tpu.ops.sem2d import build_sem2d_ops
-      fast_ops = build_sem2d_ops(velocity, pressure)
+      fast_ops = build_sem2d_ops(velocity, pressure,
+                                 use_pallas=use_pallas_kernels)
     return cls(velocity=velocity, pressure=pressure,
                velocity_mass_diag=velocity_mass_diag, axis_name=axis_name,
                fast_ops=fast_ops)

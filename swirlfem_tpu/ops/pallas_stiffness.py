@@ -1,0 +1,86 @@
+"""Pallas TPU kernel: fused sum-factorized spectral-element stiffness apply.
+
+Computes, per scalar component in E-last layout ``(n, n, E)``:
+
+    A u = D^T (G11 Du_xi + G12 Du_eta) + D~^T (G12 Du_xi + G22 Du_eta)
+
+in a single fused kernel: one HBM read of (u, G11, G12, G22), one HBM write
+of the output, with all four 1D contractions and the geometric pointwise
+stage resident in VMEM.  The element axis rides the 128-lane dimension; the
+small (n, n) differentiation matrix is broadcast from VMEM.
+
+Contractions are expressed as broadcast-multiply-reduce over the order-sized
+axes (pure VPU work, no awkward sublane matmuls): for n ~ 9 the arithmetic
+is negligible and the kernel is HBM-bandwidth bound, which is the
+speed-of-light regime for this operator (arithmetic intensity ~ n/2 flops
+per byte).
+
+The XLA einsum path (`Sem2DOps.stiffness_el`) remains the fallback and the
+correctness oracle; `stiffness_el_pallas` is used when running on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref):
+  """Row-structured kernel: only 2D (n, TE) tiles and (n, n) matmuls.
+
+  Mosaic cannot shape-cast small tensors to 4D for broadcasting, so the
+  xi-direction contractions are unrolled as scalar-weighted row
+  accumulations (VPU FMAs) and the eta-direction ones are (n, n) x (n, TE)
+  matmuls (MXU).  n is static and small (~9), so full unrolling is cheap.
+  """
+  d = d_ref[:]          # (n, n)
+  n = d.shape[0]
+  u_rows = [u_ref[a] for a in range(n)]           # each (n, TE)
+
+  # du/dxi rows: ur_a = sum_m d[a, m] u_m   (scalar * tile accumulation).
+  ur = [sum(d_ref[a, m] * u_rows[m] for m in range(n)) for a in range(n)]
+  # du/deta rows: us_a = d @ u_a.  Explicit HIGHEST precision: Mosaic's
+  # default truncates f32 matmul inputs to bf16.
+  us = [jnp.dot(d, u_rows[a], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=u_rows[a].dtype)
+        for a in range(n)]
+
+  fa = [g11_ref[a] * ur[a] + g12_ref[a] * us[a] for a in range(n)]
+  fb = [g12_ref[a] * ur[a] + g22_ref[a] * us[a] for a in range(n)]
+
+  # out_m = sum_a d[a, m] fa_a  +  d^T @ fb_m.
+  for m in range(n):
+    t1 = sum(d_ref[a, m] * fa[a] for a in range(n))
+    t2 = jnp.dot(d.T, fb[m], precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=t1.dtype)
+    out_ref[m] = t1 + t2
+
+
+def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,
+                        g22: jax.Array, dmat, *, tile_e: int = 512,
+                        interpret: bool = False) -> jax.Array:
+  """Fused stiffness apply on ``(n, n, E)``; E must be a multiple of tile_e
+  (the structured meshes used here have power-of-two element counts)."""
+  n = u.shape[0]
+  num_e = u.shape[2]
+  if num_e % tile_e:
+    tile_e = num_e  # small problems: single tile
+  d = jnp.asarray(dmat, dtype=u.dtype)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((n, n, tile_e), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+  dspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+  return pl.pallas_call(
+      _kernel,
+      out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+      grid=grid,
+      in_specs=[dspec, block, block, block, block],
+      out_specs=block,
+      interpret=interpret,
+  )(d, u, g11, g12, g22)

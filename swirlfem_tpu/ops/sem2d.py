@@ -144,6 +144,9 @@ class Sem2DOps:
   interp_o_grad: np.ndarray = flax.struct.field(pytree_node=False)  # (m_o, n)
   vinfo: StructuredInfo = flax.struct.field(pytree_node=False)
   pinfo: StructuredInfo = flax.struct.field(pytree_node=False)
+  # Route the stiffness apply through the fused Pallas kernel
+  # (ops.pallas_stiffness); requires a TPU backend.
+  use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
 
   # -- 1D contractions (axis 0 = xi, axis 1 = eta; E last) ----------------
 
@@ -162,6 +165,9 @@ class Sem2DOps:
 
   def stiffness_el(self, u: jax.Array) -> jax.Array:
     """A_local on one component, (n, n, E) -> (n, n, E)."""
+    if self.use_pallas:
+      from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas
+      return stiffness_el_pallas(u, self.g11, self.g12, self.g22, self.dmat)
     d = self._m(self.dmat)
     ur = self._ax0(d, u)
     us = self._ax1(d, u)
@@ -231,7 +237,7 @@ class Sem2DOps:
     return tuple(outs)
 
 
-def build_sem2d_ops(velocity, pressure) -> Sem2DOps:
+def build_sem2d_ops(velocity, pressure, use_pallas: bool = False) -> Sem2DOps:
   """Builds E-last factors from the generic spaces (host/setup time).
 
   Args:
@@ -285,4 +291,4 @@ def build_sem2d_ops(velocity, pressure) -> Sem2DOps:
       interp_p=interpolation_matrix_1d(pgrid, vgrid),
       interp_o=interpolation_matrix_1d(vgrid, ogrid),
       interp_o_grad=interpolation_grad_matrix_1d(vgrid, ogrid),
-      vinfo=vinfo, pinfo=pinfo)
+      vinfo=vinfo, pinfo=pinfo, use_pallas=use_pallas)

@@ -1,0 +1,42 @@
+"""Pallas fused stiffness kernel vs the XLA einsum oracle (interpret mode).
+
+On real TPUs the compiled kernel is additionally exercised by bench.py
+(which builds the solver with use_pallas_kernels=True and cross-checks
+against the reference-algorithm apply).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from swirlfem_tpu.nse.solver import StokesSEM
+from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas
+from swirlfem_tpu.utils.box import unit_cube_mesh
+
+
+@pytest.mark.parametrize('order', [3, 5])
+def test_pallas_stiffness_matches_einsum(order):
+  sem = StokesSEM.create(unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+                         {}, order=order)
+  ops = sem.fast_ops
+  rng = np.random.default_rng(order)
+  n = order + 1
+  u = jnp.asarray(rng.standard_normal((n, n, 16)))
+  ref = ops.stiffness_el(u)
+  got = stiffness_el_pallas(u, ops.g11, ops.g12, ops.g22, ops.dmat,
+                            interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
+
+
+def test_pallas_tiling_grid():
+  """Multiple element tiles produce the same result as one tile."""
+  sem = StokesSEM.create(unit_cube_mesh(8, ndim=2, periodic_dims=(0, 1)),
+                         {}, order=3)
+  ops = sem.fast_ops
+  rng = np.random.default_rng(0)
+  u = jnp.asarray(rng.standard_normal((4, 4, 64)))
+  one = stiffness_el_pallas(u, ops.g11, ops.g12, ops.g22, ops.dmat,
+                            tile_e=64, interpret=True)
+  tiled = stiffness_el_pallas(u, ops.g11, ops.g12, ops.g22, ops.dmat,
+                              tile_e=16, interpret=True)
+  np.testing.assert_allclose(np.asarray(tiled), np.asarray(one), atol=1e-12)
