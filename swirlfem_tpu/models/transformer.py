@@ -601,6 +601,7 @@ class Model(nn.Module):
   dtype: Any = jnp.float32
   precision: lax.Precision | None = None
   mean_after_decoder: bool = False
+  freeze_encoder: bool = False
 
   @nn.compact
   def __call__(self, inputs, z_rng):
@@ -620,6 +621,9 @@ class Model(nn.Module):
           num_initial_heads=self.num_initial_heads, use_bias=self.use_bias,
           pool_q_every_layer=self.pool_q_every_layer, dtype=self.dtype,
           precision=self.precision, name='multiscale_encoder')(encoded)
+      if self.freeze_encoder:
+        x = jax.lax.stop_gradient(x)
+        skips = jax.tree.map(jax.lax.stop_gradient, skips)
 
       if self.processor_config.num_samples > 0:
         if not self.processor_config.use_transformer:

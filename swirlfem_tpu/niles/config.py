@@ -28,6 +28,7 @@ def get_config() -> ml_collections.ConfigDict:
   config.model.num_layers = 6
   config.model.num_heads = 4
   config.model.use_residuals = True
+  config.model.freeze_encoder = False
   config.model.depth = 6
   config.model.num_initial_heads = 1
   config.model.pooling_layers = (config.model.depth - 4,

@@ -40,6 +40,7 @@ class DatagenConfig:
   forcing_wavenumber: float = 4.0
   snapshot_every: int = 10
   split: str = 'train'
+  seed: int = 0  # perturbs the initial condition (ensemble generation)
 
 
 def u_init(x, l: float = 2.0):
@@ -133,6 +134,10 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
                dx)
 
   u0 = u_init(sem.velocity.mesh.node_coords)
+  if cfg.seed:
+    # Small divergence-free-ish perturbation to decorrelate ensemble runs.
+    key = jax.random.PRNGKey(cfg.seed)
+    u0 = u0 + 1e-3 * jax.random.normal(key, u0.shape, u0.dtype)
   p0 = jnp.zeros(sem.pressure.pspace.mesh.num_nodes,
                  dtype=sem.velocity.mesh.node_coords.dtype)
   us = tuple(u0 for _ in range(cfg.time_order))

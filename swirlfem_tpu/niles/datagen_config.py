@@ -45,4 +45,5 @@ def as_datagen_config(config):
       drag_coeff=config.drag_coeff,
       forcing_wavenumber=config.forcing_wavenumber,
       snapshot_every=config.snapshot_every,
-      split=config.split)
+      split=config.split,
+      seed=config.seed)

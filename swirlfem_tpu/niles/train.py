@@ -298,6 +298,7 @@ def create_model(model_name: str, model_config):
       depth=model_config.depth,
       width=model_config.width,
       use_residuals=model_config.use_residuals,
+      freeze_encoder=model_config.get('freeze_encoder', False),
       mean_after_decoder=model_config.mean_after_decoder,
       processor_config=model_config.processor_config,
       num_initial_heads=model_config.num_initial_heads,
