@@ -31,7 +31,7 @@ def _axpy(alpha, x, y):
 
 
 def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
-       dot_fn=jnp.vdot):
+       dot_fn=jnp.vdot, euclidean_stop=False):
   """Solves ``A x = b`` with preconditioned conjugate gradients.
 
   Args:
@@ -39,17 +39,22 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
       respect to `dot_fn`.
     b: right-hand side pytree.
     x0: optional initial guess (defaults to zeros).
-    tol, atol: convergence when ``gamma <= max(tol^2 * <b,b>, atol^2)`` where
-      ``gamma = <r, M r>``.
+    tol, atol: convergence when ``s <= max(tol^2 * <b,b>, atol^2)`` where
+      the stopping quantity ``s`` is ``gamma = <r, M r>`` (with ``<b, M b>``
+      as the reference) by default, or ``<r, r>`` / ``<b, b>`` with
+      `euclidean_stop`.
     maxiter: iteration cap (defaults to 10x problem size, as in scipy).
     M: preconditioner (defaults to identity).  In the spectral-element
       setting `M = exchange` doubles as the continuity projector so CG runs
       in the redundant local representation.
     dot_fn: leaf-wise dot product; must include any cross-partition reduction
       when running distributed.
+    euclidean_stop: stop on the euclidean residual norm instead of the
+      M-weighted one (one extra dot per iteration).  Useful when the caller
+      needs a fixed physical tolerance independent of the preconditioner.
 
   Returns:
-    ``(x, info)`` with ``info = {'residual': gamma, 'num_iterations': k}``.
+    ``(x, info)`` with ``info = {'residual': s, 'num_iterations': k}``.
   """
   if x0 is None:
     x0 = tree_map(jnp.zeros_like, b)
@@ -62,33 +67,49 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
   # against tol^2 <b, M b> (same M-weighted norm).  An euclidean <b, b>
   # reference (as in the reference cg) makes the relative test meaningless
   # when M rescales aggressively (e.g. near-exact preconditioners).
-  bs = _tree_vdot(b, M(b), dot_fn)
+  bs = (_tree_vdot(b, b, dot_fn) if euclidean_stop
+        else _tree_vdot(b, M(b), dot_fn))
   threshold = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
 
   r0 = tree_map(operator.sub, b, A(x0))
   z0 = M(r0)
   dtype = jnp.result_type(*tree_leaves(z0))
   gamma0 = _tree_vdot(r0, z0, dot_fn).astype(dtype)
+  s0 = (_tree_vdot(r0, r0, dot_fn).astype(dtype) if euclidean_stop
+        else gamma0)
 
   def cond(state):
-    _, _, gamma, _, k = state
-    return (gamma > threshold) & (k < maxiter)
+    _, _, _, s, _, k = state
+    return (s > threshold) & (k < maxiter)
 
   def body(state):
-    x, r, gamma, p, k = state
+    x, r, gamma, _, p, k = state
     ap = A(p)
-    alpha = (gamma / _tree_vdot(p, ap, dot_fn)).astype(dtype)
+    pap = _tree_vdot(p, ap, dot_fn).astype(dtype)
+    # Breakdown guard: with a near-exact preconditioner in f32, <r, M r>
+    # and <p, A p> reach rounding level close to convergence and can flip
+    # sign (the f32-applied M is only symmetric/definite up to
+    # eps * cond(A)).  An update with alpha = gamma / (tiny or negative)
+    # would corrupt x by orders of magnitude right before the loop exits;
+    # instead skip the update and force termination by zeroing gamma.
+    safe = (pap > 0) & (gamma > 0)
+    alpha = jnp.where(safe, gamma / jnp.where(pap == 0, 1, pap),
+                      0).astype(dtype)
     x = _axpy(alpha, p, x)
     r = _axpy(-alpha, ap, r)
     z = M(r)
-    gamma_new = _tree_vdot(r, z, dot_fn).astype(dtype)
-    beta = gamma_new / gamma
+    gamma_new = jnp.where(safe, _tree_vdot(r, z, dot_fn), 0).astype(dtype)
+    if euclidean_stop:
+      s = jnp.where(safe, _tree_vdot(r, r, dot_fn), 0).astype(dtype)
+    else:
+      s = gamma_new
+    beta = gamma_new / jnp.where(gamma == 0, 1, gamma)
     p = _axpy(beta, p, z)
-    return x, r, gamma_new, p, k + 1
+    return x, r, gamma_new, s, p, k + 1
 
-  x, _, gamma, _, iters = lax.while_loop(
-      cond, body, (x0, r0, gamma0, z0, 0))
-  return x, {'residual': gamma, 'num_iterations': iters}
+  x, _, _, s, _, iters = lax.while_loop(
+      cond, body, (x0, r0, gamma0, s0, z0, 0))
+  return x, {'residual': s, 'num_iterations': iters}
 
 
 def distributed_vdot(axis_name: str):

@@ -90,6 +90,7 @@ def get_config() -> ml_collections.ConfigDict:
   config.checkpoint_epochs = 1
   config.eval_every_epochs = 0.1
   config.cache = True
+  config.profile_dir = ''  # set to capture a jax profiler trace
   config.num_train_steps = -1
   config.steps_per_eval = 10
   return config

@@ -67,13 +67,36 @@ def min_node_spacing(mesh) -> float:
 
 
 def make_step_fn(sem, cfg: DatagenConfig):
-  """Jitted scan of `snapshot_every` steps between snapshots."""
+  """Jitted scan of `snapshot_every` steps between snapshots.
+
+  States travel as per-component flat tuples ((u_x, u_y) of (N,) arrays):
+  (N, 2)-shaped nodal arrays pad 64x in TPU memory, so all per-step
+  arithmetic (extrapolation, forcing, mass scaling) runs on unpadded 1D
+  arrays, and the solver's fast path consumes the tuples directly.
+  """
   precond = sem.fft_pressure_preconditioner(cfg.dt, cfg.time_order)
+  ext = [float(c) for c in navier_stokes.extk_coeffs(k=cfg.time_order - 1)]
+  coords = sem.velocity.mesh.node_coords
+  md = sem.velocity_mass_diag[..., 0]
+  fbody_x = jnp.sin(2 * jnp.pi * cfg.forcing_wavenumber * coords[..., 1])
+  tmap = jax.tree_util.tree_map
 
   def one_step(us, ps, cus):
-    ext = [float(c) for c in navier_stokes.extk_coeffs(k=cfg.time_order - 1)]
-    cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
-    f = forcing(cfg, sem.velocity.mesh.node_coords, us[-1])
+    cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
+              *cus)
+    ux, uy = us[-1]
+    f = (md * (fbody_x - cfg.drag_coeff * ux) - cu[0],
+         md * (-cfg.drag_coeff * uy) - cu[1])
+    u, p, _ = sem.stokes_one_step(
+        list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
+        time_order=cfg.time_order, tol=1e-5, atol=1e-4,
+        pressure_preconditioner=precond)
+    return u, p, sem._fast_C(u) if sem.fast_ops is not None else None
+
+  def one_step_nodal(us, ps, cus):
+    # Generic fallback for unstructured meshes ((N, 2) carriers).
+    cu = sum(e * c for e, c in zip(ext[::-1], cus[::-1]))
+    f = forcing(cfg, coords, us[-1])
     f = -cu + sem.B(f)
     u, p, _ = sem.stokes_one_step(
         list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
@@ -81,11 +104,13 @@ def make_step_fn(sem, cfg: DatagenConfig):
         pressure_preconditioner=precond)
     return u, p, sem.C(u)
 
+  step = one_step if sem.fast_ops is not None else one_step_nodal
+
   @jax.jit
   def advance(us, ps, cus):
     def body(carry, _):
       us, ps, cus = carry
-      u, p, cu = one_step(us, ps, cus)
+      u, p, cu = step(us, ps, cus)
       return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (cu,)), None
     (us, ps, cus), _ = jax.lax.scan(
         body, (us, ps, cus), None, length=cfg.snapshot_every)
@@ -99,14 +124,18 @@ def one_cycle(sem, cfg: DatagenConfig, advance, start_step, us, ps, cus,
   """Runs one cycle, writing snapshot frames to an HDF5 shard."""
   import h5py
 
+  def u_np(u):
+    return np.stack([np.asarray(c) for c in u], axis=-1) if isinstance(
+        u, tuple) else np.asarray(u)
+
   t = start_step * cfg.dt
-  frames = {'t': [t], 'u': [np.asarray(us[-1])], 'p': [np.asarray(ps[-1])]}
+  frames = {'t': [t], 'u': [u_np(us[-1])], 'p': [np.asarray(ps[-1])]}
   start_time = time.time()
   for _ in range(cfg.num_steps_per_cycle // cfg.snapshot_every):
     us, ps, cus = advance(us, ps, cus)
     t += cfg.snapshot_every * cfg.dt
     frames['t'].append(t)
-    frames['u'].append(np.asarray(us[-1]))
+    frames['u'].append(u_np(us[-1]))
     frames['p'].append(np.asarray(ps[-1]))
   logging.info('one cycle walltime %f seconds', time.time() - start_time)
 
@@ -146,9 +175,14 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
     u0 = u0 + 1e-3 * jax.random.normal(key, u0.shape, u0.dtype)
   p0 = jnp.zeros(sem.pressure.pspace.mesh.num_nodes,
                  dtype=sem.velocity.mesh.node_coords.dtype)
+  if sem.fast_ops is not None:
+    u0 = (u0[:, 0], u0[:, 1])
+    c0 = sem._fast_C(u0)
+  else:
+    c0 = sem.C(u0)
   us = tuple(u0 for _ in range(cfg.time_order))
   ps = tuple(p0 for _ in range(cfg.time_order))
-  cus = tuple(sem.C(u) for u in us)
+  cus = tuple(c0 for _ in range(cfg.time_order))
   advance = make_step_fn(sem, cfg)
 
   os.makedirs(workdir, exist_ok=True)

@@ -427,10 +427,17 @@ def train_and_evaluate(config, workdir: str):
       functools.partial(eval_step, kl_penalty_fn=kl_penalty_fn, sem=sem,
                         to_grid=to_grid, config=config))
 
+  profile = None
+  if config.get('profile_dir'):
+    from swirlfem_tpu.utils.profiling import PeriodicProfile
+    profile = PeriodicProfile(config.profile_dir)
+
   train_metrics = []
   last_t = time.time()
   logging.info('starting training: %d steps', num_steps)
   for step in range(step_offset, num_steps):
+    if profile is not None:
+      profile(step)
     batch = jax.device_put(next(train_iter), batch_sharding)
     step_rng = jax.random.fold_in(train_rng, step)
     state, metrics = p_train_step(state, batch, step_rng)

@@ -36,10 +36,24 @@ def is_uniform_periodic(sem) -> bool:
   if ops is None:
     return False
   # All elements identical geometry: the geometric factor fields must be
-  # constant along the element axis.
-  g = np.asarray(ops.wmass)
-  if not np.allclose(g, g[..., :1], rtol=1e-10, atol=1e-12):
-    return False
+  # constant along the element axis (tolerance scaled to the working dtype:
+  # f32 setup rounding gives ~1e-9 per-element jitter on a uniform box).
+  # Tolerance 1e-3 against a *common* geometric scale: accepts f32 setup
+  # rounding on uniform boxes (1.2e-4 relative at 64x64 elements; and g12
+  # is mathematically zero there, so its own magnitude is pure noise) while
+  # rejecting genuine deformations.  Correctness never depends on this
+  # check -- the FFT solve is only a CG preconditioner -- so a borderline
+  # accept just costs an extra iteration or two.
+  wmass = np.asarray(ops.wmass)
+  g11 = np.asarray(ops.g11)
+  g12 = np.asarray(ops.g12)
+  g22 = np.asarray(ops.g22)
+  gscale = max(float(np.abs(g11).max()), float(np.abs(g22).max()))
+  checks = [(wmass, float(np.abs(wmass).max())),
+            (g11, gscale), (g12, gscale), (g22, gscale)]
+  for g, scale in checks:
+    if float(np.abs(g - g[..., :1]).max()) > 1e-3 * scale:
+      return False
   # Fully periodic: no Dirichlet mask, velocity exchange wraps both axes.
   mask = np.asarray(sem.velocity.interior_mask)
   return bool((mask == 1).all())
@@ -62,28 +76,48 @@ def build_fft_pressure_solver(sem, dt: float, time_order: int):
   beta_k = float(bdfk_coeffs(time_order)[-1])
   scale = dt / beta_k
 
+  # Symbol assembly is a one-time host-side setup: run it on the CPU
+  # backend regardless of where `sem` lives (eager dispatch of ~50 small
+  # operator applies to a remote TPU is latency-bound: measured 2 minutes
+  # via the tunnel vs seconds on host), and in FLOAT64: the small-k blocks
+  # of E_hat are near-singular (cond ~ (n p)^2), so inverting an f32-noisy
+  # symbol yields a preconditioner that is neither accurate nor symmetric
+  # to working precision -- measured CG breakdown (negative <r, M r>) after
+  # ~50 iterations instead of O(1) convergence.
+  cpu = jax.local_devices(backend='cpu')[0]
+  sem_host = jax.device_put(sem, cpu)
+
+  def _to64(x):
+    if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+      return np.asarray(x, np.float64)
+    return x
+
   def e0(p):
     # E without the dt/beta_k factor: D diag_i exchange D^T.
-    vmesh = sem.velocity.vspace.mesh
-    md = sem.velocity_mass_diag[..., 0]
+    vmesh = sem64.velocity.vspace.mesh
+    md = sem64.velocity_mass_diag[..., 0]
     diag_i = 1.0 / vmesh.exchange(md)
-    grad = sem._fast_Dt(p)  # pylint: disable=protected-access
+    grad = sem64._fast_Dt(p)  # pylint: disable=protected-access
     qv = tuple(diag_i * vmesh.exchange(g) for g in grad)
-    return sem._fast_D(qv)  # pylint: disable=protected-access
+    return sem64._fast_D(qv)  # pylint: disable=protected-access
 
-  # Apply E0 to the m^2 delta fields living on element (0, 0).
-  def delta_field(i):
-    return jnp.zeros(num_p, sem.velocity_mass_diag.dtype).at[i].set(1.0)
+  with jax.default_device(cpu), jax.enable_x64(True):
+    sem64 = jax.tree.map(_to64, sem_host)
 
-  # Element (0,0) owns the first m entries of each of the first m grid rows:
-  # node id = (0*m + li) * (n*m) + (0*m + lj) in the DG grid numbering.
-  ids = (np.arange(m)[:, None] * (n * m) + np.arange(m)[None, :]).reshape(-1)
-  deltas = jnp.stack([delta_field(int(i)) for i in ids])
-  responses = jax.lax.map(jax.jit(e0), deltas)  # (m^2, num_p)
+    # Apply E0 to the m^2 delta fields living on element (0, 0).
+    def delta_field(i):
+      return jnp.zeros(num_p, np.float64).at[i].set(1.0)
 
-  # (m^2 inputs, m, m, E) -> (m^2, m^2, n, n) coupling over element shifts.
-  resp_el = jax.vmap(lambda r: sem2d.nodal_to_el(r, pinfo))(responses)
-  resp_el = np.asarray(resp_el).reshape(m * m, m * m, n, n)
+    # Element (0,0) owns the first m entries of each of the first m grid
+    # rows: node id = (0*m + li) * (n*m) + (0*m + lj) in DG grid numbering.
+    ids = (np.arange(m)[:, None] * (n * m)
+           + np.arange(m)[None, :]).reshape(-1)
+    deltas = jnp.stack([delta_field(int(i)) for i in ids])
+    responses = jax.lax.map(jax.jit(e0), deltas)  # (m^2, num_p)
+
+    # (m^2 inputs, m, m, E) -> (m^2, m^2, n, n) coupling over elem shifts.
+    resp_el = jax.vmap(lambda r: sem2d.nodal_to_el(r, pinfo))(responses)
+    resp_el = np.asarray(resp_el).reshape(m * m, m * m, n, n)
 
   # Symbol: FFT over element shifts.  E(delta on element 0) lands on
   # elements s, so E_hat(k)[j, i] = sum_s resp[i, j, s] exp(-i k.s).
@@ -98,18 +132,33 @@ def build_fft_pressure_solver(sem, dt: float, time_order: int):
         inv[a, b] = np.linalg.pinv(blk, rcond=1e-10)
       else:
         inv[a, b] = np.linalg.inv(blk)
-  inv_dev = jnp.asarray(inv, dtype=jnp.complex64
-                        if sem.velocity_mass_diag.dtype == jnp.float32
-                        else jnp.complex128)
+  # Keep the inverse symbol as *real/imag numpy* constants: a complex jax
+  # Array captured in a jit closure is fetched back to host at trace time
+  # to embed as a constant, and complex device->host transfers are
+  # UNIMPLEMENTED through the remote-TPU tunnel.  numpy constants embed
+  # without any device fetch, and the complex recombination happens
+  # in-trace where XLA:TPU handles complex64 natively.
+  rdtype = (np.float32 if sem.velocity_mass_diag.dtype == jnp.float32
+            else np.float64)
+  inv_re = np.ascontiguousarray(inv.real, dtype=rdtype)
+  inv_im = np.ascontiguousarray(inv.imag, dtype=rdtype)
 
   def solve(rhs):
     """Applies E^{-1} (with the dt/beta_k scaling) to a nodal pressure."""
+    inv_c = jax.lax.complex(jnp.asarray(inv_re), jnp.asarray(inv_im))
     el = sem2d.nodal_to_el(rhs, pinfo)  # (m, m, E)
     grid = el.reshape(m * m, n, n)
     hat = jnp.fft.fft2(grid, axes=(1, 2))
-    out_hat = jnp.einsum('abji,iab->jab', inv_dev, hat)
+    out_hat = jnp.einsum('abji,iab->jab', inv_c, hat)
     out = jnp.real(jnp.fft.ifft2(out_hat, axes=(1, 2)))
     out = out.reshape(m, m, n * n).astype(rhs.dtype)
     return sem2d.el_to_nodal(out, pinfo) / scale
 
+  # diag(E): the zero-shift self-responses -- identical for every element
+  # by translation invariance.  Exposed for a noise-free Jacobi companion
+  # preconditioner (a diagonal has no FFT rounding, so it is safe inside
+  # CG where the block-FFT inverse is not; see nse.solver psolve).
+  diag_e0 = np.array([resp_el[j, j, 0, 0] for j in range(m * m)],
+                     dtype=rdtype)
+  solve.jacobi_diag_el = (scale * diag_e0).reshape(m, m)
   return solve
