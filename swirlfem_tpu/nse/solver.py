@@ -228,7 +228,7 @@ class StokesSEM:
   pressure: StokesPressure
   velocity_mass_diag: jax.Array
   axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
-  # E-last fast operator core (structured 2D meshes only; see ops.sem2d).
+  # E-last fast operator core (structured 2D/3D boxes; see ops.sem2d/sem3d).
   fast_ops: Any | None = None
 
   @classmethod
@@ -263,10 +263,14 @@ class StokesSEM:
     if (not premesh.is_partitioned()
         and velocity.mesh.structured is not None
         and pressure.pspace.mesh.structured is not None
-        and premesh.ndim == 2):
-      from swirlfem_tpu.ops.sem2d import build_sem2d_ops
-      fast_ops = build_sem2d_ops(velocity, pressure,
-                                 use_pallas=use_pallas_kernels)
+        and premesh.ndim in (2, 3)):
+      if premesh.ndim == 2:
+        from swirlfem_tpu.ops.sem2d import build_sem2d_ops
+        fast_ops = build_sem2d_ops(velocity, pressure,
+                                   use_pallas=use_pallas_kernels)
+      else:
+        from swirlfem_tpu.ops.sem3d import build_sem3d_ops
+        fast_ops = build_sem3d_ops(velocity, pressure)
     return cls(velocity=velocity, pressure=pressure,
                velocity_mass_diag=velocity_mass_diag, axis_name=axis_name,
                fast_ops=fast_ops)
@@ -298,7 +302,7 @@ class StokesSEM:
   def C(self, u):
     if self.fast_ops is not None:
       mask = self.velocity.interior_mask
-      out = self._fast_C((u[..., 0], u[..., 1]))
+      out = self._fast_C(tuple(u[..., i] for i in range(u.shape[-1])))
       return mask * jnp.stack(out, axis=-1)
     return self.velocity.C(u)
 
@@ -338,36 +342,45 @@ class StokesSEM:
 
   # -- E-last fast path -------------------------------------------------------
 
-  def _fast_stiffness(self, ut):
+  @property
+  def _elops(self):
+    """The dimension-matched element-operator module (sem2d / sem3d)."""
+    if self.fast_ops.vinfo.ndim == 3:
+      from swirlfem_tpu.ops import sem3d
+      return sem3d
     from swirlfem_tpu.ops import sem2d
+    return sem2d
+
+  def _fast_stiffness(self, ut):
+    mod = self._elops
     ops, vinfo = self.fast_ops, self.fast_ops.vinfo
     return tuple(
-        sem2d.el_to_nodal(ops.stiffness_el(sem2d.nodal_to_el(u, vinfo)),
-                          vinfo) for u in ut)
+        mod.el_to_nodal(ops.stiffness_el(mod.nodal_to_el(u, vinfo)),
+                        vinfo) for u in ut)
 
   def _fast_D(self, ut):
-    from swirlfem_tpu.ops import sem2d
+    mod = self._elops
     ops = self.fast_ops
-    comps = [sem2d.nodal_to_el(u, ops.vinfo) for u in ut]
-    return sem2d.el_to_nodal(ops.divergence_el(*comps), ops.pinfo)
+    comps = [mod.nodal_to_el(u, ops.vinfo) for u in ut]
+    return mod.el_to_nodal(ops.divergence_el(*comps), ops.pinfo)
 
   def _fast_Dt(self, p):
-    from swirlfem_tpu.ops import sem2d
+    mod = self._elops
     ops = self.fast_ops
     mask = jnp.squeeze(self.velocity.interior_mask, -1)
-    outs = ops.gradient_el(sem2d.nodal_to_el(p, ops.pinfo))
-    return tuple(mask * sem2d.el_to_nodal(o, ops.vinfo) for o in outs)
+    outs = ops.gradient_el(mod.nodal_to_el(p, ops.pinfo))
+    return tuple(mask * mod.el_to_nodal(o, ops.vinfo) for o in outs)
 
   def _fast_C(self, ut):
-    from swirlfem_tpu.ops import sem2d
+    mod = self._elops
     ops = self.fast_ops
-    comps = [sem2d.nodal_to_el(u, ops.vinfo) for u in ut]
+    comps = [mod.nodal_to_el(u, ops.vinfo) for u in ut]
     outs = ops.convection_el(*comps)
-    return tuple(sem2d.el_to_nodal(o, ops.vinfo) for o in outs)
+    return tuple(mod.el_to_nodal(o, ops.vinfo) for o in outs)
 
   def _fast_filter(self, ut, alpha):
-    from swirlfem_tpu.ops import sem2d
     from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
+    mod = self._elops
     ops, vinfo = self.fast_ops, self.fast_ops.vinfo
     grid = self.velocity.mesh.gridpoints_1d
     low = Nodes1D.create(grid.num_points - 1, grid.node_type)
@@ -378,9 +391,9 @@ class StokesSEM:
     mult = vmesh.exchange(self.velocity.diag_qqt)
     outs = []
     for u in ut:
-      el = sem2d.nodal_to_el(u, vinfo)
-      f = ops._ax1(blend, ops._ax0(blend, el))
-      avg = vmesh.exchange(sem2d.el_to_nodal(f, vinfo)) / mult
+      el = mod.nodal_to_el(u, vinfo)
+      f = ops.interp_all(blend, el)
+      avg = vmesh.exchange(mod.el_to_nodal(f, vinfo)) / mult
       outs.append((1.0 - alpha) * u + alpha * avg)
     return tuple(outs)
 
@@ -390,37 +403,40 @@ class StokesSEM:
     """Fractional step with CG fully in element-local (k,k,n,n) form.
 
     Fully-periodic structured boxes only: the continuity projector QQ^T is
-    two passes of rolls over the element axes (`sem2d.exchange_el`) — no
+    per-axis passes of rolls over the element axes (`exchange_el`) — no
     layout transforms or index ops inside the CG loops at all.  Inputs are
     converted once at entry and back once at exit.
     """
-    from swirlfem_tpu.ops import sem2d
+    mod = self._elops
     ops = self.fast_ops
     vinfo, pinfo = ops.vinfo, ops.pinfo
+    d = vinfo.ndim
     n = vinfo.num_elements_per_dim
     kk = vinfo.order + 1
     mm = pinfo.order + 1
+    eshape = (n,) * d
+    num_e = n ** d
     tmap = jax.tree_util.tree_map
 
-    def v_in(u):  # nodal flat -> (k, k, n, n)
-      return sem2d.nodal_to_el(u, vinfo).reshape(kk, kk, n, n)
+    def v_in(u):  # nodal flat -> (k,) * d + (n,) * d
+      return mod.nodal_to_el(u, vinfo).reshape((kk,) * d + eshape)
 
-    ones_el = jnp.ones((kk, kk, n * n), dtype=us[-1][0].dtype)
-    grid_mult = sem2d.el_to_nodal(ones_el, vinfo)
+    ones_el = jnp.ones((kk,) * d + (num_e,), dtype=us[-1][0].dtype)
+    grid_mult = mod.el_to_nodal(ones_el, vinfo)
 
     def v_out(w):  # continuous el rep -> nodal flat (average grid copies)
-      flat = w.reshape(kk, kk, n * n)
-      return sem2d.el_to_nodal(flat, vinfo) / grid_mult
+      flat = w.reshape((kk,) * d + (num_e,))
+      return mod.el_to_nodal(flat, vinfo) / grid_mult
 
     def p_in(p):
-      return sem2d.nodal_to_el(p, pinfo).reshape(mm, mm, n, n)
+      return mod.nodal_to_el(p, pinfo).reshape((mm,) * d + eshape)
 
     def p_out(w):
-      return sem2d.el_to_nodal(w.reshape(mm, mm, n * n), pinfo)
+      return mod.el_to_nodal(w.reshape((mm,) * d + (num_e,)), pinfo)
 
-    exch = lambda w: sem2d.exchange_el(w, vinfo)
-    mult = sem2d.multiplicity_el(vinfo, dtype=us[-1][0].dtype)
-    wmass = ops.wmass.reshape(kk, kk, n, n)
+    exch = lambda w: mod.exchange_el(w, vinfo)
+    mult = mod.multiplicity_el(vinfo, dtype=us[-1][0].dtype)
+    wmass = ops.wmass.reshape((kk,) * d + eshape)
 
     us_el = [tuple(v_in(c) for c in u) for u in us]
     ps_el = [p_in(p) for p in ps]
@@ -431,19 +447,20 @@ class StokesSEM:
 
     # el-shaped operator wrappers (flatten E for the einsum core).
     def flat(w):
-      return w.reshape(kk, kk, n * n)
+      return w.reshape((kk,) * d + (num_e,))
 
     def unflat(w):
-      return w.reshape(kk, kk, n, n)
+      return w.reshape((kk,) * d + eshape)
 
     def stiff(w):
       return unflat(ops.stiffness_el(flat(w)))
 
     def div_el(ut):
-      return ops.divergence_el(flat(ut[0]), flat(ut[1])).reshape(mm, mm, n, n)
+      return ops.divergence_el(*[flat(c) for c in ut]).reshape(
+          (mm,) * d + eshape)
 
     def grad_el(p):
-      outs = ops.gradient_el(p.reshape(mm, mm, n * n))
+      outs = ops.gradient_el(p.reshape((mm,) * d + (num_e,)))
       return tuple(unflat(o) for o in outs)
 
     if len(ps_el) >= 2:
@@ -485,7 +502,7 @@ class StokesSEM:
           interpolation_matrix_1d(low, grid)
           @ interpolation_matrix_1d(grid, low), dtype=wmass.dtype)
       def filt(w):
-        fw = unflat(ops._ax1(blend, ops._ax0(blend, flat(w))))  # pylint: disable=protected-access
+        fw = unflat(ops.interp_all(blend, flat(w)))
         return (1.0 - alpha) * w + alpha * exch(fw) / mult
       u_star = tuple(filt(w) for w in u_star)
 
@@ -588,7 +605,9 @@ class StokesSEM:
     md = self.velocity_mass_diag[:, 0]
 
     def tup(u):
-      return u if isinstance(u, tuple) else (u[..., 0], u[..., 1])
+      if isinstance(u, tuple):
+        return u
+      return tuple(u[..., i] for i in range(u.shape[-1]))
 
     as_tuple_input = isinstance(us[-1], tuple)
     us = [tup(u) for u in us]
@@ -603,17 +622,19 @@ class StokesSEM:
     if u_boundary is None and self._fully_periodic:
       # Fully-periodic boxes: run CG entirely in element-local form
       # (roll-based exchange; zero layout transforms per iteration).
-      from swirlfem_tpu.ops import sem2d as _s2
+      _s2 = self._elops
       pinfo = self.fast_ops.pinfo
       precond_el = None
       if pressure_preconditioner is not None:
+        dd = pinfo.ndim
         mm = pinfo.order + 1
         nn = pinfo.num_elements_per_dim
 
         def precond_el(p_el):  # wrap a nodal preconditioner for el states
-          p_nodal = _s2.el_to_nodal(p_el.reshape(mm, mm, nn * nn), pinfo)
+          p_nodal = _s2.el_to_nodal(
+              p_el.reshape((mm,) * dd + (nn ** dd,)), pinfo)
           out = pressure_preconditioner(p_nodal)
-          return _s2.nodal_to_el(out, pinfo).reshape(mm, mm, nn, nn)
+          return _s2.nodal_to_el(out, pinfo).reshape((mm,) * dd + (nn,) * dd)
 
       u, p, aux = self._stokes_one_step_el(
           us, ps, f, mu, dt, time_order, alpha, precond_el,

@@ -161,6 +161,11 @@ class Sem2DOps:
   def _ax1(mat, u):
     return jnp.einsum('qn,jne->jqe', mat, u, precision=PRECISION)
 
+  def interp_all(self, mat, u):
+    """Applies a 1D matrix along every local axis (tensor-product map)."""
+    m = self._m(mat)
+    return self._ax1(m, self._ax0(m, u))
+
   # -- scalar element operators -------------------------------------------
 
   def stiffness_el(self, u: jax.Array) -> jax.Array:

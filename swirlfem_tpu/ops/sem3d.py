@@ -1,0 +1,278 @@
+"""E-last element-operator core for 3D structured spectral elements.
+
+Same design as `ops.sem2d` (see its docstring for the TPU layout
+rationale), one dimension up: element-local data lives in ``(k, k, k, E)``
+("E-last") layout with ``E = n^3`` riding the 128-lane axis, and the
+Deville-Fischer-Mund factorized operator algebra becomes
+
+    A u = sum_ab D_a^T ( G_ab D_b u ),   a, b in {xi, eta, zeta}
+
+with six symmetric geometric factor fields G_ab.  All contractions are
+1D-matrix einsums along a local axis; XLA fuses the pointwise factors.
+
+Parity target: the reference applies these forms via generic per-element
+quadrature loops (swirl_fem/core/fespace.py local_covector); here they are
+factorized for the MXU, O(N^4) per element instead of O(N^6).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+from jax import lax
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.core.structured import _scatter_axis
+from swirlfem_tpu.core.structured import StructuredInfo
+
+PRECISION = lax.Precision.HIGHEST
+
+
+# -- layout transforms -------------------------------------------------------
+
+
+def nodal_to_el(u: jax.Array, info: StructuredInfo) -> jax.Array:
+  """Flat nodal ``(num_nodes,)`` -> element-local ``(k, k, k, E)`` (E-last)."""
+  n, p = info.num_elements_per_dim, info.order
+  k = p + 1
+  if not info.continuous:
+    g = u.reshape(n, k, n, k, n, k)
+    return g.transpose(1, 3, 5, 0, 2, 4).reshape(k, k, k, n ** 3)
+  big = n * p + 1
+  out = u.reshape(big, big, big)
+  # Split one grid axis at a time into an (element, local) axis pair; after
+  # processing axes 0..a-1 the layout is (e0, l0, ..., grid_a, ...), so grid
+  # axis a sits at position 2a.
+  for axis in range(3):
+    node_axis = 2 * axis
+    g = jnp.moveaxis(out, node_axis, 0)
+    head = g[:-1].reshape((n, p) + g.shape[1:])
+    last = g[1:].reshape((n, p) + g.shape[1:])[:, p - 1:p]
+    split = jnp.concatenate([head, last], axis=1)  # (n, p+1, rest)
+    out = jnp.moveaxis(split, (0, 1), (node_axis, node_axis + 1))
+  # (e0, l0, e1, l1, e2, l2) -> (l0, l1, l2, e0, e1, e2)
+  return out.transpose(1, 3, 5, 0, 2, 4).reshape(k, k, k, n ** 3)
+
+
+def el_to_nodal(w: jax.Array, info: StructuredInfo) -> jax.Array:
+  """Transpose of `nodal_to_el`: sums overlapping element boundaries."""
+  n, p = info.num_elements_per_dim, info.order
+  k = p + 1
+  if not info.continuous:
+    return w.reshape(k, k, k, n, n, n).transpose(3, 0, 4, 1, 5, 2).reshape(-1)
+  out = w.reshape(k, k, k, n, n, n).transpose(3, 0, 4, 1, 5, 2)
+  for axis in reversed(range(3)):
+    node_axis = 2 * axis
+    moved = jnp.moveaxis(out, (node_axis, node_axis + 1), (0, 1))
+    combined = _scatter_axis(moved, n, p)  # (n*p + 1, rest)
+    out = jnp.moveaxis(combined, 0, node_axis)
+  return out.reshape(-1)
+
+
+def exchange_el(w: jax.Array, info: StructuredInfo) -> jax.Array:
+  """Direct-stiffness summation (Q Q^T) in element-local form, periodic box.
+
+  Input/output ``(k, k, k, n, n, n)``; three sequential axis passes of rolls
+  (later passes propagate face sums so edges and corners receive all
+  contributions); periodic wraparound is the roll itself.
+  """
+  p = info.order
+  # local axis 2 <-> element axis -1.
+  s = w[:, :, p] + jnp.roll(w[:, :, 0], -1, axis=-1)
+  w = w.at[:, :, p].set(s)
+  w = w.at[:, :, 0].set(jnp.roll(s, 1, axis=-1))
+  # local axis 1 <-> element axis -2.
+  s = w[:, p] + jnp.roll(w[:, 0], -1, axis=-2)
+  w = w.at[:, p].set(s)
+  w = w.at[:, 0].set(jnp.roll(s, 1, axis=-2))
+  # local axis 0 <-> element axis -3.
+  s = w[p] + jnp.roll(w[0], -1, axis=-3)
+  w = w.at[p].set(s)
+  w = w.at[0].set(jnp.roll(s, 1, axis=-3))
+  return w
+
+
+def multiplicity_el(info: StructuredInfo, dtype=jnp.float32) -> jax.Array:
+  """Copy-count of each element-local node on the periodic box."""
+  k = info.order + 1
+  n = info.num_elements_per_dim
+  ones = jnp.ones((k, k, k, n, n, n), dtype=dtype)
+  return exchange_el(ones, info)
+
+
+# -- factor container --------------------------------------------------------
+
+
+@flax.struct.dataclass
+class Sem3DOps:
+  """Precomputed E-last operator factors for one structured 3D SEM setup."""
+
+  # geometric factors at velocity GLL points, (k, k, k, E)
+  g11: jax.Array
+  g12: jax.Array
+  g13: jax.Array
+  g22: jax.Array
+  g23: jax.Array
+  g33: jax.Array
+  wmass: jax.Array                     # w_q |J|
+  kinv: jax.Array                      # (3, 3, k, k, k, E): K[j,i]=dxi_i/dx_j
+  # overintegration fields, (m_o, m_o, m_o, E)
+  wmass_o: jax.Array
+  kinv_o: jax.Array                    # (3, 3, m_o, m_o, m_o, E)
+  # static 1D matrices
+  dmat: np.ndarray = flax.struct.field(pytree_node=False)
+  interp_p: np.ndarray = flax.struct.field(pytree_node=False)  # (k, m_p)
+  interp_o: np.ndarray = flax.struct.field(pytree_node=False)  # (m_o, k)
+  interp_o_grad: np.ndarray = flax.struct.field(pytree_node=False)
+  vinfo: StructuredInfo = flax.struct.field(pytree_node=False)
+  pinfo: StructuredInfo = flax.struct.field(pytree_node=False)
+
+  # -- 1D contractions (axes 0..2 = xi, eta, zeta; E last) -----------------
+
+  def _m(self, mat):
+    return jnp.asarray(mat, dtype=self.wmass.dtype)
+
+  @staticmethod
+  def _ax0(mat, u):
+    return jnp.einsum('qn,njke->qjke', mat, u, precision=PRECISION)
+
+  @staticmethod
+  def _ax1(mat, u):
+    return jnp.einsum('qn,inke->iqke', mat, u, precision=PRECISION)
+
+  @staticmethod
+  def _ax2(mat, u):
+    return jnp.einsum('qn,ijne->ijqe', mat, u, precision=PRECISION)
+
+  def interp_all(self, mat, u):
+    """Applies a 1D matrix along every local axis (tensor-product map)."""
+    m = self._m(mat)
+    return self._ax2(m, self._ax1(m, self._ax0(m, u)))
+
+  # -- scalar element operators -------------------------------------------
+
+  def _ref_grad(self, u):
+    d = self._m(self.dmat)
+    return self._ax0(d, u), self._ax1(d, u), self._ax2(d, u)
+
+  def stiffness_el(self, u: jax.Array) -> jax.Array:
+    """A_local on one component, (k, k, k, E) -> (k, k, k, E)."""
+    d = self._m(self.dmat)
+    ur, us, ut = self._ref_grad(u)
+    a = self.g11 * ur + self.g12 * us + self.g13 * ut
+    b = self.g12 * ur + self.g22 * us + self.g23 * ut
+    c = self.g13 * ur + self.g23 * us + self.g33 * ut
+    return self._ax0(d.T, a) + self._ax1(d.T, b) + self._ax2(d.T, c)
+
+  def stiffness_diag_el(self) -> jax.Array:
+    """Element-local diagonal of the stiffness operator (closed form)."""
+    d = self._m(self.dmat)
+    d2 = d * d
+    t1 = jnp.einsum('qi,qjke->ijke', d2, self.g11, precision=PRECISION)
+    t2 = jnp.einsum('rj,irke->ijke', d2, self.g22, precision=PRECISION)
+    t3 = jnp.einsum('sk,ijse->ijke', d2, self.g33, precision=PRECISION)
+    dd = jnp.diagonal(d)
+    di = dd[:, None, None, None]
+    dj = dd[None, :, None, None]
+    dk = dd[None, None, :, None]
+    cross = 2.0 * (di * dj * self.g12 + di * dk * self.g13
+                   + dj * dk * self.g23)
+    return t1 + t2 + t3 + cross
+
+  def phys_grad_el(self, u: jax.Array):
+    """Physical gradient at GLL points: (du/dx, du/dy, du/dz)."""
+    ur, us, ut = self._ref_grad(u)
+    k = self.kinv
+    return tuple(k[j, 0] * ur + k[j, 1] * us + k[j, 2] * ut
+                 for j in range(3))
+
+  def divergence_el(self, ux, uy, uz) -> jax.Array:
+    """Pressure-space covector of int div(u) q."""
+    w = self.wmass * (self.phys_grad_el(ux)[0] + self.phys_grad_el(uy)[1]
+                      + self.phys_grad_el(uz)[2])
+    ipt = self._m(self.interp_p).T  # (m, k)
+    return self._ax2(ipt, self._ax1(ipt, self._ax0(ipt, w)))
+
+  def gradient_el(self, p: jax.Array):
+    """Velocity-space covector of int div(v) p: (m,m,m,E) -> 3x(k,k,k,E)."""
+    q = self.wmass * self.interp_all(self.interp_p, p)
+    d = self._m(self.dmat)
+    k = self.kinv
+    outs = []
+    for j in range(3):
+      outs.append(self._ax0(d.T, k[j, 0] * q) + self._ax1(d.T, k[j, 1] * q)
+                  + self._ax2(d.T, k[j, 2] * q))
+    return tuple(outs)
+
+  def convection_el(self, ux, uy, uz):
+    """Covector of the dealiased trilinear form int (u . grad u) . v."""
+    io = self._m(self.interp_o)
+    ig = self._m(self.interp_o_grad)
+    uo = tuple(self.interp_all(io, c) for c in (ux, uy, uz))
+    ko, wo = self.kinv_o, self.wmass_o
+    outs = []
+    for comp in (ux, uy, uz):
+      # reference-space gradient of comp at the overintegration points.
+      tr = self._ax2(io, self._ax1(io, self._ax0(ig, comp)))
+      ts = self._ax2(io, self._ax1(ig, self._ax0(io, comp)))
+      tt = self._ax2(ig, self._ax1(io, self._ax0(io, comp)))
+      conv = wo * sum(
+          uo[j] * (ko[j, 0] * tr + ko[j, 1] * ts + ko[j, 2] * tt)
+          for j in range(3))
+      outs.append(self.interp_all(io.T, conv))
+    return tuple(outs)
+
+
+def build_sem3d_ops(velocity, pressure) -> Sem3DOps:
+  """Builds E-last factors from the generic spaces (host/setup time)."""
+  vspace = velocity.vspace
+  vinfo = vspace.mesh.structured
+  pinfo = pressure.pspace.mesh.structured
+  assert vinfo is not None and pinfo is not None and vinfo.ndim == 3
+  num_elems = vinfo.num_elements_per_dim ** 3
+
+  def qdim(size):
+    q = int(round(size ** (1.0 / 3.0)))
+    assert q ** 3 == size, (q, size)
+    return q
+
+  def to_el(arr):  # (E, Q) -> (q, q, q, E), lexicographic quad order
+    q = qdim(arr.shape[1])
+    return jnp.moveaxis(arr.reshape(num_elems, q, q, q), 0, -1)
+
+  def kinv_of(space):
+    q = qdim(space.invjacs.shape[1])
+    k = jnp.moveaxis(space.invjacs.reshape(num_elems, q, q, q, 3, 3), 0, -1)
+    return jnp.moveaxis(k, (3, 4), (0, 1))  # (3, 3, q, q, q, E)
+
+  wq_v = jnp.asarray(
+      vspace.quadrature.weights_nd(3), dtype=vspace.jacdets.dtype)
+  wmass = to_el(vspace.jacdets * wq_v[None, :])
+  kinv = kinv_of(vspace)
+
+  # G_ab = W * sum_j K[j,a] K[j,b].
+  def gfield(a, b):
+    return wmass * sum(kinv[j, a] * kinv[j, b] for j in range(3))
+
+  ospace = velocity.overint_space
+  wq_o = jnp.asarray(
+      ospace.quadrature.weights_nd(3), dtype=ospace.jacdets.dtype)
+  wmass_o = to_el(ospace.jacdets * wq_o[None, :])
+  kinv_o = kinv_of(ospace)
+
+  from swirlfem_tpu.core.quadrature import (interpolation_grad_matrix_1d,
+                                            interpolation_matrix_1d,
+                                            differentiation_matrix_1d)
+  vgrid = vspace.mesh.gridpoints_1d
+  pgrid = pressure.pspace.mesh.gridpoints_1d
+  ogrid = ospace.quadrature.nodes
+  return Sem3DOps(
+      g11=gfield(0, 0), g12=gfield(0, 1), g13=gfield(0, 2),
+      g22=gfield(1, 1), g23=gfield(1, 2), g33=gfield(2, 2),
+      wmass=wmass, kinv=kinv, wmass_o=wmass_o, kinv_o=kinv_o,
+      dmat=differentiation_matrix_1d(vgrid),
+      interp_p=interpolation_matrix_1d(pgrid, vgrid),
+      interp_o=interpolation_matrix_1d(vgrid, ogrid),
+      interp_o_grad=interpolation_grad_matrix_1d(vgrid, ogrid),
+      vinfo=vinfo, pinfo=pinfo)

@@ -45,7 +45,7 @@ def test_nse_3d_smoke():
   """3D Navier-Stokes: operators consistent, one step runs and is stable."""
   pm = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
   sem = StokesSEM.create(pm, boundary_conditions={}, order=3)
-  assert sem.fast_ops is None  # fast path is 2D-only; generic path serves 3D
+  assert sem.fast_ops is not None  # 3D boxes ride the E-last fast path too
 
   coords = np.asarray(sem.velocity.mesh.node_coords)
   k = 2 * np.pi
