@@ -416,7 +416,6 @@ class StokesSEM:
     mm = pinfo.order + 1
     eshape = (n,) * d
     num_e = n ** d
-    tmap = jax.tree_util.tree_map
 
     def v_in(u):  # nodal flat -> (k,) * d + (n,) * d
       return mod.nodal_to_el(u, vinfo).reshape((kk,) * d + eshape)
@@ -434,10 +433,6 @@ class StokesSEM:
     def p_out(w):
       return mod.el_to_nodal(w.reshape((mm,) * d + (num_e,)), pinfo)
 
-    exch = lambda w: mod.exchange_el(w, vinfo)
-    mult = mod.multiplicity_el(vinfo, dtype=us[-1][0].dtype)
-    wmass = ops.wmass.reshape((kk,) * d + eshape)
-
     us_el = [tuple(v_in(c) for c in u) for u in us]
     ps_el = [p_in(p) for p in ps]
     # `f` is a nodal covector: its value must be *partitioned* among the
@@ -445,138 +440,15 @@ class StokesSEM:
     # duplicated, so that per-dof totals are preserved in the el rep.
     f_el = tuple(v_in(c / grid_mult) for c in f)
 
-    # el-shaped operator wrappers (flatten E for the einsum core).
-    def flat(w):
-      return w.reshape((kk,) * d + (num_e,))
-
-    def unflat(w):
-      return w.reshape((kk,) * d + eshape)
-
-    def stiff(w):
-      return unflat(ops.stiffness_el(flat(w)))
-
-    def div_el(ut):
-      return ops.divergence_el(*[flat(c) for c in ut]).reshape(
-          (mm,) * d + eshape)
-
-    def grad_el(p):
-      outs = ops.gradient_el(p.reshape((mm,) * d + (num_e,)))
-      return tuple(unflat(o) for o in outs)
-
-    if len(ps_el) >= 2:
-      ext = [float(c) for c in extk_coeffs(k=1)]
-      p_ext = sum(ext[-i] * ps_el[-i] for i in range(1, len(ext) + 1))
-    else:
-      p_ext = ps_el[-1]
-    f_el = tmap(lambda a, b: a + b, f_el, grad_el(p_ext))
-
-    coeffs = [float(c) for c in bdfk_coeffs(time_order)]
-    beta_hist, beta_k = coeffs[:-1], coeffs[-1]
-
-    def H_t(ut):
-      return tuple((beta_k / dt) * wmass * w + mu * stiff(w) for w in ut)
-
-    hist = tmap(lambda *xs: sum(c * x for c, x in zip(beta_hist, xs)) / dt,
-                *us_el)
-    f_el = tmap(lambda a, b: a - wmass * b, f_el, hist)
-
-    diag_h = exch((beta_k / dt) * wmass
-                  + mu * unflat(ops.stiffness_diag_el()))
-
-    def M_t(rt):
-      return tuple(exch(r) / diag_h for r in rt)
-
-    def vsolve(matvec, rhs):
-      return cg(matvec, rhs, M=M_t, tol=tol, atol=atol, dot_fn=self.dot,
-                maxiter=maxiter)
-
-    u_star, u_info = lax.custom_linear_solve(
-        H_t, f_el, solve=vsolve, symmetric=True, has_aux=True)
-
-    # Modal filter in el form (exchange-averaged).
-    if alpha:
-      from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
-      grid = self.velocity.mesh.gridpoints_1d
-      low = Nodes1D.create(grid.num_points - 1, grid.node_type)
-      blend = jnp.asarray(
-          interpolation_matrix_1d(low, grid)
-          @ interpolation_matrix_1d(grid, low), dtype=wmass.dtype)
-      def filt(w):
-        fw = unflat(ops.interp_all(blend, flat(w)))
-        return (1.0 - alpha) * w + alpha * exch(fw) / mult
-      u_star = tuple(filt(w) for w in u_star)
-
-    diag_i = 1.0 / exch(wmass)
-
-    def Q_t(ut):
-      return tuple((dt / beta_k) * diag_i * exch(w) for w in ut)
-
-    def E_fast(p):
-      return div_el(Q_t(grad_el(p)))
-
-    had_preconditioner = pressure_preconditioner is not None
-    if pressure_preconditioner is None and project_out_nullspace:
-      def pressure_preconditioner(p):  # noqa: F811 - local default
-        ones = jnp.ones_like(p)
-        return p - (self.dot(ones, p) / self.dot(ones, ones)) * ones
-
-    def psolve(matvec, rhs):
-      ones = jnp.ones_like(rhs)
-      rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
-      if not had_preconditioner:
-        return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
-                  dot_fn=self.dot, maxiter=maxiter)
-      # Near-exact inverses (the block-FFT solver) are applied as Richardson
-      # defect correction with the TRUE residual recomputed each sweep, not
-      # as a CG preconditioner: in f32 the FFT-applied inverse carries
-      # eps * cond(E) high-wavenumber noise, so the M-weighted quadratic
-      # forms inside CG hit rounding level near convergence and flip sign
-      # (measured breakdown: alpha = gamma / <p, Ap> with a noise-level
-      # denominator corrupts dp and blows up the time integration).  The
-      # stationary iteration contracts by |I - M E| ~ eps * cond(E) per
-      # sweep with no dot products to break down, and a guarded CG from the
-      # resulting iterate certifies the euclidean tolerance (it exits at 0
-      # iterations when the sweeps already converged).
-      bs = self.dot(rhs, rhs)
-      thr = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
-
-      def sweep_cond(state):
-        _, _, rr, k = state
-        return (rr > thr) & (k < 8)
-
-      def sweep(state):
-        # Monotone-guarded sweep: accept only residual-reducing updates.
-        # On rhs dominated by high-wavenumber content (noise-level
-        # divergence) the f32 contraction can exceed 1; reverting and
-        # exiting hands a clean x0 to the CG finish instead of iterate
-        # junk in E's near-null directions (which CG cannot remove).
-        x, r, rr, k = state
-        x_new = x + pressure_preconditioner(r)
-        r_new = rhs - matvec(x_new)
-        rr_new = self.dot(r_new, r_new)
-        # Require a real contraction (4x): in developed flow with
-        # high-wavenumber rhs the f32 sweep gain can degenerate to ~1,
-        # and the CG finish is then the better use of those matvecs.
-        better = rr_new < 0.25 * rr
-        x = jnp.where(better, x_new, x)
-        r = jnp.where(better, r_new, r)
-        return (x, r, jnp.where(better, rr_new, rr),
-                jnp.where(better, k + 1, jnp.int32(8)))
-
-      x, _, _, sweeps = lax.while_loop(
-          sweep_cond, sweep, (jnp.zeros_like(rhs), rhs, bs, jnp.int32(0)))
-      x, info = cg(matvec, rhs, x0=x, tol=tol, atol=atol,
-                   dot_fn=self.dot, maxiter=maxiter)
-      return x, {'residual': info['residual'],
-                 'num_iterations': info['num_iterations'] + sweeps}
-
-    dp, p_info = lax.custom_linear_solve(
-        E_fast, -div_el(u_star), solve=psolve, symmetric=True, has_aux=True)
-
-    u = tmap(lambda a, b: a + b, u_star, Q_t(grad_el(dp)))
-    p = p_out(p_ext + dp)
+    u, p_el, aux = stokes_step_el(
+        mod, ops, us_el, ps_el, f_el, mu=mu, dt=dt, time_order=time_order,
+        alpha=alpha, exch=lambda w: mod.exchange_el(w, vinfo), dot=self.dot,
+        grid_1d=self.velocity.mesh.gridpoints_1d,
+        pressure_preconditioner=pressure_preconditioner,
+        project_out_nullspace=project_out_nullspace,
+        tol=tol, atol=atol, maxiter=maxiter, eshape=eshape)
     u = tuple(v_out(w) for w in u)
-    aux = {'u_star_info': u_info, 'dp_info': p_info}
+    p = p_out(p_el)
     if not as_tuple_input:
       u = jnp.stack(u, axis=-1)
     return u, p, aux
@@ -858,3 +730,177 @@ class StokesSEM:
     vmesh = self.velocity.mesh
     total = vmesh.exchange(vmesh.scatter(vort_local))
     return total / vmesh.exchange(self.velocity.diag_qqt)
+
+
+def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
+                   alpha, exch, dot, grid_1d, pressure_preconditioner,
+                   project_out_nullspace, tol, atol, maxiter, eshape):
+  """One fractional step fully in element-local (E-last) form.
+
+  The communication-parameterized core of the structured fast path: all
+  states are element-local arrays shaped ``(k,)*d + eshape`` (velocity,
+  k = order+1) or ``(m,)*d + eshape`` (pressure), where `eshape` is the
+  (possibly device-local) element-grid shape.  All inter-element coupling
+  flows through `exch` (direct-stiffness summation QQ^T in el form) and all
+  reductions through `dot`; passing halo-exchange/psum versions of these
+  runs the identical step distributed under ``shard_map`` (see
+  `nse.distributed`), with zero layout transforms or index ops inside the
+  CG loops.
+
+  Args:
+    mod: dimension-matched element-operator module (ops.sem2d / ops.sem3d).
+    ops: `Sem2DOps`/`Sem3DOps` whose factor fields cover exactly the
+      `eshape` element block (flattened E axis last).
+    us_el: velocity history, list of per-component tuples of el arrays.
+    ps_el: pressure history, list of el arrays.
+    f_el: forcing covector, per-component tuple of el arrays.
+    exch: QQ^T in el form over the full (global) element grid.
+    dot: inner product; must include the cross-partition psum when
+      distributed.
+    grid_1d: velocity `Nodes1D` (builds the modal-filter blend matrix).
+    pressure_preconditioner: optional callable on el-shaped pressure.
+    eshape: element-grid shape held by this shard.
+
+  Returns:
+    ``(u_el, p_el, aux)`` in the same el representation as the inputs.
+  """
+  d = ops.vinfo.ndim
+  kk = ops.vinfo.order + 1
+  mm = ops.pinfo.order + 1
+  num_e = int(np.prod(eshape))
+  tmap = jax.tree_util.tree_map
+
+  wmass = ops.wmass.reshape((kk,) * d + eshape)
+  mult = exch(jnp.ones((kk,) * d + eshape, dtype=wmass.dtype))
+
+  def flat(w):
+    return w.reshape((kk,) * d + (num_e,))
+
+  def unflat(w):
+    return w.reshape((kk,) * d + eshape)
+
+  def stiff(w):
+    return unflat(ops.stiffness_el(flat(w)))
+
+  def div_el(ut):
+    return ops.divergence_el(*[flat(c) for c in ut]).reshape(
+        (mm,) * d + eshape)
+
+  def grad_el(p):
+    outs = ops.gradient_el(p.reshape((mm,) * d + (num_e,)))
+    return tuple(unflat(o) for o in outs)
+
+  if len(ps_el) >= 2:
+    ext = [float(c) for c in extk_coeffs(k=1)]
+    p_ext = sum(ext[-i] * ps_el[-i] for i in range(1, len(ext) + 1))
+  else:
+    p_ext = ps_el[-1]
+  f_el = tmap(lambda a, b: a + b, f_el, grad_el(p_ext))
+
+  coeffs = [float(c) for c in bdfk_coeffs(time_order)]
+  beta_hist, beta_k = coeffs[:-1], coeffs[-1]
+
+  def H_t(ut):
+    return tuple((beta_k / dt) * wmass * w + mu * stiff(w) for w in ut)
+
+  hist = tmap(lambda *xs: sum(c * x for c, x in zip(beta_hist, xs)) / dt,
+              *us_el)
+  f_el = tmap(lambda a, b: a - wmass * b, f_el, hist)
+
+  diag_h = exch((beta_k / dt) * wmass
+                + mu * unflat(ops.stiffness_diag_el()))
+
+  def M_t(rt):
+    return tuple(exch(r) / diag_h for r in rt)
+
+  def vsolve(matvec, rhs):
+    return cg(matvec, rhs, M=M_t, tol=tol, atol=atol, dot_fn=dot,
+              maxiter=maxiter)
+
+  u_star, u_info = lax.custom_linear_solve(
+      H_t, f_el, solve=vsolve, symmetric=True, has_aux=True)
+
+  # Modal filter in el form (exchange-averaged).
+  if alpha:
+    low = Nodes1D.create(grid_1d.num_points - 1, grid_1d.node_type)
+    blend = jnp.asarray(
+        interpolation_matrix_1d(low, grid_1d)
+        @ interpolation_matrix_1d(grid_1d, low), dtype=wmass.dtype)
+
+    def filt(w):
+      fw = unflat(ops.interp_all(blend, flat(w)))
+      return (1.0 - alpha) * w + alpha * exch(fw) / mult
+
+    u_star = tuple(filt(w) for w in u_star)
+
+  diag_i = 1.0 / exch(wmass)
+
+  def Q_t(ut):
+    return tuple((dt / beta_k) * diag_i * exch(w) for w in ut)
+
+  def E_fast(p):
+    return div_el(Q_t(grad_el(p)))
+
+  had_preconditioner = pressure_preconditioner is not None
+  if pressure_preconditioner is None and project_out_nullspace:
+    def pressure_preconditioner(p):  # noqa: F811 - local default
+      ones = jnp.ones_like(p)
+      return p - (dot(ones, p) / dot(ones, ones)) * ones
+
+  def psolve(matvec, rhs):
+    ones = jnp.ones_like(rhs)
+    rhs = rhs - (dot(ones, rhs) / dot(ones, ones)) * ones
+    if not had_preconditioner:
+      return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
+                dot_fn=dot, maxiter=maxiter)
+    # Near-exact inverses (the block-FFT solver) are applied as Richardson
+    # defect correction with the TRUE residual recomputed each sweep, not
+    # as a CG preconditioner: in f32 the FFT-applied inverse carries
+    # eps * cond(E) high-wavenumber noise, so the M-weighted quadratic
+    # forms inside CG hit rounding level near convergence and flip sign
+    # (measured breakdown: alpha = gamma / <p, Ap> with a noise-level
+    # denominator corrupts dp and blows up the time integration).  The
+    # stationary iteration contracts by |I - M E| ~ eps * cond(E) per
+    # sweep with no dot products to break down, and a guarded CG from the
+    # resulting iterate certifies the euclidean tolerance (it exits at 0
+    # iterations when the sweeps already converged).
+    bs = dot(rhs, rhs)
+    thr = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
+
+    def sweep_cond(state):
+      _, _, rr, k = state
+      return (rr > thr) & (k < 8)
+
+    def sweep(state):
+      # Monotone-guarded sweep: accept only residual-reducing updates.
+      # On rhs dominated by high-wavenumber content (noise-level
+      # divergence) the f32 contraction can exceed 1; reverting and
+      # exiting hands a clean x0 to the CG finish instead of iterate
+      # junk in E's near-null directions (which CG cannot remove).
+      x, r, rr, k = state
+      x_new = x + pressure_preconditioner(r)
+      r_new = rhs - matvec(x_new)
+      rr_new = dot(r_new, r_new)
+      # Require a real contraction (4x): in developed flow with
+      # high-wavenumber rhs the f32 sweep gain can degenerate to ~1,
+      # and the CG finish is then the better use of those matvecs.
+      better = rr_new < 0.25 * rr
+      x = jnp.where(better, x_new, x)
+      r = jnp.where(better, r_new, r)
+      return (x, r, jnp.where(better, rr_new, rr),
+              jnp.where(better, k + 1, jnp.int32(8)))
+
+    x, _, _, sweeps = lax.while_loop(
+        sweep_cond, sweep, (jnp.zeros_like(rhs), rhs, bs, jnp.int32(0)))
+    x, info = cg(matvec, rhs, x0=x, tol=tol, atol=atol,
+                 dot_fn=dot, maxiter=maxiter)
+    return x, {'residual': info['residual'],
+               'num_iterations': info['num_iterations'] + sweeps}
+
+  dp, p_info = lax.custom_linear_solve(
+      E_fast, -div_el(u_star), solve=psolve, symmetric=True, has_aux=True)
+
+  u = tmap(lambda a, b: a + b, u_star, Q_t(grad_el(dp)))
+  p_el = p_ext + dp
+  aux = {'u_star_info': u_info, 'dp_info': p_info}
+  return u, p_el, aux
