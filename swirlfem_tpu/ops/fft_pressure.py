@@ -59,11 +59,15 @@ def is_uniform_periodic(sem) -> bool:
   return bool((mask == 1).all())
 
 
-def build_fft_pressure_solver(sem, dt: float, time_order: int):
-  """Returns ``solve(rhs) ~= E^{-1} rhs`` for uniform periodic 2D meshes.
+def assemble_pressure_symbol(sem, dt: float, time_order: int):
+  """Assembles the inverted block-circulant symbol of E on the host.
 
-  The symbol is assembled for ``E0 = D B^{-1} D^T`` (dt-independent) and
-  scaled by ``dt / beta_k`` at solve time, so one setup serves any dt.
+  Returns ``(inv_re, inv_im, scale, diag_e0)``: the real/imag parts of the
+  inverted symbol, shaped ``(n, n, m^2, m^2)`` and indexed
+  ``[k0, k1, out_j, in_i]`` (numpy, so jit closures embed them without any
+  device fetch); the ``dt / beta_k`` scaling to divide by after applying the
+  inverse of ``E0 = D B^{-1} D^T``; and the translation-invariant diagonal
+  of ``E0`` restricted to one element (length m^2).
   """
   from swirlfem_tpu.nse.solver import bdfk_coeffs
 
@@ -142,6 +146,26 @@ def build_fft_pressure_solver(sem, dt: float, time_order: int):
             else np.float64)
   inv_re = np.ascontiguousarray(inv.real, dtype=rdtype)
   inv_im = np.ascontiguousarray(inv.imag, dtype=rdtype)
+  # diag(E0): the zero-shift self-responses — identical for every element
+  # by translation invariance.
+  diag_e0 = np.array([resp_el[j, j, 0, 0] for j in range(m * m)],
+                     dtype=rdtype)
+  return inv_re, inv_im, scale, diag_e0
+
+
+def build_fft_pressure_solver(sem, dt: float, time_order: int):
+  """Returns ``solve(rhs) ~= E^{-1} rhs`` for uniform periodic 2D meshes.
+
+  The symbol is assembled for ``E0 = D B^{-1} D^T`` (dt-independent) and
+  scaled by ``dt / beta_k`` at solve time, so one setup serves any dt.
+  """
+  inv_re, inv_im, scale, diag_e0 = assemble_pressure_symbol(
+      sem, dt, time_order)
+  ops = sem.fast_ops
+  pinfo = ops.pinfo
+  m = pinfo.order + 1
+  n = pinfo.num_elements_per_dim
+  rdtype = inv_re.dtype
 
   def solve(rhs):
     """Applies E^{-1} (with the dt/beta_k scaling) to a nodal pressure."""
@@ -154,11 +178,7 @@ def build_fft_pressure_solver(sem, dt: float, time_order: int):
     out = out.reshape(m, m, n * n).astype(rhs.dtype)
     return sem2d.el_to_nodal(out, pinfo) / scale
 
-  # diag(E): the zero-shift self-responses -- identical for every element
-  # by translation invariance.  Exposed for a noise-free Jacobi companion
-  # preconditioner (a diagonal has no FFT rounding, so it is safe inside
-  # CG where the block-FFT inverse is not; see nse.solver psolve).
-  diag_e0 = np.array([resp_el[j, j, 0, 0] for j in range(m * m)],
-                     dtype=rdtype)
+  # Jacobi companion diagonal: noise-free (no FFT rounding), safe inside CG
+  # where the block-FFT inverse is not (see nse.solver psolve).
   solve.jacobi_diag_el = (scale * diag_e0).reshape(m, m)
   return solve
