@@ -58,13 +58,17 @@ def run_cavity(sem: StokesSEM, reynolds: float = 100.0, dt: float = 2e-3,
   us = [u0 for _ in range(time_order)]
   ps = [p0 for _ in range(time_order)]
   cus = [sem.C(u + u_boundary) for u in us]
+  # Exact FDM inverse of the Schur operator: the pressure correction
+  # converges in 1 iteration instead of O(order * num_elements).
+  precond = sem.best_pressure_preconditioner(dt, time_order)
 
   @jax.jit
   def step(us, ps, cus):
     cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
     u, p, aux = sem.stokes_one_step(
         list(us), list(ps), -cu, mu=1.0 / reynolds, dt=dt,
-        time_order=time_order, u_boundary=u_boundary, tol=1e-8, atol=1e-10)
+        time_order=time_order, u_boundary=u_boundary, tol=1e-8, atol=1e-10,
+        pressure_preconditioner=precond)
     # The interior solve returns u including the boundary lift; advect the
     # full field.
     return (us[1:] + [u - u_boundary], ps[1:] + [p],

@@ -695,6 +695,42 @@ class StokesSEM:
     precondition.jacobi_diag_el = solve.jacobi_diag_el
     return precondition
 
+  def fdm_pressure_preconditioner(self, dt, time_order: int):
+    """Exact fast-diagonalization pressure preconditioner, uniform boxes.
+
+    Covers any per-axis mix of Dirichlet and periodic velocity BCs (cavity,
+    channel) in 2D and 3D — geometries where the block-FFT solver does not
+    apply — via per-axis generalized eigendecompositions of the exactly
+    separable Schur operator (see ops.fdm_pressure).  Returns None when
+    the mesh is not a uniform axis-aligned box with separable BCs.
+    """
+    from swirlfem_tpu.ops.fdm_pressure import build_fdm_pressure_solver
+    from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
+    if not is_uniform_box(self):
+      return None
+    solve = build_fdm_pressure_solver(self, dt, time_order)
+    if not solve.has_nullspace:
+      return solve
+
+    def precondition(p):
+      w = solve(p)
+      ones = jnp.ones_like(w)
+      return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
+
+    return precondition
+
+  def best_pressure_preconditioner(self, dt, time_order: int):
+    """The strongest pressure preconditioner available for this geometry.
+
+    Fully-periodic uniform 2D boxes get the block-FFT inverse; any other
+    uniform box (Dirichlet/periodic per axis, 2D/3D) gets the FDM inverse;
+    everything else gets None (plain projected CG).
+    """
+    precond = self.fft_pressure_preconditioner(dt, time_order)
+    if precond is None:
+      precond = self.fdm_pressure_preconditioner(dt, time_order)
+    return precond
+
   def filter(self, u, alpha: float = 0.05):
     """Modal low-pass stabilization: restrict to order N-1 and back, blend.
 

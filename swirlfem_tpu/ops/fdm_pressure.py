@@ -1,0 +1,226 @@
+"""Fast-diagonalization (FDM) solver for the pressure Schur operator.
+
+On a *uniform axis-aligned* structured box the P_N-P_{N-2} pressure Schur
+operator ``E = D Q D^T`` is exactly separable over the grid axes:
+
+    2D:  E = s * (A1 (x) B2  +  B1 (x) A2)
+    3D:  E = s * (A1 (x) B2 (x) B3  +  B1 (x) A2 (x) B3  +  B1 (x) B2 (x) A3)
+
+with per-axis 1D global matrices built from the element factors
+(s = dt / beta_k):
+
+    Dg_a = assemble_a( ipt @ diag(w_gll) @ dmat )        # (n*m, Nv_a)
+    Mg_a = assemble_a( (h/2) * ipt @ diag(w_gll) )       # (n*m, Nv_a)
+    A_a  = Dg_a diag(b_a) Dg_a^T,   B_a = Mg_a diag(b_a) Mg_a^T
+
+where ``b_a = mask_a / assembled_1d_mass_a`` is the (boundary-masked)
+lumped inverse velocity mass along axis a — separability of the Dirichlet
+mask and of the diagonal mass is what makes this exact.  The classical
+fast diagonalization method (Lynch-Rice-Thomas 1964; used by nek5000 as a
+local preconditioner) then gives, from the generalized eigenproblems
+``A_a Z_a = B_a Z_a diag(lam_a)`` with ``Z_a^T B_a Z_a = I``:
+
+    E^{-1} = (Z1 (x) Z2 ...) diag(1 / sum_a lam_a) (Z1 (x) Z2 ...)^T / s
+
+applied as one dense (n*m x n*m) matmul per axis — batched GEMMs sized for
+the MXU (448x448 at the flagship 64-element/order-8 config), with the
+constant-pressure nullspace (enclosed flow / fully periodic) removed by
+zeroing the near-null eigenmodes.
+
+Compared to `ops.fft_pressure` (block-circulant FFT, fully-periodic 2D
+only), FDM covers any per-axis mix of Dirichlet and periodic velocity BCs
+— lid-driven cavity, channels — and 3D, at similar cost.  Setup is
+host-side float64 (small dense eigenproblems); reference swirl-fem has no
+counterpart (it runs unpreconditioned projected CG,
+``navier_stokes/navier_stokes.py:449-452``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.core.quadrature import differentiation_matrix_1d
+from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
+
+
+def _axis_masks(sem):
+  """Per-axis interior masks of the velocity grid, or None if inseparable."""
+  info = sem.fast_ops.vinfo
+  d = info.ndim
+  nv = info.nodes_per_dim
+  mask = np.asarray(sem.velocity.interior_mask)[..., 0].reshape((nv,) * d)
+  axis_masks = []
+  for a in range(d):
+    # Profile along axis a through the most-interior line.
+    idx = tuple(np.array([nv // 2]) if b != a else slice(None)
+                for b in range(d))
+    axis_masks.append(mask[idx].reshape(nv))
+  outer = axis_masks[0]
+  for m in axis_masks[1:]:
+    outer = np.multiply.outer(outer, m)
+  if not np.array_equal(outer, mask):
+    return None
+  return axis_masks
+
+
+def _periodic_axes(sem):
+  """Which grid axes wrap periodically, probed through the mesh exchange.
+
+  The structured velocity grid always carries ``n*p + 1`` nodes per dim;
+  a periodic axis links its first and last grid plane as duplicate copies
+  summed by QQ^T.  Probing exchange with a delta on the first plane tells
+  the two apart robustly (no reliance on premesh metadata surviving into
+  the solver).
+  """
+  info = sem.fast_ops.vinfo
+  d = info.ndim
+  nv = info.nodes_per_dim
+  vmesh = sem.velocity.vspace.mesh
+  out = []
+  for a in range(d):
+    idx = tuple(0 if b == a else nv // 2 for b in range(d))
+    delta = np.zeros((nv,) * d, dtype=np.asarray(vmesh.node_coords).dtype)
+    delta[idx] = 1.0
+    exch = np.asarray(vmesh.exchange(jnp.asarray(delta.reshape(-1))))
+    far = tuple(nv - 1 if b == a else nv // 2 for b in range(d))
+    out.append(bool(exch.reshape((nv,) * d)[far] != 0))
+  return out
+
+
+def is_uniform_box(sem) -> bool:
+  """True for an axis-aligned uniform structured box with separable BCs."""
+  ops = sem.fast_ops
+  if ops is None:
+    return False
+  d = ops.vinfo.ndim
+  # All elements identical and axis-aligned: geometric factor fields must
+  # be constant along the element axis and the off-diagonal G_ab zero.
+  names = (('g11', 'g22'), ('g11', 'g22', 'g33'))[d - 2]
+  off = (('g12',), ('g12', 'g13', 'g23'))[d - 2]
+  gscale = max(float(np.abs(np.asarray(getattr(ops, nm))).max())
+               for nm in names)
+  for nm in names:
+    g = np.asarray(getattr(ops, nm))
+    if float(np.abs(g - g[..., :1]).max()) > 1e-3 * gscale:
+      return False
+  for nm in off:
+    if float(np.abs(np.asarray(getattr(ops, nm))).max()) > 1e-3 * gscale:
+      return False
+  wmass = np.asarray(ops.wmass)
+  if float(np.abs(wmass - wmass[..., :1]).max()) > 1e-3 * np.abs(wmass).max():
+    return False
+  return _axis_masks(sem) is not None
+
+
+def _assemble_1d(blocks: np.ndarray, n: int, periodic: bool) -> np.ndarray:
+  """Assembles per-element (rows_e, k) 1D factors into a global matrix.
+
+  Row blocks are private per element (DG pressure rows); columns live on
+  the continuous velocity line (shared endpoints summed; periodic wraps
+  the closing node onto node 0).
+  """
+  m, k = blocks.shape
+  p = k - 1
+  ncols = n * p if periodic else n * p + 1
+  out = np.zeros((n * m, ncols))
+  for e in range(n):
+    cols = (e * p + np.arange(k)) % ncols
+    out[e * m:(e + 1) * m, cols] += blocks
+  return out
+
+
+def build_fdm_pressure_solver(sem, dt: float, time_order: int):
+  """Returns ``solve(rhs) ~= E^{-1} rhs`` on uniform boxes (2D/3D, any BCs).
+
+  `rhs` and the result are nodal pressure arrays (DG grid numbering).
+  """
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+
+  ops = sem.fast_ops
+  vinfo, pinfo = ops.vinfo, ops.pinfo
+  d = vinfo.ndim
+  n = vinfo.num_elements_per_dim
+  p = vinfo.order
+  m = pinfo.order + 1
+
+  axis_masks = _axis_masks(sem)
+  assert axis_masks is not None, 'BC mask is not separable per axis'
+
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+  scale = dt / beta_k
+
+  # Element size from the (constant) mass field: wmass = (h/2)^d w^d.
+  vgrid = sem.velocity.mesh.gridpoints_1d
+  pgrid = sem.pressure.pspace.mesh.gridpoints_1d
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  w1 = np.asarray(
+      Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
+  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
+  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
+
+  ipt = np.asarray(interpolation_matrix_1d(pgrid, vgrid)).T  # (m, k)
+  dmat = np.asarray(differentiation_matrix_1d(vgrid))        # (k, k)
+
+  periodic_axes = _periodic_axes(sem)
+
+  zs, lams = [], []
+  import scipy.linalg
+  for a in range(d):
+    periodic = periodic_axes[a]
+    # Work on the line of *unique* velocity nodes: the redundant seam copy
+    # of a periodic axis folds onto node 0 (conjugating E by the
+    # duplicate-summing exchange yields exactly the wrapped assembly).
+    mask_a = np.asarray(axis_masks[a], dtype=np.float64)
+    nv = n * p if periodic else n * p + 1
+    mask_a = mask_a[:nv]
+    dg = _assemble_1d(ipt @ np.diag(w1) @ dmat, n, periodic)
+    mg = _assemble_1d(half_h * ipt @ np.diag(w1), n, periodic)
+    # Assembled 1D lumped mass (shared endpoints summed / wrapped).
+    mass = np.zeros(nv)
+    for e in range(n):
+      cols = (e * p + np.arange(p + 1)) % nv
+      mass[cols] += half_h * w1
+    b = mask_a / mass
+    A = dg @ np.diag(b) @ dg.T
+    B = mg @ np.diag(b) @ mg.T
+    lam, z = scipy.linalg.eigh(A, B)  # z^T B z = I
+    zs.append(z)
+    lams.append(lam)
+
+  # Combined eigenvalues with nullspace (near-zero modes) pseudo-inverted.
+  grids = np.meshgrid(*lams, indexing='ij')
+  lam_sum = sum(grids)
+  lmax = float(np.abs(lam_sum).max())
+  null = np.abs(lam_sum) <= 1e-10 * lmax
+  inv_lam = np.where(~null, 1.0 / np.where(null, 1.0, lam_sum), 0.0)
+
+  rdtype = (np.float32 if sem.velocity_mass_diag.dtype == jnp.float32
+            else np.float64)
+  zs = [np.ascontiguousarray(z, dtype=rdtype) for z in zs]
+  inv_lam = np.ascontiguousarray(inv_lam / scale, dtype=rdtype)
+  npd = n * m
+
+  def _transform(x, mats, transpose):
+    # x: (npd,) * d grid; applies mats[a] (or its transpose) along axis a.
+    for a, mat in enumerate(mats):
+      ma = jnp.asarray(mat)
+      if transpose:
+        ma = ma.T
+      x = jnp.moveaxis(
+          jnp.tensordot(ma, x, axes=([1], [a])), 0, a)
+    return x
+
+  def solve(rhs):
+    """Applies E^{-1} (including the dt/beta_k scaling) to nodal pressure."""
+    x = rhs.reshape((npd,) * d)
+    h = _transform(x, zs, transpose=True)     # Z^T x
+    h = h * jnp.asarray(inv_lam)
+    out = _transform(h, zs, transpose=False)  # Z h
+    return out.reshape(-1).astype(rhs.dtype)
+
+  # Whether E has a (pseudo-inverted) nullspace: true for enclosed flow
+  # (all-Dirichlet) and fully-periodic boxes.  Callers project iff so.
+  solve.has_nullspace = bool(null.any())
+  return solve
