@@ -74,7 +74,7 @@ def make_step_fn(sem, cfg: DatagenConfig):
   arithmetic (extrapolation, forcing, mass scaling) runs on unpadded 1D
   arrays, and the solver's fast path consumes the tuples directly.
   """
-  precond = sem.fft_pressure_preconditioner(cfg.dt, cfg.time_order)
+  precond = sem.best_pressure_preconditioner(cfg.dt, cfg.time_order)
   ext = [float(c) for c in navier_stokes.extk_coeffs(k=cfg.time_order - 1)]
   coords = sem.velocity.mesh.node_coords
   md = sem.velocity_mass_diag[..., 0]

@@ -722,13 +722,18 @@ class StokesSEM:
   def best_pressure_preconditioner(self, dt, time_order: int):
     """The strongest pressure preconditioner available for this geometry.
 
-    Fully-periodic uniform 2D boxes get the block-FFT inverse; any other
-    uniform box (Dirichlet/periodic per axis, 2D/3D) gets the FDM inverse;
-    everything else gets None (plain projected CG).
+    Uniform boxes (any per-axis Dirichlet/periodic mix, 2D/3D) get the FDM
+    inverse — preferred over the block-FFT one even where both apply,
+    because its dense HIGHEST-precision transforms keep the applied
+    inverse accurate to f32 rounding (measured: 1 pressure iteration per
+    step in developed f32 flow, vs 10-13 for the f32-FFT path whose
+    spectral noise defeats the Richardson sweeps).  Non-uniform periodic
+    2D boxes would get the FFT inverse; everything else None (projected
+    CG).
     """
-    precond = self.fft_pressure_preconditioner(dt, time_order)
+    precond = self.fdm_pressure_preconditioner(dt, time_order)
     if precond is None:
-      precond = self.fdm_pressure_preconditioner(dt, time_order)
+      precond = self.fft_pressure_preconditioner(dt, time_order)
     return precond
 
   def filter(self, u, alpha: float = 0.05):

@@ -79,8 +79,10 @@ def test_cavity_pressure_converges_in_one_iteration():
   assert int(aux['dp_info']['num_iterations']) <= 3
 
 
-def test_best_preconditioner_picks_fft_when_periodic():
+def test_best_preconditioner_prefers_fdm_when_periodic():
   sem = _make(2, (0, 1), {}, n=6, order=4)
   precond = sem.best_pressure_preconditioner(1e-3, 2)
-  # The FFT path exposes its Jacobi companion diagonal; FDM does not.
-  assert hasattr(precond, 'jacobi_diag_el')
+  # FDM is preferred even where FFT applies (f32 accuracy); the FFT path
+  # would expose its Jacobi companion diagonal.
+  assert precond is not None
+  assert not hasattr(precond, 'jacobi_diag_el')
