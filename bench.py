@@ -136,7 +136,8 @@ def main():
   p0 = jax.device_put(
       jnp.zeros(sem.pressure.pspace.mesh.num_nodes, DTYPE), device)
   with jax.default_device(jax.local_devices(backend='cpu')[0]):
-    precond = sem.fft_pressure_preconditioner(dt=1e-4, time_order=2)
+    precond = sem.best_pressure_preconditioner(dt=1e-4, time_order=2)
+    vprecond = sem.fdm_viscous_preconditioner(1e-4, 1e-4, time_order=2)
 
   @jax.jit
   def some_steps(us, ps):
@@ -145,7 +146,7 @@ def main():
       u, p, _ = sem.stokes_one_step(
           list(us), list(ps), 0, mu=DTYPE(1e-4), dt=DTYPE(1e-4),
           time_order=2, tol=1e-5, atol=1e-6, maxiter=300,
-          pressure_preconditioner=precond)
+          pressure_preconditioner=precond, viscous_preconditioner=vprecond)
       return ((us[1], u), (ps[1], p)), None
     carry, _ = jax.lax.scan(body, (us, ps), None, length=3)
     return carry

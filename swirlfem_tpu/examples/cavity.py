@@ -61,6 +61,7 @@ def run_cavity(sem: StokesSEM, reynolds: float = 100.0, dt: float = 2e-3,
   # Exact FDM inverse of the Schur operator: the pressure correction
   # converges in 1 iteration instead of O(order * num_elements).
   precond = sem.best_pressure_preconditioner(dt, time_order)
+  vprecond = sem.fdm_viscous_preconditioner(1.0 / reynolds, dt, time_order)
 
   @jax.jit
   def step(us, ps, cus):
@@ -68,7 +69,7 @@ def run_cavity(sem: StokesSEM, reynolds: float = 100.0, dt: float = 2e-3,
     u, p, aux = sem.stokes_one_step(
         list(us), list(ps), -cu, mu=1.0 / reynolds, dt=dt,
         time_order=time_order, u_boundary=u_boundary, tol=1e-8, atol=1e-10,
-        pressure_preconditioner=precond)
+        pressure_preconditioner=precond, viscous_preconditioner=vprecond)
     # The interior solve returns u including the boundary lift; advect the
     # full field.
     return (us[1:] + [u - u_boundary], ps[1:] + [p],

@@ -75,6 +75,8 @@ def make_step_fn(sem, cfg: DatagenConfig):
   arrays, and the solver's fast path consumes the tuples directly.
   """
   precond = sem.best_pressure_preconditioner(cfg.dt, cfg.time_order)
+  vprecond = sem.fdm_viscous_preconditioner(
+      1.0 / cfg.reynolds_number, cfg.dt, cfg.time_order)
   ext = [float(c) for c in navier_stokes.extk_coeffs(k=cfg.time_order - 1)]
   coords = sem.velocity.mesh.node_coords
   md = sem.velocity_mass_diag[..., 0]
@@ -90,7 +92,7 @@ def make_step_fn(sem, cfg: DatagenConfig):
     u, p, _ = sem.stokes_one_step(
         list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
         time_order=cfg.time_order, tol=1e-5, atol=1e-4,
-        pressure_preconditioner=precond)
+        pressure_preconditioner=precond, viscous_preconditioner=vprecond)
     return u, p, sem._fast_C(u) if sem.fast_ops is not None else None
 
   def one_step_nodal(us, ps, cus):
@@ -101,7 +103,7 @@ def make_step_fn(sem, cfg: DatagenConfig):
     u, p, _ = sem.stokes_one_step(
         list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
         time_order=cfg.time_order, tol=1e-5, atol=1e-4,
-        pressure_preconditioner=precond)
+        pressure_preconditioner=precond, viscous_preconditioner=vprecond)
     return u, p, sem.C(u)
 
   step = one_step if sem.fast_ops is not None else one_step_nodal

@@ -143,11 +143,17 @@ class StokesVelocity:
   def create(cls, premesh: Premesh, order: int, boundary_conditions,
              num_convection_overint_nodes: int = 2,
              axis_name: str | None = None,
-             device_mesh=None) -> 'StokesVelocity':
+             device_mesh=None,
+             coord_transform=None) -> 'StokesVelocity':
     gridpoints = Nodes1D.create(num_points=order + 1,
                                 node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
-    vmesh = refine_premesh(premesh, gridpoints_1d=gridpoints).finalize(
-        axis_name=axis_name, device_mesh=device_mesh)
+    refined = refine_premesh(premesh, gridpoints_1d=gridpoints)
+    if coord_transform is not None:
+      # Curved-boundary hook: e.g. snap refined nodes onto a true circle
+      # (utils.cylinder.snap_cylinder_boundary), fixing the polygonal
+      # geometry left by corner-interpolating refinement.
+      refined = refined.replace(node_coords=coord_transform(refined))
+    vmesh = refined.finalize(axis_name=axis_name, device_mesh=device_mesh)
     overint_grid = Nodes1D.create(
         num_points=gridpoints.num_points + num_convection_overint_nodes,
         node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
@@ -236,7 +242,8 @@ class StokesSEM:
              num_convection_overint_nodes: int = 2,
              axis_name: str | None = None,
              device_mesh=None,
-             use_pallas_kernels: bool = False) -> 'StokesSEM':
+             use_pallas_kernels: bool = False,
+             velocity_coord_transform=None) -> 'StokesSEM':
     if premesh.order != 1:
       raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
     quadrature = Quadrature1D.create(
@@ -248,7 +255,8 @@ class StokesSEM:
     velocity = StokesVelocity.create(premesh, order, boundary_conditions,
                                      num_convection_overint_nodes,
                                      axis_name=axis_name,
-                                     device_mesh=device_mesh)
+                                     device_mesh=device_mesh,
+                                     coord_transform=velocity_coord_transform)
 
     def mass_diag(vel: StokesVelocity):
       ones = jnp.ones(vel.local_shape, dtype=vel.mesh.node_coords.dtype)
@@ -399,7 +407,8 @@ class StokesSEM:
 
   def _stokes_one_step_el(self, us, ps, f, mu, dt, time_order, alpha,
                           pressure_preconditioner, project_out_nullspace,
-                          tol, atol, maxiter, as_tuple_input):
+                          tol, atol, maxiter, as_tuple_input,
+                          viscous_preconditioner=None):
     """Fractional step with CG fully in element-local (k,k,n,n) form.
 
     Fully-periodic structured boxes only: the continuity projector QQ^T is
@@ -440,13 +449,23 @@ class StokesSEM:
     # duplicated, so that per-dof totals are preserved in the el rep.
     f_el = tuple(v_in(c / grid_mult) for c in f)
 
+    vp_el = None
+    if viscous_preconditioner is not None:
+      def vp_el(rt):  # el covector tuple -> el solution tuple
+        outs = []
+        for w in rt:
+          r_nodal = mod.el_to_nodal(w.reshape((kk,) * d + (num_e,)), vinfo)
+          outs.append(v_in(viscous_preconditioner(r_nodal)))
+        return tuple(outs)
+
     u, p_el, aux = stokes_step_el(
         mod, ops, us_el, ps_el, f_el, mu=mu, dt=dt, time_order=time_order,
         alpha=alpha, exch=lambda w: mod.exchange_el(w, vinfo), dot=self.dot,
         grid_1d=self.velocity.mesh.gridpoints_1d,
         pressure_preconditioner=pressure_preconditioner,
         project_out_nullspace=project_out_nullspace,
-        tol=tol, atol=atol, maxiter=maxiter, eshape=eshape)
+        tol=tol, atol=atol, maxiter=maxiter, eshape=eshape,
+        viscous_preconditioner=vp_el)
     u = tuple(v_out(w) for w in u)
     p = p_out(p_el)
     if not as_tuple_input:
@@ -466,7 +485,8 @@ class StokesSEM:
 
   def _stokes_one_step_fast(self, us, ps, f, mu, dt, time_order, alpha,
                             u_boundary, pressure_preconditioner,
-                            project_out_nullspace, tol, atol, maxiter):
+                            project_out_nullspace, tol, atol, maxiter,
+                            viscous_preconditioner=None):
     """Fractional step on component-tuple states in E-last element layout.
 
     Identical math to the generic path; nodal fields travel as flat
@@ -510,7 +530,8 @@ class StokesSEM:
 
       u, p, aux = self._stokes_one_step_el(
           us, ps, f, mu, dt, time_order, alpha, precond_el,
-          project_out_nullspace, tol, atol, maxiter, as_tuple_input)
+          project_out_nullspace, tol, atol, maxiter, as_tuple_input,
+          viscous_preconditioner=viscous_preconditioner)
       return u, p, aux
 
     tmap = jax.tree_util.tree_map
@@ -555,8 +576,10 @@ class StokesSEM:
 
     def vsolve(matvec, rhs):
       rhs = tuple(mask * r for r in rhs)
-      return cg(matvec, rhs, M=exch_t, tol=tol, atol=atol, dot_fn=self.dot,
-                maxiter=maxiter)
+      x0 = (None if viscous_preconditioner is None
+            else tuple(viscous_preconditioner(r) for r in rhs))
+      return cg(matvec, rhs, x0=x0, M=exch_t, tol=tol, atol=atol,
+                dot_fn=self.dot, maxiter=maxiter)
 
     u_star, u_info = lax.custom_linear_solve(
         H_t, f, solve=vsolve, symmetric=True, has_aux=True)
@@ -599,6 +622,7 @@ class StokesSEM:
       mu: float, dt: float, time_order: int, alpha: float = 0.05,
       u_boundary: jax.Array | None = None,
       pressure_preconditioner=None,
+      viscous_preconditioner=None,
       project_out_nullspace: bool = True,
       tol: float = 1e-8, atol: float = 0.0,
       maxiter: int | None = None,
@@ -618,7 +642,8 @@ class StokesSEM:
     if self.fast_ops is not None:
       return self._stokes_one_step_fast(
           us, ps, f, mu, dt, time_order, alpha, u_boundary,
-          pressure_preconditioner, project_out_nullspace, tol, atol, maxiter)
+          pressure_preconditioner, project_out_nullspace, tol, atol, maxiter,
+          viscous_preconditioner=viscous_preconditioner)
     if pressure_preconditioner is None and project_out_nullspace:
       pressure_preconditioner = partial(_pressure_project_out_nullspace, self)
 
@@ -645,9 +670,13 @@ class StokesSEM:
     # carry boundary components which would otherwise make CG run away
     # along the null space and corrupt gradients.
     def vsolve(matvec, rhs):
-      return cg(matvec, self.velocity.interior_mask * rhs,
-                M=self.velocity.exchange, tol=tol, atol=atol,
-                dot_fn=self.dot, maxiter=maxiter)
+      rhs = self.velocity.interior_mask * rhs
+      x0 = None
+      if viscous_preconditioner is not None:
+        x0 = jnp.stack([viscous_preconditioner(rhs[..., j])
+                        for j in range(rhs.shape[-1])], axis=-1)
+      return cg(matvec, rhs, x0=x0, M=self.velocity.exchange, tol=tol,
+                atol=atol, dot_fn=self.dot, maxiter=maxiter)
 
     u_star, u_info = lax.custom_linear_solve(
         H, f, solve=vsolve, symmetric=True, has_aux=True)
@@ -719,6 +748,21 @@ class StokesSEM:
 
     return precondition
 
+  def fdm_viscous_preconditioner(self, mu, dt, time_order: int):
+    """Exact FDM inverse of the viscous Helmholtz operator, uniform boxes.
+
+    Returns a per-component nodal callable ``r -> H^{-1} r`` (mu, dt
+    bound; the eigenbasis itself is mu/dt-independent) used to seed the
+    viscous CG, which then certifies convergence in 0-2 iterations.  None
+    when the mesh is not a uniform separable box.
+    """
+    from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver
+    from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
+    if not is_uniform_box(self):
+      return None
+    solve = build_fdm_helmholtz_solver(self, time_order)
+    return lambda r: solve(r, mu, dt)
+
   def best_pressure_preconditioner(self, dt, time_order: int):
     """The strongest pressure preconditioner available for this geometry.
 
@@ -775,7 +819,8 @@ class StokesSEM:
 
 def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
                    alpha, exch, dot, grid_1d, pressure_preconditioner,
-                   project_out_nullspace, tol, atol, maxiter, eshape):
+                   project_out_nullspace, tol, atol, maxiter, eshape,
+                   viscous_preconditioner=None):
   """One fractional step fully in element-local (E-last) form.
 
   The communication-parameterized core of the structured fast path: all
@@ -855,7 +900,12 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
     return tuple(exch(r) / diag_h for r in rt)
 
   def vsolve(matvec, rhs):
-    return cg(matvec, rhs, M=M_t, tol=tol, atol=atol, dot_fn=dot,
+    # An exact FDM inverse seeds CG's initial iterate: the solve becomes a
+    # direct application + a 0-iteration convergence certificate (or a
+    # couple of polish iterations at f32 rounding level).
+    x0 = None if viscous_preconditioner is None else viscous_preconditioner(
+        rhs)
+    return cg(matvec, rhs, x0=x0, M=M_t, tol=tol, atol=atol, dot_fn=dot,
               maxiter=maxiter)
 
   u_star, u_info = lax.custom_linear_solve(

@@ -38,6 +38,7 @@ counterpart (it runs unpreconditioned projected CG,
 from __future__ import annotations
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -223,4 +224,140 @@ def build_fdm_pressure_solver(sem, dt: float, time_order: int):
   # Whether E has a (pseudo-inverted) nullspace: true for enclosed flow
   # (all-Dirichlet) and fully-periodic boxes.  Callers project iff so.
   solve.has_nullspace = bool(null.any())
+  return solve
+
+
+def _assemble_1d_square(blocks: np.ndarray, n: int,
+                        periodic: bool) -> np.ndarray:
+  """Assembles per-element (k, k) 1D operators onto the global line."""
+  k = blocks.shape[0]
+  p = k - 1
+  nv = n * p if periodic else n * p + 1
+  out = np.zeros((nv, nv))
+  for e in range(n):
+    cols = (e * p + np.arange(k)) % nv
+    out[np.ix_(cols, cols)] += blocks
+  return out
+
+
+def build_fdm_helmholtz_solver(sem, time_order: int):
+  """Exact FDM solver for the viscous operator H = (beta_k/dt) B + mu A.
+
+  On a uniform box the assembled vector Helmholtz operator is separable
+  per axis exactly like the pressure Schur operator (collocated-GLL
+  stiffness/lumped mass tensor-factor; the Dirichlet row mask slices per
+  axis), so per-axis generalized eigendecompositions ``S_a Z = M_a Z L``
+  give
+
+      H^{-1} = (Z1 (x) Z2 ...) diag(1 / (beta_k/dt + mu * sum_a lam_a))
+               (Z1 (x) Z2 ...)^T
+
+  The eigenbasis is independent of ``mu`` and ``dt`` — they only shift the
+  diagonal — so one setup serves every viscosity/step size, and the
+  returned ``solve(r, mu, dt)`` can take traced values.
+
+  `r` is a per-component nodal covector on the (possibly redundant)
+  velocity grid; periodic seam copies are folded before and spread after
+  the solve.  The result is the continuous solution with zero on Dirichlet
+  rows (matching the row-elided system CG solves).
+  """
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+
+  ops = sem.fast_ops
+  vinfo = ops.vinfo
+  d = vinfo.ndim
+  n = vinfo.num_elements_per_dim
+  p = vinfo.order
+  nv_grid = vinfo.nodes_per_dim
+
+  axis_masks = _axis_masks(sem)
+  assert axis_masks is not None, 'BC mask is not separable per axis'
+  periodic_axes = _periodic_axes(sem)
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+
+  vgrid = sem.velocity.mesh.gridpoints_1d
+  w1 = np.asarray(
+      Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
+  dmat = np.asarray(differentiation_matrix_1d(vgrid))
+  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
+  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
+
+  import scipy.linalg
+  zs, lams, interiors = [], [], []
+  for a in range(d):
+    periodic = periodic_axes[a]
+    nv = n * p if periodic else n * p + 1
+    s_el = (1.0 / half_h) * dmat.T @ np.diag(w1) @ dmat  # (2/h) * D^T W D
+    s_glob = _assemble_1d_square(s_el, n, periodic)
+    mass = np.zeros(nv)
+    for e in range(n):
+      cols = (e * p + np.arange(p + 1)) % nv
+      mass[cols] += half_h * w1
+    interior = np.nonzero(np.asarray(axis_masks[a])[:nv] > 0)[0]
+    s_int = s_glob[np.ix_(interior, interior)]
+    m_int = mass[interior]
+    # Generalized eig with diagonal M: fold sqrt(M) in and use plain eigh.
+    sq = np.sqrt(m_int)
+    lam, y = scipy.linalg.eigh(s_int / sq[:, None] / sq[None, :])
+    zs.append(y / sq[:, None])  # Z^T M Z = I
+    lams.append(lam)
+    interiors.append((interior, nv))
+
+  rdtype = (np.float32 if sem.velocity_mass_diag.dtype == jnp.float32
+            else np.float64)
+  zs = [np.ascontiguousarray(z, dtype=rdtype) for z in zs]
+  grids = np.meshgrid(*lams, indexing='ij')
+  lam_sum = np.ascontiguousarray(sum(grids), dtype=rdtype)
+
+  def _fold(x, axis, periodic, nv):
+    """Sums the redundant periodic seam copy onto node 0 along `axis`."""
+    if not periodic:
+      return x
+    first = lax.index_in_dim(x, 0, axis=axis, keepdims=True)
+    last = lax.index_in_dim(x, nv_grid - 1, axis=axis, keepdims=True)
+    rest = lax.slice_in_dim(x, 1, nv, axis=axis)
+    return jnp.concatenate([first + last, rest], axis=axis)
+
+  def _spread(x, axis, periodic):
+    """Duplicates node 0 back onto the redundant seam slot."""
+    if not periodic:
+      return x
+    first = lax.index_in_dim(x, 0, axis=axis, keepdims=True)
+    return jnp.concatenate([x, first], axis=axis)
+
+  def _embed(x, axis, interior, nv):
+    """Scatters interior rows into a zero-padded full line along `axis`."""
+    if len(interior) == nv:
+      return x
+    # Dirichlet masks zero a contiguous prefix/suffix: pad with zeros.
+    lead, trail = interior[0], nv - 1 - interior[-1]
+    assert len(interior) == nv - lead - trail, 'non-contiguous interior'
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (int(lead), int(trail))
+    return jnp.pad(x, pads)
+
+  def solve(r, mu, dt):
+    """Applies H^{-1} to a nodal covector (one velocity component)."""
+    x = r.reshape((nv_grid,) * d)
+    for a in range(d):
+      interior, nv = interiors[a]
+      x = _fold(x, a, periodic_axes[a], nv)
+      if len(interior) != nv:
+        x = lax.slice_in_dim(x, int(interior[0]), int(interior[-1]) + 1,
+                             axis=a)
+    h = x
+    for a, z in enumerate(zs):
+      h = jnp.moveaxis(
+          jnp.tensordot(jnp.asarray(z).T, h, axes=([1], [a])), 0, a)
+    h = h / (beta_k / dt + mu * jnp.asarray(lam_sum))
+    for a, z in enumerate(zs):
+      h = jnp.moveaxis(
+          jnp.tensordot(jnp.asarray(z), h, axes=([1], [a])), 0, a)
+    for a in range(d):
+      interior, nv = interiors[a]
+      h = _embed(h, a, interior, nv)
+      h = _spread(h, a, periodic_axes[a])
+    return h.reshape(-1).astype(r.dtype)
+
   return solve

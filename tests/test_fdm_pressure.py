@@ -86,3 +86,48 @@ def test_best_preconditioner_prefers_fdm_when_periodic():
   # would expose its Jacobi companion diagonal.
   assert precond is not None
   assert not hasattr(precond, 'jacobi_diag_el')
+
+
+@pytest.mark.parametrize('name,ndim,pdims,bcs,n,order', CASES)
+def test_fdm_helmholtz_inverts_viscous_operator(name, ndim, pdims, bcs, n,
+                                                order):
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+  from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver
+
+  sem = _make(ndim, pdims, bcs, n=n, order=order)
+  mu, dt, time_order = 3e-3, 1e-3, 2
+  solve = build_fdm_helmholtz_solver(sem, time_order)
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+
+  rng = np.random.default_rng(0)
+  nv = sem.velocity.mesh.num_nodes
+  raw = rng.standard_normal((nv, ndim))
+  mult = sem.velocity.vspace.mesh.exchange(sem.velocity.diag_qqt)
+  u = sem.velocity.exchange(jnp.asarray(raw)) / mult[:, None]
+  u = sem.velocity.interior_mask * u  # continuous, Dirichlet-masked
+  r = (beta_k / dt) * sem.B(u) + mu * sem.A(u)
+  x = jnp.stack([solve(r[:, j], mu, dt) for j in range(ndim)], axis=-1)
+  np.testing.assert_allclose(np.asarray(x), np.asarray(u),
+                             atol=1e-11 * float(jnp.abs(u).max()))
+
+
+def test_viscous_seed_zero_iterations():
+  sem = _make(2, (0, 1), {}, n=8, order=6)
+  mu, dt, time_order = 1e-3, 1e-3, 2
+  vprecond = sem.fdm_viscous_preconditioner(mu, dt, time_order)
+  assert vprecond is not None
+  vc = np.asarray(sem.velocity.mesh.node_coords)
+  u0 = tuple(jnp.asarray(np.sin(2 * np.pi * vc[:, 1 - j]))
+             for j in range(2))
+  p0 = jnp.zeros(sem.pressure.pspace.mesh.num_nodes)
+
+  u_ref, p_ref, _ = sem.stokes_one_step(
+      [u0, u0], [p0, p0], 0, mu=mu, dt=dt, time_order=time_order, tol=1e-12)
+  u, p, aux = sem.stokes_one_step(
+      [u0, u0], [p0, p0], 0, mu=mu, dt=dt, time_order=time_order, tol=1e-12,
+      viscous_preconditioner=vprecond)
+  assert int(aux['u_star_info']['num_iterations']) == 0
+  for j in range(2):
+    np.testing.assert_allclose(np.asarray(u[j]), np.asarray(u_ref[j]),
+                               atol=1e-10)
+  np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
