@@ -1,0 +1,79 @@
+"""Cylinder-in-channel: mesh generation, curved boundary, short NSE run.
+
+Validates the fully unstructured path on the Schaefer-Turek geometry: the
+programmatic O-grid mesh has positive Jacobians everywhere after the
+blended circle snap, the refined wall nodes sit exactly on the circle, and
+a short impulsive-start run stays finite with a developing wake.  (The
+long vortex-shedding run with Strouhal validation lives in
+examples/cylinder.py and runs on TPU; CPU-f64 suite time forbids it here.)
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.examples.cylinder import inflow_boundary_field
+from swirlfem_tpu.examples.cylinder import make_cylinder_sem
+from swirlfem_tpu.examples.cylinder import run_cylinder
+from swirlfem_tpu.examples.cylinder import strouhal_number
+from swirlfem_tpu.utils.cylinder import cylinder_channel_premesh
+
+
+def test_premesh_structure():
+  pm = cylinder_channel_premesh(ns=4, nr=3, nx_down=10)
+  assert pm.ndim == 2 and pm.order == 1
+  for name in ('cylinder', 'inflow', 'outflow', 'walls'):
+    assert name in pm.physical_groups, name
+  # Every cylinder facet is an edge of exactly one element.
+  elems = np.asarray(pm.elements)
+  edge_set = set()
+  for e in elems:
+    for pair in ((e[0], e[1]), (e[2], e[3]), (e[0], e[2]), (e[1], e[3])):
+      edge_set.add(frozenset(pair))
+  for facet in np.asarray(pm.physical_groups['cylinder']):
+    assert frozenset(facet.tolist()) in edge_set
+
+
+def test_curved_boundary_and_positive_jacobians():
+  sem = make_cylinder_sem(order=4, ns=4, nr=3, nx_down=10)
+  jd = np.asarray(sem.velocity.vspace.jacdets)
+  assert jd.min() > 0, jd.min()
+  coords = np.asarray(sem.velocity.mesh.node_coords)
+  on_cyl = np.asarray(sem.velocity.mesh.physical_masks['cylinder']) > 0
+  r = np.linalg.norm(coords[on_cyl] - np.array([0.2, 0.2]), axis=-1)
+  np.testing.assert_allclose(r, 0.05, atol=1e-12)
+  # The channel-grid interface stayed conforming: outer-square nodes of
+  # the ring are untouched, so the mesh has no duplicated near-miss nodes.
+  assert sem.velocity.mesh.num_nodes == len(np.unique(
+      np.round(coords, 9), axis=0))
+
+
+def test_short_impulsive_run_stays_finite():
+  sem = make_cylinder_sem(order=3, ns=4, nr=3, nx_down=10)
+  u, p, trace = run_cylinder(sem, num_steps=6, dt=2e-3, tol=1e-6)
+  assert np.isfinite(np.asarray(u)).all()
+  assert np.isfinite(np.asarray(p)).all()
+  # Flow develops: downstream probe sees nonzero velocity by step 6.
+  ux_max = float(jnp.abs(u[:, 0]).max())
+  assert ux_max > 0.5, ux_max  # inflow lift dominates early flow
+  assert np.isfinite(trace).all()
+
+
+def test_inflow_profile_mean():
+  sem = make_cylinder_sem(order=3, ns=4, nr=3, nx_down=10)
+  ub = np.asarray(inflow_boundary_field(sem))
+  coords = np.asarray(sem.velocity.mesh.node_coords)
+  on_in = np.asarray(sem.velocity.mesh.physical_masks['inflow']) > 0
+  y = coords[on_in, 1]
+  got = ub[on_in, 0]
+  np.testing.assert_allclose(got, 6.0 * y * (0.41 - y) / 0.41 ** 2,
+                             atol=1e-12)
+
+
+def test_strouhal_extraction():
+  dt = 1e-2
+  t = np.arange(400) * dt
+  st_true = 0.3
+  f = st_true * 1.0 / 0.1  # St * U / D
+  trace = 0.02 * np.sin(2 * np.pi * f * t) + 0.001
+  st = strouhal_number(trace, dt)
+  np.testing.assert_allclose(st, st_true, rtol=0.06)
