@@ -292,7 +292,12 @@ def create_kl_penalty_fn(config, steps_per_epoch):
 def create_model(model_name: str, model_config):
   if model_name != 'multiscale_transformer':
     raise ValueError(f'unsupported model {model_name!r}')
+  # Compute dtype for the transformer layers (params stay f32): bfloat16
+  # halves HBM traffic and doubles MXU throughput on TPU; LayerNorm
+  # statistics and the solver stay f32.
+  dtype = jnp.dtype(model_config.get('dtype', 'float32'))
   return transformer.Model(
+      dtype=dtype,
       num_layers=model_config.num_layers,
       num_heads=model_config.num_heads,
       depth=model_config.depth,
