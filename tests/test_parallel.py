@@ -122,3 +122,36 @@ def test_spmd_map_psum():
   f = spmd_map(lambda v: jax.lax.psum(v, 'x'), dmesh, 'x')
   out = np.asarray(f(jnp.arange(8.0)))
   np.testing.assert_allclose(out, np.full(8, 28.0))
+
+
+def test_repartition_element_fields(dmesh):
+  """Crystal-routed load rebalancing matches host re-grouping exactly."""
+  from swirlfem_tpu.parallel.repartition import partition_layout
+  from swirlfem_tpu.parallel.repartition import repartition_element_fields
+
+  rng = np.random.default_rng(3)
+  num_elements = 37  # deliberately uneven across 4 partitions
+  old_parts = rng.integers(0, NUM_PARTS, num_elements)
+  new_parts = rng.integers(0, NUM_PARTS, num_elements)
+
+  old_ids, old_counts = partition_layout(old_parts, NUM_PARTS)
+  data = rng.standard_normal((num_elements, 5))
+  # Stack fields into the old layout (canonical ascending-gid order).
+  stacked = np.zeros((NUM_PARTS, old_ids.shape[1], 5))
+  for p in range(NUM_PARTS):
+    stacked[p, :old_counts[p]] = data[old_ids[p, :old_counts[p]]]
+
+  fields = {'u': jnp.asarray(stacked), 'w': jnp.asarray(2.0 * stacked)}
+  out, counts = repartition_element_fields(
+      dmesh, 'part', old_parts, new_parts, fields)
+
+  new_ids, new_counts = partition_layout(new_parts, NUM_PARTS)
+  np.testing.assert_array_equal(np.asarray(counts), new_counts)
+  for p in range(NUM_PARTS):
+    got = np.asarray(out['u'])[p, :new_counts[p]]
+    np.testing.assert_allclose(got, data[new_ids[p, :new_counts[p]]],
+                               atol=0)
+    got_w = np.asarray(out['w'])[p, :new_counts[p]]
+    np.testing.assert_allclose(got_w,
+                               2.0 * data[new_ids[p, :new_counts[p]]],
+                               atol=0)
