@@ -128,30 +128,36 @@ def main():
   t_kron = _timeit_chained(_kron_stiffness(sem), u2, chain=4)
   gdofs = num_dofs / t_fast / 1e9
 
-  # Secondary: NSE wall-clock per step (10 chained steps, tuple carriers).
+  # Secondary: NSE wall-clock per step.  States stay in el (E-last) form
+  # ACROSS steps and both solves use the el-native exact FDM inverses, so
+  # the step runs with zero layout conversions (each costs ~0.3 ms of pure
+  # kernel-launch overhead through the tunnel).
   vc = np.asarray(mesh.node_coords)
   u0 = tuple(
       jax.device_put(jnp.asarray(np.sin(2 * np.pi * vc[:, 1 - j]), DTYPE),
                      device) for j in range(2))
-  p0 = jax.device_put(
-      jnp.zeros(sem.pressure.pspace.mesh.num_nodes, DTYPE), device)
   with jax.default_device(jax.local_devices(backend='cpu')[0]):
-    precond = sem.best_pressure_preconditioner(dt=1e-4, time_order=2)
-    vprecond = sem.fdm_viscous_preconditioner(1e-4, 1e-4, time_order=2)
+    vprecond_el, pprecond_el = sem.fdm_el_preconditioners(
+        1e-4, 1e-4, time_order=2)
+  u0_el = jax.jit(sem.velocity_to_el)(u0)
+  p0_el = jax.device_put(
+      jnp.zeros((ORDER - 1,) * 2 + (N_ELEMS,) * 2, DTYPE), device)
+  zero_f = tuple(jnp.zeros_like(c) for c in u0_el)
 
   @jax.jit
   def some_steps(us, ps):
     def body(carry, _):
       us, ps = carry
-      u, p, _ = sem.stokes_one_step(
-          list(us), list(ps), 0, mu=DTYPE(1e-4), dt=DTYPE(1e-4),
+      u, p, _ = sem.stokes_one_step_el(
+          list(us), list(ps), zero_f, mu=DTYPE(1e-4), dt=DTYPE(1e-4),
           time_order=2, tol=1e-5, atol=1e-6, maxiter=300,
-          pressure_preconditioner=precond, viscous_preconditioner=vprecond)
+          pressure_preconditioner_el=pprecond_el,
+          viscous_preconditioner_el=vprecond_el, exact_solves=True)
       return ((us[1], u), (ps[1], p)), None
     carry, _ = jax.lax.scan(body, (us, ps), None, length=3)
     return carry
 
-  t_step = _timeit(some_steps, (u0, u0), (p0, p0), iters=2) / 3
+  t_step = _timeit(some_steps, (u0_el, u0_el), (p0_el, p0_el), iters=2) / 3
 
   result = {
       'metric': 'stiffness_apply_throughput',

@@ -69,55 +69,90 @@ def min_node_spacing(mesh) -> float:
 def make_step_fn(sem, cfg: DatagenConfig):
   """Jitted scan of `snapshot_every` steps between snapshots.
 
-  States travel as per-component flat tuples ((u_x, u_y) of (N,) arrays):
-  (N, 2)-shaped nodal arrays pad 64x in TPU memory, so all per-step
-  arithmetic (extrapolation, forcing, mass scaling) runs on unpadded 1D
-  arrays, and the solver's fast path consumes the tuples directly.
+  On fully-periodic structured boxes the states travel in element-local
+  E-last form ACROSS steps (``sem.stokes_one_step_el``) with the el-native
+  exact FDM inverses for both solves: zero layout transforms and 0-1 CG
+  iterations per step.  Elsewhere: per-component flat nodal tuples
+  ((N, 2) arrays pad 64x in TPU memory) through the nodal fast path, or
+  (N, d) arrays through the generic path.
   """
-  precond = sem.best_pressure_preconditioner(cfg.dt, cfg.time_order)
-  vprecond = sem.fdm_viscous_preconditioner(
-      1.0 / cfg.reynolds_number, cfg.dt, cfg.time_order)
+  mu = 1.0 / cfg.reynolds_number
   ext = [float(c) for c in navier_stokes.extk_coeffs(k=cfg.time_order - 1)]
   coords = sem.velocity.mesh.node_coords
-  md = sem.velocity_mass_diag[..., 0]
-  fbody_x = jnp.sin(2 * jnp.pi * cfg.forcing_wavenumber * coords[..., 1])
   tmap = jax.tree_util.tree_map
+  el_mode = sem.fast_ops is not None and sem._fully_periodic  # pylint: disable=protected-access
 
-  def one_step(us, ps, cus):
-    cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
-              *cus)
-    ux, uy = us[-1]
-    f = (md * (fbody_x - cfg.drag_coeff * ux) - cu[0],
-         md * (-cfg.drag_coeff * uy) - cu[1])
-    u, p, _ = sem.stokes_one_step(
-        list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
-        time_order=cfg.time_order, tol=1e-5, atol=1e-4,
-        pressure_preconditioner=precond, viscous_preconditioner=vprecond)
-    return u, p, sem._fast_C(u) if sem.fast_ops is not None else None
+  if el_mode:
+    ops = sem.fast_ops
+    info = ops.vinfo
+    kk = info.order + 1
+    n = info.num_elements_per_dim
+    eshape = (n,) * info.ndim
+    num_e = n ** info.ndim
+    wmass_el = ops.wmass.reshape((kk,) * info.ndim + eshape)
+    fbody_el = sem.velocity_to_el(
+        (jnp.sin(2 * jnp.pi * cfg.forcing_wavenumber * coords[..., 1]),))[0]
+    vp_el, pp_el = sem.fdm_el_preconditioners(mu, cfg.dt, cfg.time_order)
 
-  def one_step_nodal(us, ps, cus):
-    # Generic fallback for unstructured meshes ((N, 2) carriers).
-    cu = sum(e * c for e, c in zip(ext[::-1], cus[::-1]))
-    f = forcing(cfg, coords, us[-1])
-    f = -cu + sem.B(f)
-    u, p, _ = sem.stokes_one_step(
-        list(us), list(ps), f, mu=1.0 / cfg.reynolds_number, dt=cfg.dt,
-        time_order=cfg.time_order, tol=1e-5, atol=1e-4,
-        pressure_preconditioner=precond, viscous_preconditioner=vprecond)
-    return u, p, sem.C(u)
+    def conv_el(ut):
+      flat = [c.reshape((kk,) * info.ndim + (num_e,)) for c in ut]
+      outs = ops.convection_el(*flat)
+      return tuple(o.reshape((kk,) * info.ndim + eshape) for o in outs)
 
-  step = one_step if sem.fast_ops is not None else one_step_nodal
+    def one_step(us, ps, cus):
+      cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
+                *cus)
+      ux, uy = us[-1]
+      f_el = (wmass_el * (fbody_el - cfg.drag_coeff * ux) - cu[0],
+              wmass_el * (-cfg.drag_coeff * uy) - cu[1])
+      u, p, _ = sem.stokes_one_step_el(
+          list(us), list(ps), f_el, mu=mu, dt=cfg.dt,
+          time_order=cfg.time_order, tol=1e-5, atol=1e-4,
+          pressure_preconditioner_el=pp_el, viscous_preconditioner_el=vp_el,
+          exact_solves=True)
+      return u, p, conv_el(u)
+
+  else:
+    precond = sem.best_pressure_preconditioner(cfg.dt, cfg.time_order)
+    vprecond = sem.fdm_viscous_preconditioner(mu, cfg.dt, cfg.time_order)
+    md = (sem.velocity_mass_diag[..., 0]
+          if sem.fast_ops is not None else None)
+    fbody_x = jnp.sin(2 * jnp.pi * cfg.forcing_wavenumber * coords[..., 1])
+
+    def one_step(us, ps, cus):
+      cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
+                *cus)
+      ux, uy = us[-1]
+      f = (md * (fbody_x - cfg.drag_coeff * ux) - cu[0],
+           md * (-cfg.drag_coeff * uy) - cu[1])
+      u, p, _ = sem.stokes_one_step(
+          list(us), list(ps), f, mu=mu, dt=cfg.dt,
+          time_order=cfg.time_order, tol=1e-5, atol=1e-4,
+          pressure_preconditioner=precond, viscous_preconditioner=vprecond)
+      return u, p, sem._fast_C(u)  # pylint: disable=protected-access
+
+    if sem.fast_ops is None:
+      def one_step(us, ps, cus):  # noqa: F811 - generic fallback
+        cu = sum(e * c for e, c in zip(ext[::-1], cus[::-1]))
+        f = forcing(cfg, coords, us[-1])
+        f = -cu + sem.B(f)
+        u, p, _ = sem.stokes_one_step(
+            list(us), list(ps), f, mu=mu, dt=cfg.dt,
+            time_order=cfg.time_order, tol=1e-5, atol=1e-4,
+            pressure_preconditioner=precond)
+        return u, p, sem.C(u)
 
   @jax.jit
   def advance(us, ps, cus):
     def body(carry, _):
       us, ps, cus = carry
-      u, p, cu = step(us, ps, cus)
+      u, p, cu = one_step(us, ps, cus)
       return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (cu,)), None
     (us, ps, cus), _ = jax.lax.scan(
         body, (us, ps, cus), None, length=cfg.snapshot_every)
     return us, ps, cus
 
+  advance.el_mode = el_mode
   return advance
 
 
@@ -126,19 +161,26 @@ def one_cycle(sem, cfg: DatagenConfig, advance, start_step, us, ps, cus,
   """Runs one cycle, writing snapshot frames to an HDF5 shard."""
   import h5py
 
+  el_mode = getattr(advance, 'el_mode', False)
+
   def u_np(u):
+    if el_mode:
+      u = sem.velocity_from_el(u)
     return np.stack([np.asarray(c) for c in u], axis=-1) if isinstance(
         u, tuple) else np.asarray(u)
 
+  def p_np(p):
+    return np.asarray(sem.pressure_from_el(p) if el_mode else p)
+
   t = start_step * cfg.dt
-  frames = {'t': [t], 'u': [u_np(us[-1])], 'p': [np.asarray(ps[-1])]}
+  frames = {'t': [t], 'u': [u_np(us[-1])], 'p': [p_np(ps[-1])]}
   start_time = time.time()
   for _ in range(cfg.num_steps_per_cycle // cfg.snapshot_every):
     us, ps, cus = advance(us, ps, cus)
     t += cfg.snapshot_every * cfg.dt
     frames['t'].append(t)
     frames['u'].append(u_np(us[-1]))
-    frames['p'].append(np.asarray(ps[-1]))
+    frames['p'].append(p_np(ps[-1]))
   logging.info('one cycle walltime %f seconds', time.time() - start_time)
 
   end_step = start_step + cfg.num_steps_per_cycle
@@ -177,7 +219,16 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
     u0 = u0 + 1e-3 * jax.random.normal(key, u0.shape, u0.dtype)
   p0 = jnp.zeros(sem.pressure.pspace.mesh.num_nodes,
                  dtype=sem.velocity.mesh.node_coords.dtype)
-  if sem.fast_ops is not None:
+  advance = make_step_fn(sem, cfg)
+  if advance.el_mode:
+    u0 = sem.velocity_to_el((u0[:, 0], u0[:, 1]))
+    p0 = sem.pressure_to_el(p0)
+    ops, info = sem.fast_ops, sem.fast_ops.vinfo
+    num_e = info.num_elements_per_dim ** info.ndim
+    kk = info.order + 1
+    flat = [c.reshape((kk,) * info.ndim + (num_e,)) for c in u0]
+    c0 = tuple(o.reshape(u0[0].shape) for o in ops.convection_el(*flat))
+  elif sem.fast_ops is not None:
     u0 = (u0[:, 0], u0[:, 1])
     c0 = sem._fast_C(u0)
   else:
@@ -185,14 +236,17 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
   us = tuple(u0 for _ in range(cfg.time_order))
   ps = tuple(p0 for _ in range(cfg.time_order))
   cus = tuple(c0 for _ in range(cfg.time_order))
-  advance = make_step_fn(sem, cfg)
 
   os.makedirs(workdir, exist_ok=True)
   for cycle in range(cfg.num_cycles):
     us, ps, cus = one_cycle(sem, cfg, advance,
                             cycle * cfg.num_steps_per_cycle, us, ps, cus,
                             workdir)
-    cfl = float(np.abs(np.asarray(us[-1])).max()) * cfg.dt / dx
+    u_last = (sem.velocity_from_el(us[-1]) if advance.el_mode
+              else us[-1])
+    cfl = float(max(np.abs(np.asarray(c)).max() for c in u_last)
+                if isinstance(u_last, tuple)
+                else np.abs(np.asarray(u_last)).max()) * cfg.dt / dx
     logging.info('cycle %d: CFL %f', cycle, cfl)
   logging.info('datagen complete')
 

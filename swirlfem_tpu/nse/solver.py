@@ -748,6 +748,122 @@ class StokesSEM:
 
     return precondition
 
+  def stokes_one_step_el(self, us_el, ps_el, f_el, *, mu, dt,
+                         time_order: int, alpha: float = 0.05,
+                         tol: float = 1e-8, atol: float = 0.0,
+                         maxiter: int | None = None,
+                         pressure_preconditioner_el=None,
+                         viscous_preconditioner_el=None,
+                         project_out_nullspace: bool = True,
+                         exact_solves: bool = False):
+    """One fractional step on element-local (E-last) states, no transforms.
+
+    The hot-path API for fully-periodic structured boxes: velocity states
+    are per-component tuples of ``(k,)*d + (n,)*d`` arrays and pressures
+    ``(m,)*d + (n,)*d`` arrays, kept in el form ACROSS steps — with the
+    el-native FDM solvers (`fdm_el_preconditioners`) the whole step runs
+    with zero nodal<->el layout conversions (measured ~0.3 ms per
+    conversion on TPU; the nodal-API step pays ~8 of them per call).
+    """
+    assert self.fast_ops is not None and self._fully_periodic
+    mod = self._elops
+    vinfo = self.fast_ops.vinfo
+    eshape = (vinfo.num_elements_per_dim,) * vinfo.ndim
+    return stokes_step_el(
+        mod, self.fast_ops, list(us_el), list(ps_el), f_el, mu=mu, dt=dt,
+        time_order=time_order, alpha=alpha,
+        exch=lambda w: mod.exchange_el(w, vinfo), dot=self.dot,
+        grid_1d=self.velocity.mesh.gridpoints_1d,
+        pressure_preconditioner=pressure_preconditioner_el,
+        project_out_nullspace=project_out_nullspace,
+        tol=tol, atol=atol, maxiter=maxiter, eshape=eshape,
+        viscous_preconditioner=viscous_preconditioner_el,
+        exact_solves=exact_solves)
+
+  def fdm_el_preconditioners(self, mu, dt, time_order: int):
+    """El-native exact FDM inverses for `stokes_one_step_el`.
+
+    Returns ``(viscous_el, pressure_el)`` callables on el-form states
+    (component tuple / single array), or ``(None, None)`` off uniform
+    boxes.  The duplicate-node fold is baked into the transform matrices
+    (ops.fdm_pressure), so applications are pure dense contractions.
+    """
+    from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver_el
+    from swirlfem_tpu.ops.fdm_pressure import build_fdm_pressure_solver_el
+    from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
+    if not is_uniform_box(self):
+      return None, None
+    sv = build_fdm_helmholtz_solver_el(self, time_order)
+    sp = build_fdm_pressure_solver_el(self, dt, time_order)
+
+    def viscous_el(rt):
+      return tuple(sv(r, mu, dt) for r in rt)
+
+    if not sp.has_nullspace:
+      return viscous_el, sp
+
+    def pressure_el(r):
+      w = sp(r)
+      ones = jnp.ones_like(w)
+      return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
+
+    return viscous_el, pressure_el
+
+  def velocity_to_el(self, u):
+    """Nodal component tuple / (N, d) array -> el-form component tuple."""
+    mod = self._elops
+    vinfo = self.fast_ops.vinfo
+    d = vinfo.ndim
+    kk = vinfo.order + 1
+    eshape = (vinfo.num_elements_per_dim,) * d
+    comps = (u if isinstance(u, tuple)
+             else tuple(u[..., i] for i in range(u.shape[-1])))
+    return tuple(
+        mod.nodal_to_el(c, vinfo).reshape((kk,) * d + eshape) for c in comps)
+
+  def velocity_from_el(self, u_el):
+    """El-form component tuple -> nodal tuple (grid-copy averaged)."""
+    mod = self._elops
+    vinfo = self.fast_ops.vinfo
+    d = vinfo.ndim
+    kk = vinfo.order + 1
+    num_e = vinfo.num_elements_per_dim ** d
+    ones = jnp.ones((kk,) * d + (num_e,), dtype=u_el[0].dtype)
+    grid_mult = mod.el_to_nodal(ones, vinfo)
+    return tuple(
+        mod.el_to_nodal(w.reshape((kk,) * d + (num_e,)), vinfo) / grid_mult
+        for w in u_el)
+
+  def pressure_to_el(self, p):
+    mod = self._elops
+    pinfo = self.fast_ops.pinfo
+    d = pinfo.ndim
+    mm = pinfo.order + 1
+    eshape = (pinfo.num_elements_per_dim,) * d
+    return mod.nodal_to_el(p, pinfo).reshape((mm,) * d + eshape)
+
+  def pressure_from_el(self, p_el):
+    mod = self._elops
+    pinfo = self.fast_ops.pinfo
+    d = pinfo.ndim
+    mm = pinfo.order + 1
+    num_e = pinfo.num_elements_per_dim ** d
+    return mod.el_to_nodal(p_el.reshape((mm,) * d + (num_e,)), pinfo)
+
+  def forcing_to_el(self, f):
+    """Nodal covector tuple -> el covector (values split among copies)."""
+    mod = self._elops
+    vinfo = self.fast_ops.vinfo
+    d = vinfo.ndim
+    kk = vinfo.order + 1
+    num_e = vinfo.num_elements_per_dim ** d
+    eshape = (vinfo.num_elements_per_dim,) * d
+    ones = jnp.ones((kk,) * d + (num_e,), dtype=f[0].dtype)
+    grid_mult = mod.el_to_nodal(ones, vinfo)
+    return tuple(
+        mod.nodal_to_el(c / grid_mult, vinfo).reshape((kk,) * d + eshape)
+        for c in f)
+
   def fdm_viscous_preconditioner(self, mu, dt, time_order: int):
     """Exact FDM inverse of the viscous Helmholtz operator, uniform boxes.
 
@@ -820,7 +936,7 @@ class StokesSEM:
 def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
                    alpha, exch, dot, grid_1d, pressure_preconditioner,
                    project_out_nullspace, tol, atol, maxiter, eshape,
-                   viscous_preconditioner=None):
+                   viscous_preconditioner=None, exact_solves=False):
   """One fractional step fully in element-local (E-last) form.
 
   The communication-parameterized core of the structured fast path: all
@@ -903,6 +1019,14 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
     # An exact FDM inverse seeds CG's initial iterate: the solve becomes a
     # direct application + a 0-iteration convergence certificate (or a
     # couple of polish iterations at f32 rounding level).
+    if exact_solves and viscous_preconditioner is not None:
+      # Trust the direct inverse outright (H is mass-dominated: its FDM
+      # apply is accurate to rounding even in f32) and skip the
+      # certificate matvec + dots — they cost more kernels than the solve.
+      x = viscous_preconditioner(rhs)
+      zero = jnp.zeros((), dtype=jnp.result_type(
+          *jax.tree_util.tree_leaves(rhs)))
+      return x, {'residual': zero, 'num_iterations': jnp.int32(0)}
     x0 = None if viscous_preconditioner is None else viscous_preconditioner(
         rhs)
     return cg(matvec, rhs, x0=x0, M=M_t, tol=tol, atol=atol, dot_fn=dot,
@@ -941,6 +1065,22 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
   def psolve(matvec, rhs):
     ones = jnp.ones_like(rhs)
     rhs = rhs - (dot(ones, rhs) / dot(ones, ones)) * ones
+    if exact_solves and had_preconditioner:
+      # One direct application + a true-residual check; a second defect
+      # sweep fires only when f32 noise left the residual above tolerance.
+      # No CG machinery at all.
+      x = pressure_preconditioner(rhs)
+      r = rhs - matvec(x)
+      rr = dot(r, r)
+      thr = jnp.maximum(jnp.square(tol) * dot(rhs, rhs), jnp.square(atol))
+
+      def again(args):
+        x, r = args
+        x2 = x + pressure_preconditioner(r)
+        return x2, rhs - matvec(x2)
+
+      x, r = lax.cond(rr > thr, again, lambda args: args, (x, r))
+      return x, {'residual': dot(r, r), 'num_iterations': jnp.int32(1)}
     if not had_preconditioner:
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=dot, maxiter=maxiter)

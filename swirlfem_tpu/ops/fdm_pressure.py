@@ -37,7 +37,6 @@ counterpart (it runs unpreconditioned projected CG,
 
 from __future__ import annotations
 
-import jax
 from jax import lax
 import jax.numpy as jnp
 import numpy as np
@@ -360,4 +359,198 @@ def build_fdm_helmholtz_solver(sem, time_order: int):
       h = _spread(h, a, periodic_axes[a])
     return h.reshape(-1).astype(r.dtype)
 
+  return solve
+
+
+def _el_row_map(n: int, p: int, periodic: bool, interior: np.ndarray):
+  """Rows of Z for the el-form line: el slot (e, i) -> unique-node row.
+
+  Folding the duplicate-node map P (el line of n*(p+1) slots -> unique
+  line) into the transform matrix makes the FDM solves operate on E-last
+  element-local states directly: ``Zel^T x_el`` sums duplicate covector
+  copies (P^T) and ``Zel h`` duplicates the continuous result back — no
+  layout conversions, no boundary embed/extract (Dirichlet rows of Zel are
+  zero by construction).
+  """
+  nv = n * p if periodic else n * p + 1
+  gids = (np.arange(n)[:, None] * p + np.arange(p + 1)[None, :]) % nv
+  col_of = np.full(nv, -1)
+  col_of[interior] = np.arange(len(interior))
+  return gids.reshape(-1), col_of  # (n*(p+1),), (nv,)
+
+
+def build_fdm_helmholtz_solver_el(sem, time_order: int):
+  """El-form FDM viscous solve: (k,)*d + eshape covector -> same-shaped.
+
+  Identical math to `build_fdm_helmholtz_solver` with the duplicate-node
+  fold baked into per-axis ``Zel`` matrices, so it consumes and produces
+  element-local (E-last) states with zero layout transforms — the hot-path
+  variant for el-state time stepping.
+  """
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+
+  ops = sem.fast_ops
+  vinfo = ops.vinfo
+  d = vinfo.ndim
+  n = vinfo.num_elements_per_dim
+  p = vinfo.order
+  k = p + 1
+
+  axis_masks = _axis_masks(sem)
+  assert axis_masks is not None, 'BC mask is not separable per axis'
+  periodic_axes = _periodic_axes(sem)
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+
+  vgrid = sem.velocity.mesh.gridpoints_1d
+  w1 = np.asarray(
+      Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
+  dmat = np.asarray(differentiation_matrix_1d(vgrid))
+  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
+  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
+
+  import scipy.linalg
+  zels, lams = [], []
+  for a in range(d):
+    periodic = periodic_axes[a]
+    nv = n * p if periodic else n * p + 1
+    s_el = (1.0 / half_h) * dmat.T @ np.diag(w1) @ dmat
+    s_glob = _assemble_1d_square(s_el, n, periodic)
+    mass = np.zeros(nv)
+    for e in range(n):
+      cols = (e * p + np.arange(p + 1)) % nv
+      mass[cols] += half_h * w1
+    interior = np.nonzero(np.asarray(axis_masks[a])[:nv] > 0)[0]
+    s_int = s_glob[np.ix_(interior, interior)]
+    sq = np.sqrt(mass[interior])
+    lam, y = scipy.linalg.eigh(s_int / sq[:, None] / sq[None, :])
+    z = y / sq[:, None]                      # (n_int, n_int), Z^T M Z = I
+    rows, col_of = _el_row_map(n, p, periodic, interior)
+    zel = np.zeros((n * k, len(interior)))
+    live = col_of[rows] >= 0
+    zel[live] = z[col_of[rows[live]]]        # fold P and the mask into Z
+    zels.append(zel)
+    lams.append(lam)
+
+  rdtype = (np.float32 if sem.velocity_mass_diag.dtype == jnp.float32
+            else np.float64)
+  zels = [np.ascontiguousarray(z, dtype=rdtype) for z in zels]
+  grids = np.meshgrid(*lams, indexing='ij')
+  lam_sum = np.ascontiguousarray(sum(grids), dtype=rdtype)
+
+  def solve(r_el, mu, dt):
+    """Applies H^{-1}; `r_el` is ``(k,)*d + eshape`` (or flat E last)."""
+    eshape = r_el.shape[d:]
+    # (k, ..., n, ...) -> per-axis (local, element) line pairs: bring each
+    # axis pair together as one n*k line for the matrix contraction.
+    x = r_el.reshape((k,) * d + (n,) * d)
+    # reorder to (e0, l0, e1, l1, ...) and flatten pairs.
+    perm = []
+    for a in range(d):
+      perm += [d + a, a]
+    x = x.transpose(perm).reshape((n * k,) * d)
+    for a, z in enumerate(zels):
+      x = jnp.moveaxis(
+          jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a])), 0, a)
+    x = x / (beta_k / dt + mu * jnp.asarray(lam_sum))
+    for a, z in enumerate(zels):
+      x = jnp.moveaxis(
+          jnp.tensordot(jnp.asarray(z), x, axes=([1], [a])), 0, a)
+    x = x.reshape(sum(((n, k) for _ in range(d)), ()))
+    inv = []
+    for a in range(d):
+      inv += [2 * a + 1]
+    for a in range(d):
+      inv += [2 * a]
+    return x.transpose(inv).reshape((k,) * d + eshape).astype(r_el.dtype)
+
+  return solve
+
+
+def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
+  """El-form FDM pressure solve: ``(m,)*d + eshape`` -> same-shaped.
+
+  The DG pressure has no duplicate nodes, so the el fold is a pure row
+  permutation of the nodal `build_fdm_pressure_solver` transforms.
+  """
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+
+  ops = sem.fast_ops
+  vinfo, pinfo = ops.vinfo, ops.pinfo
+  d = vinfo.ndim
+  n = vinfo.num_elements_per_dim
+  p = vinfo.order
+  m = pinfo.order + 1
+
+  axis_masks = _axis_masks(sem)
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+  scale = dt / beta_k
+
+  vgrid = sem.velocity.mesh.gridpoints_1d
+  pgrid = sem.pressure.pspace.mesh.gridpoints_1d
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  w1 = np.asarray(
+      Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
+  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
+  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
+  ipt = np.asarray(interpolation_matrix_1d(pgrid, vgrid)).T
+  dmat = np.asarray(differentiation_matrix_1d(vgrid))
+  periodic_axes = _periodic_axes(sem)
+
+  import scipy.linalg
+  zs, lams = [], []
+  for a in range(d):
+    periodic = periodic_axes[a]
+    mask_a = np.asarray(axis_masks[a], dtype=np.float64)
+    nv = n * p if periodic else n * p + 1
+    mask_a = mask_a[:nv]
+    dg = _assemble_1d(ipt @ np.diag(w1) @ dmat, n, periodic)
+    mg = _assemble_1d(half_h * ipt @ np.diag(w1), n, periodic)
+    mass = np.zeros(nv)
+    for e in range(n):
+      cols = (e * p + np.arange(p + 1)) % nv
+      mass[cols] += half_h * w1
+    b = mask_a / mass
+    A = dg @ np.diag(b) @ dg.T
+    B = mg @ np.diag(b) @ mg.T
+    lam, z = scipy.linalg.eigh(A, B)
+    # Permute rows from nodal (e*m + i) to el (i, e) order.
+    rows = (np.arange(n)[:, None] * m + np.arange(m)[None, :]).T.reshape(-1)
+    zs.append(z[rows])  # (m*n el order, n*m)
+    lams.append(lam)
+
+  grids = np.meshgrid(*lams, indexing='ij')
+  lam_sum = sum(grids)
+  lmax = float(np.abs(lam_sum).max())
+  null = np.abs(lam_sum) <= 1e-10 * lmax
+  inv_lam = np.where(~null, 1.0 / np.where(null, 1.0, lam_sum), 0.0)
+  rdtype = (np.float32 if sem.velocity_mass_diag.dtype == jnp.float32
+            else np.float64)
+  zs = [np.ascontiguousarray(z, dtype=rdtype) for z in zs]
+  inv_lam = np.ascontiguousarray(inv_lam / scale, dtype=rdtype)
+
+  def solve(r_el):
+    eshape = r_el.shape[d:]
+    # (i..., e...) el axes -> (i_a, e_a) line pairs per axis.
+    x = r_el.reshape((m,) * d + (n,) * d)
+    perm = []
+    for a in range(d):
+      perm += [a, d + a]
+    x = x.transpose(perm).reshape((m * n,) * d)
+    for a, z in enumerate(zs):
+      x = jnp.moveaxis(
+          jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a])), 0, a)
+    x = x * jnp.asarray(inv_lam)
+    for a, z in enumerate(zs):
+      x = jnp.moveaxis(
+          jnp.tensordot(jnp.asarray(z), x, axes=([1], [a])), 0, a)
+    x = x.reshape(sum(((m, n) for _ in range(d)), ()))
+    inv = []
+    for a in range(d):
+      inv += [2 * a]
+    for a in range(d):
+      inv += [2 * a + 1]
+    return x.transpose(inv).reshape((m,) * d + eshape).astype(r_el.dtype)
+
+  solve.has_nullspace = bool(null.any())
   return solve

@@ -131,3 +131,38 @@ def test_viscous_seed_zero_iterations():
     np.testing.assert_allclose(np.asarray(u[j]), np.asarray(u_ref[j]),
                                atol=1e-10)
   np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
+
+
+def test_exact_solves_el_step_matches_certified():
+  from swirlfem_tpu.utils.box import unit_cube_mesh as ucm
+  sem = _make(2, (0, 1), {}, n=8, order=5)
+  mu, dt, to = 1e-3, 1e-3, 2
+  vp_el, pp_el = sem.fdm_el_preconditioners(mu, dt, to)
+  vc = np.asarray(sem.velocity.mesh.node_coords)
+  u0 = tuple(jnp.asarray(np.sin(2 * np.pi * vc[:, 1 - j])) for j in range(2))
+  us_el = sem.velocity_to_el(u0)
+  p_el = sem.pressure_to_el(jnp.zeros(sem.pressure.pspace.mesh.num_nodes))
+  f_el = tuple(jnp.zeros_like(c) for c in us_el)
+  kwargs = dict(mu=mu, dt=dt, time_order=to, tol=1e-11,
+                pressure_preconditioner_el=pp_el,
+                viscous_preconditioner_el=vp_el)
+  u_ref, p_ref, _ = sem.stokes_one_step_el(
+      [us_el, us_el], [p_el, p_el], f_el, **kwargs)
+  u, p, aux = sem.stokes_one_step_el(
+      [us_el, us_el], [p_el, p_el], f_el, exact_solves=True, **kwargs)
+  for j in range(2):
+    np.testing.assert_allclose(np.asarray(u[j]), np.asarray(u_ref[j]),
+                               atol=1e-10)
+  np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-9)
+  assert int(aux['u_star_info']['num_iterations']) == 0
+
+  # Gradients flow through the exact-direct solves too.
+  def loss(theta):
+    f = tuple(theta * c for c in us_el)
+    u, _, _ = sem.stokes_one_step_el(
+        [us_el, us_el], [p_el, p_el], f, exact_solves=True, **kwargs)
+    return sum(jnp.vdot(w, w) for w in u)
+  g = jax.grad(loss)(0.1)
+  eps = 1e-6
+  fd = (loss(0.1 + eps) - loss(0.1 - eps)) / (2 * eps)
+  np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=1e-6)
