@@ -201,10 +201,11 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
   premesh = unit_cube_mesh(cfg.resolution, ndim=2, periodic_dims=(0, 1))
   # Build host-side (eager dispatch to a tunneled TPU is latency-bound),
   # then move the solver to the default device in one transfer.
-  with jax.default_device(jax.local_devices(backend='cpu')[0]):
-    sem = navier_stokes.StokesSEM.create(premesh, boundary_conditions={},
-                                         order=cfg.order)
   device = jax.devices()[0]
+  with jax.default_device(jax.local_devices(backend='cpu')[0]):
+    sem = navier_stokes.StokesSEM.create(
+        premesh, boundary_conditions={}, order=cfg.order,
+        use_pallas_kernels=device.platform != 'cpu')
   if device.platform != 'cpu':
     sem = jax.tree.map(lambda x: jax.device_put(x, device), sem)
   dx = min_node_spacing(sem.velocity.mesh)

@@ -769,10 +769,15 @@ class StokesSEM:
     mod = self._elops
     vinfo = self.fast_ops.vinfo
     eshape = (vinfo.num_elements_per_dim,) * vinfo.ndim
+    use_pallas = bool(getattr(self.fast_ops, 'use_pallas', False))
+    if use_pallas:
+      exch = lambda w: mod.exchange_el(w, vinfo, use_pallas=True)
+    else:
+      exch = lambda w: mod.exchange_el(w, vinfo)
     return stokes_step_el(
         mod, self.fast_ops, list(us_el), list(ps_el), f_el, mu=mu, dt=dt,
         time_order=time_order, alpha=alpha,
-        exch=lambda w: mod.exchange_el(w, vinfo), dot=self.dot,
+        exch=exch, dot=self.dot,
         grid_1d=self.velocity.mesh.gridpoints_1d,
         pressure_preconditioner=pressure_preconditioner_el,
         project_out_nullspace=project_out_nullspace,

@@ -60,15 +60,22 @@ def nodal_to_el(u: jax.Array, info: StructuredInfo) -> jax.Array:
   return s1.transpose(1, 3, 0, 2).reshape(p + 1, p + 1, n * n)
 
 
-def exchange_el(w: jax.Array, info: StructuredInfo) -> jax.Array:
+def exchange_el(w: jax.Array, info: StructuredInfo,
+                use_pallas: bool = False) -> jax.Array:
   """Direct-stiffness summation (Q Q^T) in element-local form, periodic box.
 
   Input/output ``(k, k, n, n)`` with element axes last (k = order+1 local
   nodes, n elements per dim).  Shared element-boundary copies are summed
   with two sequential axis passes of rolls (the second pass propagates edge
   sums so corners receive all four contributions); periodic wraparound is
-  the roll itself.  No gathers, no scatters.
+  the roll itself.  No gathers, no scatters.  With `use_pallas` (TPU), the
+  whole exchange runs as ONE fused kernel (ops.pallas_exchange) instead of
+  ~8 XLA slice/concat kernels — the dominant launch-overhead saving in the
+  el-state NSE step.
   """
+  if use_pallas and w.ndim == 4:
+    from swirlfem_tpu.ops.pallas_exchange import exchange2d_pallas
+    return exchange2d_pallas(w)
   k = info.order + 1
   p = k - 1
   # axis 1 (local axis 1 <-> element axis 3).

@@ -40,3 +40,18 @@ def test_pallas_tiling_grid():
   tiled = stiffness_el_pallas(u, ops.g11, ops.g12, ops.g22, ops.dmat,
                               tile_e=16, interpret=True)
   np.testing.assert_allclose(np.asarray(tiled), np.asarray(one), atol=1e-12)
+
+
+def test_exchange2d_pallas_interpret():
+  from swirlfem_tpu.core.structured import StructuredInfo
+  from swirlfem_tpu.ops import sem2d
+  from swirlfem_tpu.ops.pallas_exchange import exchange2d_pallas
+
+  info = StructuredInfo(num_elements_per_dim=8, order=4, ndim=2,
+                        continuous=True)
+  rng = np.random.default_rng(0)
+  w = jnp.asarray(rng.standard_normal((5, 5, 8, 8)), jnp.float32)
+  expected = sem2d.exchange_el(w, info)
+  got = exchange2d_pallas(w, interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                             atol=1e-6)
