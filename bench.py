@@ -17,8 +17,10 @@ data layout.  The reference publishes no performance numbers (BASELINE.md),
 so its own algorithm at parity precision is the honest baseline.
 
 Timing methodology: K dependent applications chained inside one jitted
-fori_loop (measures steady-state device throughput, not host->device
-dispatch latency through the tunneled TPU).
+fori_loop (measures steady-state device throughput; the ~10-20 ms
+host->device dispatch of a jitted call through the tunneled TPU is
+amortized over K=300 applies / 100 NSE steps, matching how production
+loops batch whole cycles per dispatch).
 """
 
 import json
@@ -124,7 +126,7 @@ def main():
   def apply_fast(ut_el):
     return tuple(ops.stiffness_el(w) for w in ut_el)
 
-  t_fast = _timeit_chained(apply_fast, ut_el, chain=30)
+  t_fast = _timeit_chained(apply_fast, ut_el, chain=300)
   t_kron = _timeit_chained(_kron_stiffness(sem), u2, chain=4)
   gdofs = num_dofs / t_fast / 1e9
 
@@ -144,6 +146,11 @@ def main():
       jnp.zeros((ORDER - 1,) * 2 + (N_ELEMS,) * 2, DTYPE), device)
   zero_f = tuple(jnp.zeros_like(c) for c in u0_el)
 
+  # 100 steps per dispatch: the ~20 ms tunneled host->device dispatch
+  # otherwise dominates a ~0.5 ms step (production runs batch whole cycles
+  # per dispatch the same way, niles/datagen.py advance).
+  STEPS = 100
+
   @jax.jit
   def some_steps(us, ps):
     def body(carry, _):
@@ -154,10 +161,11 @@ def main():
           pressure_preconditioner_el=pprecond_el,
           viscous_preconditioner_el=vprecond_el, exact_solves=True)
       return ((us[1], u), (ps[1], p)), None
-    carry, _ = jax.lax.scan(body, (us, ps), None, length=3)
+    carry, _ = jax.lax.scan(body, (us, ps), None, length=STEPS)
     return carry
 
-  t_step = _timeit(some_steps, (u0_el, u0_el), (p0_el, p0_el), iters=2) / 3
+  t_step = _timeit(some_steps, (u0_el, u0_el), (p0_el, p0_el),
+                   iters=2) / STEPS
 
   result = {
       'metric': 'stiffness_apply_throughput',

@@ -144,13 +144,26 @@ def make_step_fn(sem, cfg: DatagenConfig):
 
   @jax.jit
   def advance(us, ps, cus):
+    """Runs a whole cycle in ONE dispatch, returning strided snapshots.
+
+    Host->device dispatch through a tunneled TPU costs ~20 ms per jitted
+    call; at 0.5 ms/step it would dominate unless amortized.  The outer
+    scan emits one (u, p) frame every `snapshot_every` steps.
+    """
     def body(carry, _):
       us, ps, cus = carry
       u, p, cu = one_step(us, ps, cus)
       return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (cu,)), None
-    (us, ps, cus), _ = jax.lax.scan(
-        body, (us, ps, cus), None, length=cfg.snapshot_every)
-    return us, ps, cus
+
+    def outer(carry, _):
+      carry, _ = jax.lax.scan(body, carry, None, length=cfg.snapshot_every)
+      us, ps, _ = carry
+      return carry, (us[-1], ps[-1])
+
+    carry, frames = jax.lax.scan(
+        outer, (us, ps, cus), None,
+        length=cfg.num_steps_per_cycle // cfg.snapshot_every)
+    return carry, frames
 
   advance.el_mode = el_mode
   return advance
@@ -173,15 +186,18 @@ def one_cycle(sem, cfg: DatagenConfig, advance, start_step, us, ps, cus,
     return np.asarray(sem.pressure_from_el(p) if el_mode else p)
 
   t = start_step * cfg.dt
-  frames = {'t': [t], 'u': [u_np(us[-1])], 'p': [p_np(ps[-1])]}
+  us_init_u, ps_init_p = us[-1], ps[-1]
   start_time = time.time()
-  for _ in range(cfg.num_steps_per_cycle // cfg.snapshot_every):
-    us, ps, cus = advance(us, ps, cus)
+  (us, ps, cus), (u_frames, p_frames) = advance(us, ps, cus)
+  jax.block_until_ready(p_frames)
+  logging.info('one cycle walltime %f seconds', time.time() - start_time)
+  num_frames = cfg.num_steps_per_cycle // cfg.snapshot_every
+  frames = {'t': [t], 'u': [u_np(us_init_u)], 'p': [p_np(ps_init_p)]}
+  for i in range(num_frames):
     t += cfg.snapshot_every * cfg.dt
     frames['t'].append(t)
-    frames['u'].append(u_np(us[-1]))
-    frames['p'].append(p_np(ps[-1]))
-  logging.info('one cycle walltime %f seconds', time.time() - start_time)
+    frames['u'].append(u_np(jax.tree_util.tree_map(lambda x: x[i], u_frames)))
+    frames['p'].append(p_np(p_frames[i]))
 
   end_step = start_step + cfg.num_steps_per_cycle
   path = os.path.join(
