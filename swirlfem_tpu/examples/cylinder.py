@@ -117,3 +117,70 @@ def strouhal_number(trace: np.ndarray, dt: float,
   spectrum = np.abs(np.fft.rfft(tail))
   f = freqs[1:][np.argmax(spectrum[1:])]
   return float(f * 2 * RADIUS / mean_velocity)
+
+
+def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
+                      dt: float = 1e-3, num_steps: int = 20000,
+                      steps_per_dispatch: int = 200, time_order: int = 2,
+                      tol: float = 1e-5, probe: int | None = None,
+                      perturb: float = 1e-2, log_every: int | None = None):
+  """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
+
+  Returns ``(u, p, trace)`` with the full per-step probe trace of the
+  cross-stream velocity.  A small asymmetric perturbation of the initial
+  condition shortens the symmetric transient before vortex shedding locks
+  in.  States are per-component nodal tuples (TPU layout: (N, 2) arrays
+  pad 64x); designed for f32 single-chip runs (~tens of ms/step on the
+  generic unstructured path).
+  """
+  import numpy as _np
+
+  nv = sem.velocity.mesh.num_nodes
+  npn = sem.pressure.pspace.mesh.num_nodes
+  dtype = sem.velocity.mesh.node_coords.dtype
+  coords = np.asarray(sem.velocity.mesh.node_coords)
+  u_boundary = inflow_boundary_field(sem).astype(dtype)
+  ext = [float(c) for c in extk_coeffs(k=time_order - 1)]
+  if probe is None:
+    probe = probe_index(sem)
+  mu = MEAN_VELOCITY * 2 * RADIUS / reynolds
+
+  # Perturbation: a localized swirl behind the cylinder, zero on boundaries.
+  mask = np.asarray(sem.velocity.interior_mask)[:, 0]
+  bump = perturb * np.exp(
+      -(((coords[:, 0] - 0.3) / 0.05) ** 2
+        + ((coords[:, 1] - 0.22) / 0.05) ** 2))
+  u0 = jnp.asarray(np.stack([np.zeros_like(bump), bump * mask], axis=-1),
+                   dtype=dtype)
+
+  us = tuple(u0 for _ in range(time_order))
+  ps = tuple(jnp.zeros(npn, dtype=dtype) for _ in range(time_order))
+  cus = tuple(sem.C(u + u_boundary) for u in us)
+
+  @jax.jit
+  def chunk(us, ps, cus):
+    def body(carry, _):
+      us, ps, cus = carry
+      cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
+      u, p, _ = sem.stokes_one_step(
+          list(us), list(ps), -cu, mu=mu, dt=dt, time_order=time_order,
+          u_boundary=u_boundary, tol=tol, atol=tol * 1e-2)
+      carry = (us[1:] + (u - u_boundary,), ps[1:] + (p,),
+               cus[1:] + (sem.C(u),))
+      return carry, u[probe, 1]
+    return jax.lax.scan(body, (us, ps, cus), None,
+                        length=steps_per_dispatch)
+
+  import time as _time
+  trace = []
+  carry = (us, ps, cus)
+  t0 = _time.time()
+  for i in range(num_steps // steps_per_dispatch):
+    carry, tr = chunk(*carry)
+    trace.append(np.asarray(tr))
+    if log_every and (i + 1) % log_every == 0:
+      done = (i + 1) * steps_per_dispatch
+      print(f'step {done}: probe={trace[-1][-1]:+.4f} '
+            f'({(_time.time() - t0) / done * 1e3:.1f} ms/step)', flush=True)
+  us, ps, _ = carry
+  return us[-1] + u_boundary, ps[-1], np.concatenate(trace)

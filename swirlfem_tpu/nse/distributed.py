@@ -137,12 +137,73 @@ def _sharded_fft_solve(rhs_el, inv_re, inv_im, pinfo, scale, axis_name):
 
 
 # ---------------------------------------------------------------------------
+# Slab-decomposed FDM solves (exact separable inverses, sharded)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_fdm_pressure_solve(rhs_el, z0r, z1r, inv_lam_loc, axis_name):
+  """Applies the FDM E^{-1} to a slab-sharded el-form pressure (2D).
+
+  ``rhs_el``: (m, m, n_loc, n); ``z0r/z1r``: full per-axis el-row
+  transforms reshaped (m, n, K); ``inv_lam_loc``: this device's K1-chunk
+  of the scaled inverted eigenvalue grid, (K0, K1/P).  One tiled
+  all_to_all transpose each way, dense MXU contractions otherwise —
+  the sharded sibling of `ops.fdm_pressure.build_fdm_pressure_solver_el`.
+  """
+  z0 = jnp.asarray(z0r)
+  z1 = jnp.asarray(z1r)
+  nloc = rhs_el.shape[2]
+  full = rhs_el.shape[3]
+  # Forward transform along the resident axis pair (i1, e1).
+  t = jnp.einsum('bdL,abcd->acL', z1, rhs_el)       # (m, n_loc, K1)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1,
+                       tiled=True)                   # (m, n, K1/P)
+  h = jnp.einsum('adK,adb->Kb', z0, t)               # (K0, K1/P)
+  h = h * jnp.asarray(inv_lam_loc)
+  t = jnp.einsum('adK,Kb->adb', z0, h)               # (m, n, K1/P)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2,
+                       tiled=True)                   # (m, n_loc, K1)
+  out = jnp.einsum('bdL,acL->abcd', z1, t)
+  return out.astype(rhs_el.dtype)
+
+
+def _sharded_fdm_viscous_solve(r_el, z0r, z1r, lam_loc, beta_k, mu, dt,
+                               axis_name):
+  """Applies the FDM H^{-1} to one slab-sharded el velocity component.
+
+  ``r_el``: (k, k, n_loc, n) covector; ``z0r/z1r``: (k, n, K) el-row
+  transforms (duplicate fold + Dirichlet mask baked in); ``lam_loc``:
+  K1-chunk of the eigenvalue-sum grid.  The mu/dt shift happens in-trace,
+  so one setup serves any viscosity and step size.
+  """
+  z0 = jnp.asarray(z0r)
+  z1 = jnp.asarray(z1r)
+  nloc = r_el.shape[2]
+  full = r_el.shape[3]
+  t = jnp.einsum('bdL,abcd->acL', z1, r_el)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1,
+                       tiled=True)
+  h = jnp.einsum('adK,adb->Kb', z0, t)
+  h = h / (beta_k / dt + mu * jnp.asarray(lam_loc))
+  t = jnp.einsum('adK,Kb->adb', z0, h)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2,
+                       tiled=True)
+  out = jnp.einsum('bdL,acL->abcd', z1, t)
+  return out.astype(r_el.dtype)
+
+
+# ---------------------------------------------------------------------------
 # The per-device step body
 # ---------------------------------------------------------------------------
 
 
-def _step_impl(ops, us_el, ps_el, f_el, fft_inv, *, axis_name, mod, mu, dt,
-               time_order, alpha, tol, atol, maxiter, grid_1d, scale):
+def _step_impl(ops, us_el, ps_el, f_el, precond_arrays, *, axis_name, mod,
+               mu, dt, time_order, alpha, tol, atol, maxiter, grid_1d,
+               scale, precond_kind, exact_solves):
   """Runs inside shard_map: all el states / factor fields are local slabs."""
   info = ops.vinfo
   d = info.ndim
@@ -156,8 +217,9 @@ def _step_impl(ops, us_el, ps_el, f_el, fft_inv, *, axis_name, mod, mu, dt,
     return lax.psum(jnp.vdot(a, b), axis_name)
 
   precond = None
-  if fft_inv is not None:
-    inv_re, inv_im = fft_inv
+  viscous = None
+  if precond_kind == 'fft':
+    inv_re, inv_im = precond_arrays
 
     def precond(p_el):
       w = _sharded_fft_solve(p_el, inv_re, inv_im, ops.pinfo, scale,
@@ -165,11 +227,27 @@ def _step_impl(ops, us_el, ps_el, f_el, fft_inv, *, axis_name, mod, mu, dt,
       ones = jnp.ones_like(w)
       return w - (dot(ones, w) / dot(ones, ones)) * ones
 
+  elif precond_kind == 'fdm':
+    z0p, z1p, inv_lam, z0v, z1v, lamv = precond_arrays
+    from swirlfem_tpu.nse.solver import bdfk_coeffs
+    beta_k = float(bdfk_coeffs(time_order)[-1])
+
+    def precond(p_el):
+      w = _sharded_fdm_pressure_solve(p_el, z0p, z1p, inv_lam, axis_name)
+      ones = jnp.ones_like(w)
+      return w - (dot(ones, w) / dot(ones, ones)) * ones
+
+    def viscous(rt):
+      return tuple(
+          _sharded_fdm_viscous_solve(r, z0v, z1v, lamv, beta_k, mu, dt,
+                                     axis_name) for r in rt)
+
   return nse_solver.stokes_step_el(
       mod, ops, us_el, ps_el, f_el, mu=mu, dt=dt, time_order=time_order,
       alpha=alpha, exch=exch, dot=dot, grid_1d=grid_1d,
       pressure_preconditioner=precond, project_out_nullspace=True,
-      tol=tol, atol=atol, maxiter=maxiter, eshape=eshape)
+      tol=tol, atol=atol, maxiter=maxiter, eshape=eshape,
+      viscous_preconditioner=viscous, exact_solves=exact_solves)
 
 
 # ---------------------------------------------------------------------------
@@ -264,7 +342,8 @@ class DistributedStokesBox:
   # -- step builders -------------------------------------------------------
 
   def make_step(self, *, mu, dt, time_order, alpha=0.05, tol=1e-8, atol=0.0,
-                maxiter=None, use_fft_preconditioner=True):
+                maxiter=None, preconditioner='fdm', exact_solves=False,
+                use_fft_preconditioner=None):
     """Builds the jitted distributed fractional step.
 
     Returns ``step(us_el, ps_el, f_el) -> (u_el, p_el, aux)`` where
@@ -272,10 +351,46 @@ class DistributedStokesBox:
     arrays, pressures are lists of sharded el arrays, and `f_el` is the
     forcing covector in el form (use `make_advection` + mass-weighted
     nodal forcing to assemble it).
+
+    `preconditioner`: 'fdm' (exact separable inverses for BOTH solves,
+    sharded with one all_to_all transpose each way — preferred, and
+    required for `exact_solves`), 'fft' (block-circulant pressure inverse
+    only), or None (plain projected CG).  `exact_solves` skips the CG
+    certification as in the single-chip el path.
     """
-    fft_inv = None
+    if use_fft_preconditioner is not None:  # legacy knob
+      preconditioner = 'fft' if use_fft_preconditioner else None
+    precond_arrays = None
+    precond_specs = None
     scale = None
-    if use_fft_preconditioner and self.d == 2:
+    kind = None
+    if preconditioner == 'fdm' and self.d == 2:
+      from swirlfem_tpu.ops.fdm_pressure import helmholtz_eig_el
+      from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
+      from swirlfem_tpu.ops.fdm_pressure import pressure_eig_el
+      if is_uniform_box(self.sem):
+        info = self.sem.fast_ops.vinfo
+        pinfo = self.sem.fast_ops.pinfo
+        n = info.num_elements_per_dim
+        m = pinfo.order + 1
+        k = info.order + 1
+        zs, inv_lam, _ = pressure_eig_el(self.sem, dt, time_order)
+        zels, lam_sum, _ = helmholtz_eig_el(self.sem, time_order)
+        # el-row orders: pressure (i, e) i-major -> (m, n, K); velocity
+        # (e, l) e-major -> transpose to (k, n, K).
+        z0p = zs[0].reshape(m, n, -1)
+        z1p = zs[1].reshape(m, n, -1)
+        z0v = zels[0].reshape(n, k, -1).transpose(1, 0, 2)
+        z1v = zels[1].reshape(n, k, -1).transpose(1, 0, 2)
+        rep = P(None, None, None)
+        shard1 = P(None, self.axis_name)
+        precond_arrays = jax.device_put(
+            (z0p, z1p, inv_lam, z0v, z1v, lam_sum),
+            tuple(NamedSharding(self.mesh, s)
+                  for s in (rep, rep, shard1, rep, rep, shard1)))
+        precond_specs = (rep, rep, shard1, rep, rep, shard1)
+        kind = 'fdm'
+    elif preconditioner == 'fft' and self.d == 2:
       from swirlfem_tpu.ops.fft_pressure import assemble_pressure_symbol
       from swirlfem_tpu.ops.fft_pressure import is_uniform_periodic
       if is_uniform_periodic(self.sem):
@@ -284,26 +399,28 @@ class DistributedStokesBox:
         # Shard the symbol along k1 (axis 1): that is the frequency axis
         # resident after the all_to_all transpose in the sharded solve.
         sym_spec = P(None, self.axis_name, None, None)
-        fft_inv = jax.device_put(
+        precond_arrays = jax.device_put(
             (inv_re, inv_im), NamedSharding(self.mesh, sym_spec))
+        precond_specs = (sym_spec,) * 2
+        kind = 'fft'
+    if exact_solves and kind != 'fdm':
+      raise ValueError('exact_solves needs the FDM preconditioner')
 
     impl = functools.partial(
         _step_impl, axis_name=self.axis_name, mod=self.mod, mu=mu, dt=dt,
         time_order=time_order, alpha=alpha, tol=tol, atol=atol,
         maxiter=maxiter, grid_1d=self.sem.velocity.mesh.gridpoints_1d,
-        scale=scale)
+        scale=scale, precond_kind=kind, exact_solves=exact_solves)
 
     vspec = self.state_spec()
-    sym_specs = None if fft_inv is None else (
-        P(None, self.axis_name, None, None),) * 2
     sharded = shard_map(
         impl, mesh=self.mesh,
-        in_specs=(self.ops_specs, vspec, vspec, vspec, sym_specs),
+        in_specs=(self.ops_specs, vspec, vspec, vspec, precond_specs),
         out_specs=(vspec, vspec, P()),
         check_vma=False)
 
     def step(us_el, ps_el, f_el):
-      return sharded(self.ops, us_el, ps_el, f_el, fft_inv)
+      return sharded(self.ops, us_el, ps_el, f_el, precond_arrays)
 
     return jax.jit(step)
 

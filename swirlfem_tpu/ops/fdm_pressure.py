@@ -379,13 +379,13 @@ def _el_row_map(n: int, p: int, periodic: bool, interior: np.ndarray):
   return gids.reshape(-1), col_of  # (n*(p+1),), (nv,)
 
 
-def build_fdm_helmholtz_solver_el(sem, time_order: int):
-  """El-form FDM viscous solve: (k,)*d + eshape covector -> same-shaped.
+def helmholtz_eig_el(sem, time_order: int):
+  """Per-axis el-row eigenbases of the separable Helmholtz operator.
 
-  Identical math to `build_fdm_helmholtz_solver` with the duplicate-node
-  fold baked into per-axis ``Zel`` matrices, so it consumes and produces
-  element-local (E-last) states with zero layout transforms — the hot-path
-  variant for el-state time stepping.
+  Returns ``(zels, lam_sum, beta_k)``: el-row transform matrices
+  ``(n*(p+1), n_interior)`` per axis (duplicate fold + Dirichlet mask
+  baked in), and the eigenvalue-sum grid, in the solver's working dtype.
+  Shared by the single-chip closure and the sharded distributed solve.
   """
   from swirlfem_tpu.core.quadrature import Quadrature1D
   from swirlfem_tpu.nse.solver import bdfk_coeffs
@@ -437,6 +437,23 @@ def build_fdm_helmholtz_solver_el(sem, time_order: int):
   zels = [np.ascontiguousarray(z, dtype=rdtype) for z in zels]
   grids = np.meshgrid(*lams, indexing='ij')
   lam_sum = np.ascontiguousarray(sum(grids), dtype=rdtype)
+  return zels, lam_sum, beta_k
+
+
+def build_fdm_helmholtz_solver_el(sem, time_order: int):
+  """El-form FDM viscous solve: (k,)*d + eshape covector -> same-shaped.
+
+  Identical math to `build_fdm_helmholtz_solver` with the duplicate-node
+  fold baked into per-axis ``Zel`` matrices, so it consumes and produces
+  element-local (E-last) states with zero layout transforms — the hot-path
+  variant for el-state time stepping.
+  """
+  ops = sem.fast_ops
+  vinfo = ops.vinfo
+  d = vinfo.ndim
+  n = vinfo.num_elements_per_dim
+  k = vinfo.order + 1
+  zels, lam_sum, beta_k = helmholtz_eig_el(sem, time_order)
 
   def solve(r_el, mu, dt):
     """Applies H^{-1}; `r_el` is ``(k,)*d + eshape`` (or flat E last)."""
@@ -467,11 +484,13 @@ def build_fdm_helmholtz_solver_el(sem, time_order: int):
   return solve
 
 
-def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
-  """El-form FDM pressure solve: ``(m,)*d + eshape`` -> same-shaped.
+def pressure_eig_el(sem, dt: float, time_order: int):
+  """Per-axis el-row eigenbases of the separable Schur operator.
 
-  The DG pressure has no duplicate nodes, so the el fold is a pure row
-  permutation of the nodal `build_fdm_pressure_solver` transforms.
+  Returns ``(zs, inv_lam, has_nullspace)``: el-row transform matrices
+  ``(m*n, m*n)`` per axis (rows in (i, e) order) and the scaled inverted
+  eigenvalue grid (near-null modes zeroed), in the working dtype.  Shared
+  by the single-chip closure and the sharded distributed solve.
   """
   from swirlfem_tpu.nse.solver import bdfk_coeffs
 
@@ -528,6 +547,21 @@ def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
             else np.float64)
   zs = [np.ascontiguousarray(z, dtype=rdtype) for z in zs]
   inv_lam = np.ascontiguousarray(inv_lam / scale, dtype=rdtype)
+  return zs, inv_lam, bool(null.any())
+
+
+def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
+  """El-form FDM pressure solve: ``(m,)*d + eshape`` -> same-shaped.
+
+  The DG pressure has no duplicate nodes, so the el fold is a pure row
+  permutation of the nodal `build_fdm_pressure_solver` transforms.
+  """
+  ops = sem.fast_ops
+  vinfo, pinfo = ops.vinfo, ops.pinfo
+  d = vinfo.ndim
+  n = vinfo.num_elements_per_dim
+  m = pinfo.order + 1
+  zs, inv_lam, has_null = pressure_eig_el(sem, dt, time_order)
 
   def solve(r_el):
     eshape = r_el.shape[d:]
@@ -552,5 +586,5 @@ def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
       inv += [2 * a + 1]
     return x.transpose(inv).reshape((m,) * d + eshape).astype(r_el.dtype)
 
-  solve.has_nullspace = bool(null.any())
+  solve.has_nullspace = has_null
   return solve

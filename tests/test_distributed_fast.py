@@ -107,24 +107,22 @@ def _setup_step_case(n=8, order=4, ndim=2):
   return sem, u0, p0, f
 
 
-@pytest.mark.parametrize('ndim,use_fft', [(2, False), (2, True), (3, False)])
-def test_sharded_step_matches_single_device(dmesh, ndim, use_fft):
+@pytest.mark.parametrize('ndim,precond,exact', [
+    (2, None, False), (2, 'fft', False), (2, 'fdm', False),
+    (2, 'fdm', True), (3, None, False)])
+def test_sharded_step_matches_single_device(dmesh, ndim, precond, exact):
   n = 8 if ndim == 2 else 4
   order = 4 if ndim == 2 else 3
   sem, u0, p0, f = _setup_step_case(n=n, order=order, ndim=ndim)
   mu, dt, time_order = 1e-2, 1e-3, 2
 
-  precond = (sem.fft_pressure_preconditioner(dt, time_order)
-             if use_fft else None)
-  if use_fft:
-    assert precond is not None
   u_ref, p_ref, _ = jax.jit(lambda us, ps, f: sem.stokes_one_step(
-      us, ps, f, mu=mu, dt=dt, time_order=time_order, tol=1e-12,
-      pressure_preconditioner=precond))([u0, u0], [p0, p0], f)
+      us, ps, f, mu=mu, dt=dt, time_order=time_order,
+      tol=1e-12))([u0, u0], [p0, p0], f)
 
   dist = DistributedStokesBox(sem, dmesh, 'space')
   step = dist.make_step(mu=mu, dt=dt, time_order=time_order, tol=1e-12,
-                        use_fft_preconditioner=use_fft)
+                        preconditioner=precond, exact_solves=exact)
   us_el = dist.velocity_to_el(u0)
   ps_el = dist.pressure_to_el(p0)
   f_el = dist.velocity_to_el(f)
@@ -145,7 +143,8 @@ def test_sharded_step_matches_single_device(dmesh, ndim, use_fft):
     np.testing.assert_allclose(np.asarray(u[j]), np.asarray(u_ref[j]),
                                atol=1e-9)
   np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref), atol=1e-8)
-  assert int(aux['u_star_info']['num_iterations']) > 0
+  expect_zero = precond == 'fdm'  # exact viscous seed/solve
+  assert (int(aux['u_star_info']['num_iterations']) == 0) == expect_zero
 
 
 def test_sharded_step_gradient(dmesh):
