@@ -380,6 +380,17 @@ def train_and_evaluate(config, workdir: str):
   import orbax.checkpoint as ocp
   from jax.sharding import NamedSharding, PartitionSpec as P
 
+  from clu import metric_writers
+  from clu import parameter_overview
+
+  # CLU metric writers: TensorBoard scalars with train_/eval_ prefixes on
+  # process 0, as in the reference (niles/train.py:549-550,652-682).
+  writer = metric_writers.create_default_writer(
+      workdir, just_logging=jax.process_index() != 0)
+  writer.write_hparams({
+      k: v for k, v in config.items()
+      if isinstance(v, (int, float, str, bool))})
+
   rng = jax.random.PRNGKey(0)
   if config.batch_size % jax.device_count():
     raise ValueError('batch size must divide the device count')
@@ -409,6 +420,7 @@ def train_and_evaluate(config, workdir: str):
   kl_penalty_fn = create_kl_penalty_fn(config, steps_per_epoch)
 
   state = create_train_state(rng, model, learning_rate_fn, config)
+  parameter_overview.log_parameter_overview(state.params)
   manager = ocp.CheckpointManager(
       workdir + '/checkpoints',
       options=ocp.CheckpointManagerOptions(max_to_keep=50))
@@ -456,6 +468,8 @@ def train_and_evaluate(config, workdir: str):
             time.time() - last_t)
         logging.info('step %d: %s', step + 1,
                      {k: float(v) for k, v in stacked.items()})
+        writer.write_scalars(
+            step + 1, {f'train_{k}': float(v) for k, v in stacked.items()})
         train_metrics, last_t = [], time.time()
 
     if (step + 1) % eval_every_steps == 0:
@@ -467,9 +481,12 @@ def train_and_evaluate(config, workdir: str):
                         jax.random.fold_in(eval_rng, step))))
       summary = {k: np.mean([m[k] for m in evals]) for k in evals[0]}
       logging.info('eval at step %d: loss %.5f', step + 1, summary['loss'])
+      writer.write_scalars(
+          step + 1, {f'eval_{k}': float(v) for k, v in summary.items()})
 
     if (step + 1) % steps_per_checkpoint == 0 or step + 1 == num_steps:
       save_checkpoint(manager, jax.device_get(state))
 
   manager.wait_until_finished()
+  writer.flush()
   return state
