@@ -26,7 +26,7 @@ from swirlfem_tpu.core.bc import BCType
 from swirlfem_tpu.nse.solver import extk_coeffs
 from swirlfem_tpu.nse.solver import StokesSEM
 from swirlfem_tpu.utils.cylinder import cylinder_channel_premesh
-from swirlfem_tpu.utils.cylinder import snap_cylinder_boundary
+from swirlfem_tpu.utils.cylinder import make_cylinder_snap
 
 RADIUS = 0.05
 CENTER = (0.2, 0.2)
@@ -43,10 +43,9 @@ def make_cylinder_sem(order: int = 5, ns: int = 6, nr: int = 4,
       'inflow': (BCType.DIRICHLET, 0.0),
       # 'outflow' unmasked: natural (do-nothing) outflow.
   }
-  snap = functools.partial(snap_cylinder_boundary, radius=RADIUS,
-                           center=CENTER)
+  snap = make_cylinder_snap(premesh, radius=RADIUS, center=CENTER)
   return StokesSEM.create(premesh, boundary_conditions=bcs, order=order,
-                          velocity_coord_transform=snap)
+                          coord_transform=snap)
 
 
 def inflow_boundary_field(sem: StokesSEM,
@@ -91,13 +90,17 @@ def run_cylinder(sem: StokesSEM, reynolds: float = 100.0, dt: float = 2e-3,
   ps = [p0 for _ in range(time_order)]
   cus = [sem.C(u + u_boundary) for u in us]
   mu = MEAN_VELOCITY * 2 * RADIUS / reynolds
+  # Exact dense Schur inverse: pressure CG needs ~2000 iterations/step
+  # unpreconditioned on this mesh (measured), O(1) with it.
+  precond = sem.dense_pressure_preconditioner(dt, time_order)
 
   @jax.jit
   def step(us, ps, cus):
     cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
     u, p, aux = sem.stokes_one_step(
         list(us), list(ps), -cu, mu=mu, dt=dt, time_order=time_order,
-        u_boundary=u_boundary, tol=tol, atol=tol * 1e-2)
+        u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
+        pressure_preconditioner=precond, project_out_nullspace=False)
     return (us[1:] + [u - u_boundary], ps[1:] + [p],
             cus[1:] + [sem.C(u)]), u[probe, 1]
 
@@ -156,6 +159,7 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   us = tuple(u0 for _ in range(time_order))
   ps = tuple(jnp.zeros(npn, dtype=dtype) for _ in range(time_order))
   cus = tuple(sem.C(u + u_boundary) for u in us)
+  precond = sem.dense_pressure_preconditioner(dt, time_order)
 
   @jax.jit
   def chunk(us, ps, cus):
@@ -164,7 +168,8 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
       cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
       u, p, _ = sem.stokes_one_step(
           list(us), list(ps), -cu, mu=mu, dt=dt, time_order=time_order,
-          u_boundary=u_boundary, tol=tol, atol=tol * 1e-2)
+          u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
+          pressure_preconditioner=precond, project_out_nullspace=False)
       carry = (us[1:] + (u - u_boundary,), ps[1:] + (p,),
                cus[1:] + (sem.C(u),))
       return carry, u[probe, 1]

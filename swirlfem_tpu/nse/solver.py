@@ -102,11 +102,13 @@ class StokesPressure:
   @classmethod
   def create(cls, premesh: Premesh, quadrature: Quadrature1D,
              order: int, axis_name: str | None = None,
-             device_mesh=None) -> 'StokesPressure':
+             device_mesh=None, coord_transform=None) -> 'StokesPressure':
     gridpoints = Nodes1D.create(num_points=order - 1,
                                 node_type=NodeType.GAUSS_LEGENDRE)
-    pmesh = refine_premesh(premesh, gridpoints_1d=gridpoints).finalize(
-        axis_name=axis_name, device_mesh=device_mesh)
+    refined = refine_premesh(premesh, gridpoints_1d=gridpoints)
+    if coord_transform is not None:
+      refined = refined.replace(node_coords=coord_transform(refined))
+    pmesh = refined.finalize(axis_name=axis_name, device_mesh=device_mesh)
     make = lambda m: FiniteElementSpace.create(m, quadrature)
     if premesh.is_partitioned():
       make = jax.vmap(make)
@@ -243,20 +245,26 @@ class StokesSEM:
              axis_name: str | None = None,
              device_mesh=None,
              use_pallas_kernels: bool = False,
-             velocity_coord_transform=None) -> 'StokesSEM':
+             coord_transform=None) -> 'StokesSEM':
     if premesh.order != 1:
       raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
     quadrature = Quadrature1D.create(
         num_points=order + 1,
         quadrature_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
+    # The geometry transform must shape BOTH spaces: with mismatched
+    # velocity/pressure jacobians, D and D^T stop being exact adjoints and
+    # the Schur operator goes (slightly) nonsymmetric — enough to break
+    # near-null modes of any exact inverse (measured 2e-3 asymmetry with a
+    # velocity-only curved-boundary snap).
     pressure = StokesPressure.create(premesh, quadrature, order,
                                      axis_name=axis_name,
-                                     device_mesh=device_mesh)
+                                     device_mesh=device_mesh,
+                                     coord_transform=coord_transform)
     velocity = StokesVelocity.create(premesh, order, boundary_conditions,
                                      num_convection_overint_nodes,
                                      axis_name=axis_name,
                                      device_mesh=device_mesh,
-                                     coord_transform=velocity_coord_transform)
+                                     coord_transform=coord_transform)
 
     def mass_diag(vel: StokesVelocity):
       ones = jnp.ones(vel.local_shape, dtype=vel.mesh.node_coords.dtype)
@@ -266,6 +274,20 @@ class StokesSEM:
       velocity_mass_diag = jax.vmap(mass_diag)(velocity)
     else:
       velocity_mass_diag = mass_diag(velocity)
+
+    if coord_transform is not None and not premesh.is_partitioned():
+      # Isoparametric geometry on curved meshes: the pressure space's own
+      # geometric map (an order-(N-2) interpolant of the curved transform)
+      # differs from the velocity's order-N one, which breaks the exact
+      # adjointness of D and D^T (measured 2.6e-3 Schur asymmetry on the
+      # cylinder mesh).  Both spaces integrate on the same GLL rule, so
+      # adopting the velocity geometry for the pressure quadrature makes
+      # the mixed forms exact transposes again.  (Latent upstream too:
+      # reference navier_stokes.py:313-338 has the same split geometry.)
+      pressure = pressure.replace(pspace=pressure.pspace.replace(
+          invjacs=velocity.vspace.invjacs,
+          jacdets=velocity.vspace.jacdets,
+          quad_coords=velocity.vspace.quad_coords))
 
     fast_ops = None
     if (not premesh.is_partitioned()
@@ -597,10 +619,12 @@ class StokesSEM:
       return self._fast_D(Q_t(self._fast_Dt(p)))
 
     def psolve(matvec, rhs):
-      # Project the rhs onto range(E) (remove the constant component);
-      # independent of whatever preconditioner is in use.
-      ones = jnp.ones_like(rhs)
-      rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
+      # Enclosed/periodic flow: E is singular with a constant nullspace;
+      # project the rhs onto range(E).  With outflow E is nonsingular and
+      # projecting would corrupt dp by the mean mass-flux imbalance.
+      if project_out_nullspace:
+        ones = jnp.ones_like(rhs)
+        rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=self.dot, maxiter=maxiter)
 
@@ -689,8 +713,9 @@ class StokesSEM:
     # component) for the same reason as above; done with the plain
     # mean-removal projector regardless of the preconditioner in use.
     def psolve(matvec, rhs):
-      ones = jnp.ones_like(rhs)
-      rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
+      if project_out_nullspace:
+        ones = jnp.ones_like(rhs)
+        rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=self.dot, maxiter=maxiter)
 
@@ -884,6 +909,27 @@ class StokesSEM:
     solve = build_fdm_helmholtz_solver(self, time_order)
     return lambda r: solve(r, mu, dt)
 
+  def dense_pressure_preconditioner(self, dt, time_order: int,
+                                    max_dofs: int = 20000):
+    """Exact dense Schur inverse for small (unstructured) meshes.
+
+    Assembles E column-by-column and pseudo-inverts on the host; applied
+    as one dense MXU matvec.  None above `max_dofs` pressure dofs.  See
+    ops.dense_schur.
+    """
+    from swirlfem_tpu.ops.dense_schur import build_dense_pressure_solver
+    solve = build_dense_pressure_solver(self, dt, time_order,
+                                        max_dofs=max_dofs)
+    if solve is None:
+      return None
+
+    def precondition(p):
+      w = solve(p)
+      ones = jnp.ones_like(w)
+      return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
+
+    return precondition
+
   def best_pressure_preconditioner(self, dt, time_order: int):
     """The strongest pressure preconditioner available for this geometry.
 
@@ -899,6 +945,8 @@ class StokesSEM:
     precond = self.fdm_pressure_preconditioner(dt, time_order)
     if precond is None:
       precond = self.fft_pressure_preconditioner(dt, time_order)
+    if precond is None:
+      precond = self.dense_pressure_preconditioner(dt, time_order)
     return precond
 
   def filter(self, u, alpha: float = 0.05):
@@ -1068,8 +1116,9 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
       return p - (dot(ones, p) / dot(ones, ones)) * ones
 
   def psolve(matvec, rhs):
-    ones = jnp.ones_like(rhs)
-    rhs = rhs - (dot(ones, rhs) / dot(ones, ones)) * ones
+    if project_out_nullspace:
+      ones = jnp.ones_like(rhs)
+      rhs = rhs - (dot(ones, rhs) / dot(ones, ones)) * ones
     if exact_solves and had_preconditioner:
       # One direct application + a true-residual check; a second defect
       # sweep fires only when f32 noise left the residual above tolerance.

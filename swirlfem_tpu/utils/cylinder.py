@@ -151,39 +151,13 @@ def cylinder_channel_premesh(
       physical_groups=physical_groups)
 
 
-def snap_cylinder_boundary(premesh, radius: float = 0.05,
-                           center: tuple[float, float] = (0.2, 0.2),
-                           blend_radius: float | None = None):
-  """Morphs the refined polygonal cylinder boundary onto the true circle.
-
-  Corner-interpolating p-refinement leaves the cylinder wall a polygon of
-  chords (an O(h^2) geometry error); snapping only the wall nodes outward
-  would bulge the boundary face *into* thin first-layer elements and
-  invert them at quadrature points.  Instead the radial correction
-  ``delta(theta) = radius - rho_chord(theta)`` is applied to every node in
-  the ring with a linear decay in radius (Gordon-Hall-style transfinite
-  blending): nodes on the polygon land exactly on the circle, the
-  correction vanishes at `blend_radius` (the ring's outer square, so the
-  channel-grid interface stays conforming), and the radial map stays
-  monotonic — no tangling.
-
-  Pass as ``velocity_coord_transform`` to `StokesSEM.create`; operates on
-  a refined premesh (numpy, host-side).
-  """
-  coords = np.array(premesh.node_coords)
+def _blend_to_circle(coords, corner_angles, radius, center, blend_radius):
+  """Applies the blended polygon->circle correction to arbitrary points."""
   c = np.asarray(center)
-  if blend_radius is None:
-    blend_radius = 2.0 * radius
-  ids = np.unique(np.asarray(premesh.physical_groups['cylinder']))
   rel = coords - c
   rho = np.linalg.norm(rel, axis=-1)
   theta = np.arctan2(rel[:, 1], rel[:, 0])
-
-  # Polygon corners: boundary nodes lying exactly on the circle (element
-  # corner nodes survive refinement bit-exactly; chord-interior nodes sit
-  # strictly inside).
-  corner = ids[np.abs(rho[ids] - radius) < 1e-9 * radius]
-  cang = np.sort(theta[corner])
+  cang = np.sort(np.asarray(corner_angles))
   cang = np.concatenate([cang, [cang[0] + 2 * np.pi]])
 
   th = theta.copy()
@@ -200,3 +174,65 @@ def snap_cylinder_boundary(premesh, radius: float = 0.05,
   new_rho = np.where(in_ring, rho + (1.0 - s) * delta, rho)
   scale = np.where(rho > 0, new_rho / np.where(rho > 0, rho, 1.0), 1.0)
   return c + rel * scale[:, None]
+
+
+def make_cylinder_snap(premesh, radius: float = 0.05,
+                       center: tuple[float, float] = (0.2, 0.2),
+                       blend_radius: float | None = None):
+  """Geometry transform morphing the polygonal cylinder wall to the circle.
+
+  Corner-interpolating p-refinement leaves the cylinder wall a polygon of
+  chords (an O(h^2) geometry error); snapping only the wall nodes outward
+  would bulge the boundary face *into* thin first-layer elements and
+  invert them at quadrature points.  Instead the radial correction
+  ``delta(theta) = radius - rho_chord(theta)`` is applied to every node in
+  the ring with a linear decay in radius (Gordon-Hall-style transfinite
+  blending): nodes on the polygon land exactly on the circle, the
+  correction vanishes at `blend_radius` (the ring's outer square, so the
+  channel-grid interface stays conforming), and the radial map stays
+  monotonic — no tangling.
+
+  The polygon corner angles come from the ORDER-1 premesh (its ring nodes
+  lie exactly on the circle), so the returned transform applies to any
+  refined premesh — in particular to BOTH the velocity (GLL) and pressure
+  (interior GL) meshes.  Using it for only one space leaves D and D^T
+  with mismatched geometry and a (slightly) nonsymmetric Schur operator.
+  Pass as ``coord_transform`` to `StokesSEM.create`.
+  """
+  if blend_radius is None:
+    blend_radius = 2.0 * radius
+  coords1 = np.asarray(premesh.node_coords)
+  c = np.asarray(center)
+  rho1 = np.linalg.norm(coords1 - c, axis=-1)
+  on_circle = np.abs(rho1 - radius) < 1e-9 * radius
+  assert on_circle.any(), 'no order-1 nodes found on the cylinder'
+  rel = coords1[on_circle] - c
+  corner_angles = np.arctan2(rel[:, 1], rel[:, 0])
+
+  def transform(refined_premesh):
+    return _blend_to_circle(np.array(refined_premesh.node_coords),
+                            corner_angles, radius, center, blend_radius)
+
+  return transform
+
+
+def snap_cylinder_boundary(premesh, radius: float = 0.05,
+                           center: tuple[float, float] = (0.2, 0.2),
+                           blend_radius: float | None = None):
+  """Blended circle snap reading corner angles from the refined premesh.
+
+  Prefer `make_cylinder_snap` (order-1-derived corners, applicable to the
+  pressure mesh too); this variant needs the refined ``cylinder`` group.
+  """
+  if blend_radius is None:
+    blend_radius = 2.0 * radius
+  coords = np.array(premesh.node_coords)
+  c = np.asarray(center)
+  ids = np.unique(np.asarray(premesh.physical_groups['cylinder']))
+  rel = coords[ids] - c
+  rho = np.linalg.norm(rel, axis=-1)
+  corner = ids[np.abs(rho - radius) < 1e-9 * radius]
+  crel = coords[corner] - c
+  corner_angles = np.arctan2(crel[:, 1], crel[:, 0])
+  return _blend_to_circle(coords, corner_angles, radius, center,
+                          blend_radius)

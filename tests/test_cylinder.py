@@ -77,3 +77,39 @@ def test_strouhal_extraction():
   trace = 0.02 * np.sin(2 * np.pi * f * t) + 0.001
   st = strouhal_number(trace, dt)
   np.testing.assert_allclose(st, st_true, rtol=0.06)
+
+
+def test_dense_schur_preconditioner_exact_and_symmetric():
+  """Isoparametric geometry keeps E symmetric on the curved mesh, and the
+  assembled dense inverse takes the pressure solve to O(1) iterations."""
+  import jax
+  from jax import lax
+  from swirlfem_tpu.ops.dense_schur import build_dense_pressure_solver
+
+  sem = make_cylinder_sem(order=3, ns=4, nr=3, nx_down=10)
+  npn = sem.pressure.pspace.mesh.num_nodes
+  cols = lax.map(lambda v: sem.E(v, dt=1e-3, time_order=2), jnp.eye(npn),
+                 batch_size=64)
+  e = np.asarray(cols).T
+  assert np.abs(e - e.T).max() < 1e-13 * np.abs(e).max()
+
+  solve = build_dense_pressure_solver(sem, 1e-3, 2)
+  assert not solve.has_nullspace  # do-nothing outflow: E nonsingular
+  rng = np.random.default_rng(0)
+  r = rng.standard_normal(npn)
+  back = np.array(sem.E(solve(jnp.asarray(r)), dt=1e-3, time_order=2))
+  np.testing.assert_allclose(back, r, atol=1e-9 * np.abs(r).max())
+
+  # One step: pressure correction converges in O(1) iterations (was ~2000
+  # unpreconditioned on this geometry).
+  from swirlfem_tpu.examples.cylinder import inflow_boundary_field
+  ub = inflow_boundary_field(sem)
+  nv = sem.velocity.mesh.num_nodes
+  u0 = jnp.zeros((nv, 2))
+  p0 = jnp.zeros(npn)
+  precond = sem.dense_pressure_preconditioner(1e-3, 2)
+  _, _, aux = sem.stokes_one_step(
+      [u0, u0], [p0, p0], -sem.C(ub), mu=1e-3, dt=1e-3, time_order=2,
+      u_boundary=ub, tol=1e-6, atol=1e-8, pressure_preconditioner=precond,
+      project_out_nullspace=False)
+  assert int(aux['dp_info']['num_iterations']) <= 3
