@@ -693,14 +693,22 @@ class StokesSEM:
     # custom_linear_solve: downstream cotangents (e.g. through `filter`)
     # carry boundary components which would otherwise make CG run away
     # along the null space and corrupt gradients.
+    # Jacobi-preconditioned continuity projector M(r) = exchange(r)/diag(H)
+    # (assembled diagonal; constant across dof copies so M stays symmetric)
+    # — same construction as the structured fast path, built here from the
+    # generic geometric factors.  Cuts the viscous CG ~2-4x vs the plain
+    # exchange projector on unstructured meshes.
+    diag_h = self._viscous_jacobi_diag(mu, dt, time_order)
+
     def vsolve(matvec, rhs):
       rhs = self.velocity.interior_mask * rhs
       x0 = None
       if viscous_preconditioner is not None:
         x0 = jnp.stack([viscous_preconditioner(rhs[..., j])
                         for j in range(rhs.shape[-1])], axis=-1)
-      return cg(matvec, rhs, x0=x0, M=self.velocity.exchange, tol=tol,
-                atol=atol, dot_fn=self.dot, maxiter=maxiter)
+      return cg(matvec, rhs, x0=x0,
+                M=lambda r: self.velocity.exchange(r) / diag_h[:, None],
+                tol=tol, atol=atol, dot_fn=self.dot, maxiter=maxiter)
 
     u_star, u_info = lax.custom_linear_solve(
         H, f, solve=vsolve, symmetric=True, has_aux=True)
@@ -893,6 +901,24 @@ class StokesSEM:
     return tuple(
         mod.nodal_to_el(c / grid_mult, vinfo).reshape((kk,) * d + eshape)
         for c in f)
+
+  def _viscous_jacobi_diag(self, mu, dt, time_order: int):
+    """Assembled diag((beta_k/dt) B + mu A) on the nodes (generic path)."""
+    vspace = self.velocity.vspace
+    gradmat = jnp.asarray(vspace.interpolator.interpolation_matrix_grad(),
+                          dtype=vspace.jacdets.dtype)            # (Q, n, d)
+    weights = jnp.asarray(
+        vspace.quadrature.weights_nd(self.velocity.mesh.ndim),
+        dtype=vspace.jacdets.dtype)
+    # Physical gradient of basis n at quad q: g[e,q,j,n].
+    g = jnp.einsum('qnd,eqjd->eqjn', gradmat, vspace.invjacs,
+                   precision=lax.Precision.HIGHEST)
+    diag_a_local = jnp.einsum('eqjn,eqjn,eq,q->en', g, g, vspace.jacdets,
+                              weights, precision=lax.Precision.HIGHEST)
+    beta_k = float(bdfk_coeffs(time_order)[-1])
+    diag = ((beta_k / dt) * self.velocity_mass_diag[..., 0]
+            + mu * self.velocity.mesh.scatter(diag_a_local))
+    return self.velocity.vspace.mesh.exchange(diag)
 
   def fdm_viscous_preconditioner(self, mu, dt, time_order: int):
     """Exact FDM inverse of the viscous Helmholtz operator, uniform boxes.
