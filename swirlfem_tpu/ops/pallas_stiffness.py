@@ -60,6 +60,33 @@ def _kernel(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref):
     out_ref[m] = t1 + t2
 
 
+def _kernel_rows(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref):
+  """Row-blocked variant: all tensors are (n*n, TE) 2D tiles.
+
+  The (n, n, TE) layout pads the middle (sublane) axis n ~ 9 up to 16 — a
+  1.78x bandwidth tax on every read.  Flattening the two local axes into
+  one (n^2 ~ 81 -> pad 88) keeps the same math with ~8% padding instead:
+  local row (a, b) lives at flat row a*n + b.
+  """
+  d = d_ref[:]
+  n = d.shape[0]
+
+  def blk(ref, a):  # rows of local-xi index a: (n, TE)
+    return ref[a * n:(a + 1) * n]
+
+  ub = [blk(u_ref, a) for a in range(n)]
+  ur = [sum(d_ref[a, m] * ub[m] for m in range(n)) for a in range(n)]
+  us = [jnp.dot(d, ub[a], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=ub[a].dtype) for a in range(n)]
+  fa = [blk(g11_ref, a) * ur[a] + blk(g12_ref, a) * us[a] for a in range(n)]
+  fb = [blk(g12_ref, a) * ur[a] + blk(g22_ref, a) * us[a] for a in range(n)]
+  for m in range(n):
+    t1 = sum(d_ref[a, m] * fa[a] for a in range(n))
+    t2 = jnp.dot(d.T, fb[m], precision=jax.lax.Precision.HIGHEST,
+                 preferred_element_type=t1.dtype)
+    out_ref[m * n:(m + 1) * n] = t1 + t2
+
+
 def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,
                         g22: jax.Array, dmat, *, tile_e: int = 512,
                         interpret: bool = False) -> jax.Array:
@@ -72,15 +99,17 @@ def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,
   d = jnp.asarray(dmat, dtype=u.dtype)
 
   grid = (num_e // tile_e,)
-  block = pl.BlockSpec((n, n, tile_e), lambda i: (0, 0, i),
+  block = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
                        memory_space=pltpu.VMEM)
   dspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
-  return pl.pallas_call(
-      _kernel,
-      out_shape=jax.ShapeDtypeStruct(u.shape, u.dtype),
+  flat = lambda x: x.reshape(n * n, num_e)
+  out = pl.pallas_call(
+      _kernel_rows,
+      out_shape=jax.ShapeDtypeStruct((n * n, num_e), u.dtype),
       grid=grid,
       in_specs=[dspec, block, block, block, block],
       out_specs=block,
       interpret=interpret,
-  )(d, u, g11, g12, g22)
+  )(d, flat(u), flat(g11), flat(g12), flat(g22))
+  return out.reshape(n, n, num_e)
