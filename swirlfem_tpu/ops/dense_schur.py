@@ -38,12 +38,23 @@ def build_dense_pressure_solver(sem, dt: float, time_order: int,
   sem_host = jax.device_put(sem, cpu)
   dtype = sem.velocity_mass_diag.dtype
 
-  with jax.default_device(cpu):
-    eye = jnp.eye(npn, dtype=dtype)
+  # Assemble in FLOAT64 regardless of the working dtype: E's smallest
+  # eigenvalues sit at ~1e-6 of its norm, i.e. at the level of f32
+  # assembly noise — a pinv of an f32-assembled matrix inverts that noise
+  # (1e7x amplification along near-null directions) and blows up the time
+  # integration (measured).  Same lesson as the FFT symbol assembly.
+  def _to64(x):
+    if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+      return np.asarray(x, np.float64)
+    return x
+
+  with jax.default_device(cpu), jax.enable_x64(True):
+    sem64 = jax.tree.map(_to64, sem_host)
+    eye = jnp.eye(npn, dtype=np.float64)
     cols = lax.map(
-        lambda v: sem_host.E(v, dt=dt, time_order=time_order), eye,
+        lambda v: sem64.E(v, dt=dt, time_order=time_order), eye,
         batch_size=min(64, npn))
-  e_mat = np.asarray(cols, dtype=np.float64).T  # E(e_i) are columns
+    e_mat = np.asarray(cols, dtype=np.float64).T  # E(e_i) are columns
   # Symmetrize away assembly rounding, then pseudo-invert (rank-deficient
   # for enclosed flow where the constant-pressure mode is null).
   e_mat = 0.5 * (e_mat + e_mat.T)
