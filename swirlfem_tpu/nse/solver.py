@@ -49,6 +49,7 @@ from swirlfem_tpu.core.refine import refine_premesh
 from swirlfem_tpu.core.premesh import Premesh
 from swirlfem_tpu.core.tensor import BarycentricInterpolator
 from swirlfem_tpu.linalg.cg import cg
+from swirlfem_tpu.linalg.cg import near_exact_solve
 
 # pylint: disable=invalid-name
 
@@ -625,6 +626,13 @@ class StokesSEM:
       if project_out_nullspace:
         ones = jnp.ones_like(rhs)
         rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
+      if getattr(pressure_preconditioner, 'near_exact', False):
+        # An f32-applied near-exact inverse is not numerically PSD
+        # (measured: <r, M r> < 0 at the first stopping test, dp = 0,
+        # exponential divergence growth); see linalg.cg.near_exact_solve.
+        return near_exact_solve(matvec, rhs, pressure_preconditioner,
+                                tol=tol, atol=atol, dot_fn=self.dot,
+                                maxiter=maxiter)
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=self.dot, maxiter=maxiter)
 
@@ -724,6 +732,10 @@ class StokesSEM:
       if project_out_nullspace:
         ones = jnp.ones_like(rhs)
         rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
+      if getattr(pressure_preconditioner, 'near_exact', False):
+        return near_exact_solve(matvec, rhs, pressure_preconditioner,
+                                tol=tol, atol=atol, dot_fn=self.dot,
+                                maxiter=maxiter)
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=self.dot, maxiter=maxiter)
 
@@ -755,6 +767,7 @@ class StokesSEM:
       return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
 
     precondition.jacobi_diag_el = solve.jacobi_diag_el
+    precondition.near_exact = True
     return precondition
 
   def fdm_pressure_preconditioner(self, dt, time_order: int):
@@ -948,12 +961,19 @@ class StokesSEM:
                                         max_dofs=max_dofs)
     if solve is None:
       return None
+    solve.near_exact = True
+    if not solve.has_nullspace:
+      # Nonsingular E (outflow present): the pinv IS the inverse; no
+      # projection.  Callers should pass project_out_nullspace=False.
+      return solve
 
     def precondition(p):
       w = solve(p)
       ones = jnp.ones_like(w)
       return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
 
+    precondition.has_nullspace = True
+    precondition.near_exact = True
     return precondition
 
   def best_pressure_preconditioner(self, dt, time_order: int):
@@ -1164,49 +1184,12 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
     if not had_preconditioner:
       return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
                 dot_fn=dot, maxiter=maxiter)
-    # Near-exact inverses (the block-FFT solver) are applied as Richardson
-    # defect correction with the TRUE residual recomputed each sweep, not
-    # as a CG preconditioner: in f32 the FFT-applied inverse carries
-    # eps * cond(E) high-wavenumber noise, so the M-weighted quadratic
-    # forms inside CG hit rounding level near convergence and flip sign
-    # (measured breakdown: alpha = gamma / <p, Ap> with a noise-level
-    # denominator corrupts dp and blows up the time integration).  The
-    # stationary iteration contracts by |I - M E| ~ eps * cond(E) per
-    # sweep with no dot products to break down, and a guarded CG from the
-    # resulting iterate certifies the euclidean tolerance (it exits at 0
-    # iterations when the sweeps already converged).
-    bs = dot(rhs, rhs)
-    thr = jnp.maximum(jnp.square(tol) * bs, jnp.square(atol))
-
-    def sweep_cond(state):
-      _, _, rr, k = state
-      return (rr > thr) & (k < 8)
-
-    def sweep(state):
-      # Monotone-guarded sweep: accept only residual-reducing updates.
-      # On rhs dominated by high-wavenumber content (noise-level
-      # divergence) the f32 contraction can exceed 1; reverting and
-      # exiting hands a clean x0 to the CG finish instead of iterate
-      # junk in E's near-null directions (which CG cannot remove).
-      x, r, rr, k = state
-      x_new = x + pressure_preconditioner(r)
-      r_new = rhs - matvec(x_new)
-      rr_new = dot(r_new, r_new)
-      # Require a real contraction (4x): in developed flow with
-      # high-wavenumber rhs the f32 sweep gain can degenerate to ~1,
-      # and the CG finish is then the better use of those matvecs.
-      better = rr_new < 0.25 * rr
-      x = jnp.where(better, x_new, x)
-      r = jnp.where(better, r_new, r)
-      return (x, r, jnp.where(better, rr_new, rr),
-              jnp.where(better, k + 1, jnp.int32(8)))
-
-    x, _, _, sweeps = lax.while_loop(
-        sweep_cond, sweep, (jnp.zeros_like(rhs), rhs, bs, jnp.int32(0)))
-    x, info = cg(matvec, rhs, x0=x, tol=tol, atol=atol,
-                 dot_fn=dot, maxiter=maxiter)
-    return x, {'residual': info['residual'],
-               'num_iterations': info['num_iterations'] + sweeps}
+    # Near-exact inverses cannot be used as CG preconditioners in finite
+    # precision (see linalg.cg.near_exact_solve — developed here for the
+    # block-FFT inverse, where the f32-applied M broke the M-weighted
+    # quadratic forms near convergence and blew up the integration).
+    return near_exact_solve(matvec, rhs, pressure_preconditioner, tol=tol,
+                            atol=atol, dot_fn=dot, maxiter=maxiter)
 
   dp, p_info = lax.custom_linear_solve(
       E_fast, -div_el(u_star), solve=psolve, symmetric=True, has_aux=True)
