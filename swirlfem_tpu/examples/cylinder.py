@@ -126,7 +126,9 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
                       dt: float = 1e-3, num_steps: int = 20000,
                       steps_per_dispatch: int = 200, time_order: int = 2,
                       tol: float = 1e-5, probe: int | None = None,
-                      perturb: float = 1e-2, log_every: int | None = None):
+                      perturb: float = 1e-2, log_every: int | None = None,
+                      kick_amplitude: float = 0.2,
+                      kick_steps: int = 4000):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
@@ -161,27 +163,40 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   cus = tuple(sem.C(u + u_boundary) for u in us)
   precond = sem.dense_pressure_preconditioner(dt, time_order)
 
+  # Transient asymmetric kick: on fine meshes the initial perturbation
+  # decays during the impulsive-start transient before the wake
+  # instability can amplify it (the symmetric steady wake is a valid but
+  # unstable solution); a small cross-stream body force behind the
+  # cylinder for the first `kick_steps` steps seeds the Karman mode, then
+  # shuts off.
+  kick = kick_amplitude * np.exp(
+      -(((coords[:, 0] - 0.3) / 0.05) ** 2
+        + ((coords[:, 1] - 0.2) / 0.05) ** 2)) * mask
+  f_kick = sem.B(jnp.asarray(
+      np.stack([np.zeros_like(kick), kick], axis=-1), dtype=dtype))
+
   @jax.jit
-  def chunk(us, ps, cus):
-    def body(carry, _):
+  def chunk(step0, us, ps, cus):
+    def body(carry, k):
       us, ps, cus = carry
       cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
+      f = -cu + jnp.where(step0 + k < kick_steps, 1.0, 0.0) * f_kick
       u, p, _ = sem.stokes_one_step(
-          list(us), list(ps), -cu, mu=mu, dt=dt, time_order=time_order,
+          list(us), list(ps), f, mu=mu, dt=dt, time_order=time_order,
           u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
           pressure_preconditioner=precond, project_out_nullspace=False)
       carry = (us[1:] + (u - u_boundary,), ps[1:] + (p,),
                cus[1:] + (sem.C(u),))
       return carry, u[probe, 1]
-    return jax.lax.scan(body, (us, ps, cus), None,
-                        length=steps_per_dispatch)
+    return jax.lax.scan(body, (us, ps, cus),
+                        jnp.arange(steps_per_dispatch))
 
   import time as _time
   trace = []
   carry = (us, ps, cus)
   t0 = _time.time()
   for i in range(num_steps // steps_per_dispatch):
-    carry, tr = chunk(*carry)
+    carry, tr = chunk(jnp.int32(i * steps_per_dispatch), *carry)
     trace.append(np.asarray(tr))
     if log_every and (i + 1) % log_every == 0:
       done = (i + 1) * steps_per_dispatch
