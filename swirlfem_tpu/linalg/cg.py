@@ -21,6 +21,14 @@ from jax.tree_util import tree_leaves
 from jax.tree_util import tree_map
 
 
+def _highest_vdot(a, b):
+  # TPU f32 dot products truncate to bf16 by default; CG's alpha/beta are
+  # ratios of these dots and a 1e-2-level error destabilizes long
+  # iterations on ill-conditioned systems (measured: f32 cylinder
+  # transient diverges on TPU, stable on CPU).
+  return jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
+
+
 def _tree_vdot(a, b, dot_fn):
   return sum(tree_leaves(tree_map(dot_fn, a, b)))
 
@@ -31,7 +39,7 @@ def _axpy(alpha, x, y):
 
 
 def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
-       dot_fn=jnp.vdot, euclidean_stop=False):
+       dot_fn=_highest_vdot, euclidean_stop=False):
   """Solves ``A x = b`` with preconditioned conjugate gradients.
 
   Args:
@@ -115,7 +123,7 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
 def distributed_vdot(axis_name: str):
   """A `dot_fn` that sums the local vdot across a collective axis."""
   def _dot(a, b):
-    return lax.psum(jnp.vdot(a, b), axis_name=axis_name)
+    return lax.psum(_highest_vdot(a, b), axis_name=axis_name)
   return _dot
 
 
@@ -124,7 +132,7 @@ del cg_distributed
 
 
 def near_exact_solve(matvec, rhs, apply_inv, *, tol=1e-5, atol=0.0,
-                     dot_fn=jnp.vdot, maxiter=None, max_sweeps=8):
+                     dot_fn=_highest_vdot, maxiter=None, max_sweeps=8):
   """Solve with a near-exact inverse: Richardson sweeps + CG certificate.
 
   A near-exact inverse applied in finite precision carries

@@ -214,7 +214,8 @@ def _step_impl(ops, us_el, ps_el, f_el, precond_arrays, *, axis_name, mod,
   exch = lambda w: exchange_el_halo(w, info, axis_name)
 
   def dot(a, b):
-    return lax.psum(jnp.vdot(a, b), axis_name)
+    return lax.psum(jnp.vdot(a, b, precision=lax.Precision.HIGHEST),
+                    axis_name)
 
   precond = None
   viscous = None

@@ -309,7 +309,9 @@ class StokesSEM:
   # -- distributed-aware inner product --------------------------------------
 
   def dot(self, a, b):
-    d = jnp.vdot(a, b)
+    # HIGHEST precision: TPU f32 reductions otherwise truncate to bf16,
+    # which corrupts CG coefficients (see linalg.cg._highest_vdot).
+    d = jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
     if self.axis_name is not None:
       d = lax.psum(d, axis_name=self.axis_name)
     return d
