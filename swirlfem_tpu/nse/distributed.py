@@ -127,7 +127,8 @@ def _sharded_fft_solve(rhs_el, inv_re, inv_im, pinfo, scale, axis_name):
                          tiled=True)
   hat = jnp.fft.fft(hat, axis=1)                     # k0 (now resident)
   inv_c = lax.complex(jnp.asarray(inv_re), jnp.asarray(inv_im))
-  out = jnp.einsum('abji,iab->jab', inv_c, hat)
+  out = jnp.einsum('abji,iab->jab', inv_c, hat,
+                   precision=lax.Precision.HIGHEST)
   out = jnp.fft.ifft(out, axis=1)
   if nloc != n:
     out = lax.all_to_all(out, axis_name, split_axis=1, concat_axis=2,
@@ -155,17 +156,21 @@ def _sharded_fdm_pressure_solve(rhs_el, z0r, z1r, inv_lam_loc, axis_name):
   nloc = rhs_el.shape[2]
   full = rhs_el.shape[3]
   # Forward transform along the resident axis pair (i1, e1).
-  t = jnp.einsum('bdL,abcd->acL', z1, rhs_el)       # (m, n_loc, K1)
+  t = jnp.einsum('bdL,abcd->acL', z1, rhs_el,
+                  precision=lax.Precision.HIGHEST)       # (m, n_loc, K1)
   if nloc != full:
     t = lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1,
                        tiled=True)                   # (m, n, K1/P)
-  h = jnp.einsum('adK,adb->Kb', z0, t)               # (K0, K1/P)
+  h = jnp.einsum('adK,adb->Kb', z0, t,
+                  precision=lax.Precision.HIGHEST)
   h = h * jnp.asarray(inv_lam_loc)
-  t = jnp.einsum('adK,Kb->adb', z0, h)               # (m, n, K1/P)
+  t = jnp.einsum('adK,Kb->adb', z0, h,
+                  precision=lax.Precision.HIGHEST)
   if nloc != full:
     t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2,
                        tiled=True)                   # (m, n_loc, K1)
-  out = jnp.einsum('bdL,acL->abcd', z1, t)
+  out = jnp.einsum('bdL,acL->abcd', z1, t,
+                   precision=lax.Precision.HIGHEST)
   return out.astype(rhs_el.dtype)
 
 
@@ -182,17 +187,21 @@ def _sharded_fdm_viscous_solve(r_el, z0r, z1r, lam_loc, beta_k, mu, dt,
   z1 = jnp.asarray(z1r)
   nloc = r_el.shape[2]
   full = r_el.shape[3]
-  t = jnp.einsum('bdL,abcd->acL', z1, r_el)
+  t = jnp.einsum('bdL,abcd->acL', z1, r_el,
+                  precision=lax.Precision.HIGHEST)
   if nloc != full:
     t = lax.all_to_all(t, axis_name, split_axis=2, concat_axis=1,
                        tiled=True)
-  h = jnp.einsum('adK,adb->Kb', z0, t)
+  h = jnp.einsum('adK,adb->Kb', z0, t,
+                 precision=lax.Precision.HIGHEST)
   h = h / (beta_k / dt + mu * jnp.asarray(lam_loc))
-  t = jnp.einsum('adK,Kb->adb', z0, h)
+  t = jnp.einsum('adK,Kb->adb', z0, h,
+                 precision=lax.Precision.HIGHEST)
   if nloc != full:
     t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=2,
                        tiled=True)
-  out = jnp.einsum('bdL,acL->abcd', z1, t)
+  out = jnp.einsum('bdL,acL->abcd', z1, t,
+                   precision=lax.Precision.HIGHEST)
   return out.astype(r_el.dtype)
 
 

@@ -209,7 +209,8 @@ def build_fdm_pressure_solver(sem, dt: float, time_order: int):
       if transpose:
         ma = ma.T
       x = jnp.moveaxis(
-          jnp.tensordot(ma, x, axes=([1], [a])), 0, a)
+          jnp.tensordot(ma, x, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     return x
 
   def solve(rhs):
@@ -348,11 +349,13 @@ def build_fdm_helmholtz_solver(sem, time_order: int):
     h = x
     for a, z in enumerate(zs):
       h = jnp.moveaxis(
-          jnp.tensordot(jnp.asarray(z).T, h, axes=([1], [a])), 0, a)
+          jnp.tensordot(jnp.asarray(z).T, h, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     h = h / (beta_k / dt + mu * jnp.asarray(lam_sum))
     for a, z in enumerate(zs):
       h = jnp.moveaxis(
-          jnp.tensordot(jnp.asarray(z), h, axes=([1], [a])), 0, a)
+          jnp.tensordot(jnp.asarray(z), h, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     for a in range(d):
       interior, nv = interiors[a]
       h = _embed(h, a, interior, nv)
@@ -468,11 +471,13 @@ def build_fdm_helmholtz_solver_el(sem, time_order: int):
     x = x.transpose(perm).reshape((n * k,) * d)
     for a, z in enumerate(zels):
       x = jnp.moveaxis(
-          jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a])), 0, a)
+          jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     x = x / (beta_k / dt + mu * jnp.asarray(lam_sum))
     for a, z in enumerate(zels):
       x = jnp.moveaxis(
-          jnp.tensordot(jnp.asarray(z), x, axes=([1], [a])), 0, a)
+          jnp.tensordot(jnp.asarray(z), x, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     x = x.reshape(sum(((n, k) for _ in range(d)), ()))
     inv = []
     for a in range(d):
@@ -573,11 +578,13 @@ def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
     x = x.transpose(perm).reshape((m * n,) * d)
     for a, z in enumerate(zs):
       x = jnp.moveaxis(
-          jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a])), 0, a)
+          jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     x = x * jnp.asarray(inv_lam)
     for a, z in enumerate(zs):
       x = jnp.moveaxis(
-          jnp.tensordot(jnp.asarray(z), x, axes=([1], [a])), 0, a)
+          jnp.tensordot(jnp.asarray(z), x, axes=([1], [a]),
+                         precision=lax.Precision.HIGHEST), 0, a)
     x = x.reshape(sum(((m, n) for _ in range(d)), ()))
     inv = []
     for a in range(d):

@@ -173,7 +173,8 @@ def build_fft_pressure_solver(sem, dt: float, time_order: int):
     el = sem2d.nodal_to_el(rhs, pinfo)  # (m, m, E)
     grid = el.reshape(m * m, n, n)
     hat = jnp.fft.fft2(grid, axes=(1, 2))
-    out_hat = jnp.einsum('abji,iab->jab', inv_c, hat)
+    out_hat = jnp.einsum('abji,iab->jab', inv_c, hat,
+                         precision=jax.lax.Precision.HIGHEST)
     out = jnp.real(jnp.fft.ifft2(out_hat, axes=(1, 2)))
     out = out.reshape(m, m, n * n).astype(rhs.dtype)
     return sem2d.el_to_nodal(out, pinfo) / scale
