@@ -218,3 +218,58 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
             f'({(_time.time() - t0) / done * 1e3:.1f} ms/step)', flush=True)
   us, ps, _ = carry
   return us[-1] + u_boundary, ps[-1], np.concatenate(trace)
+
+
+def reaction_force(sem: StokesSEM, us, p, f=0.0, *, mu: float, dt: float,
+                   group: str = 'cylinder', convection=None):
+  """Discrete reaction force the fluid exerts on a Dirichlet boundary.
+
+  The consistent (Babuska-Miller / "consistent flux") force evaluation: at
+  Dirichlet nodes the row-elided momentum equations are not enforced, and
+  their UNMASKED residual is exactly the nodal reaction covector — the
+  traction the wall exerts on the fluid, with no surface quadrature needed.
+  The force ON the body is its negative, summed over the group's nodes:
+
+      F = - sum_{wall nodes} [B du/dt + C_ext + mu A u - D^T p - f]
+
+  Args:
+    us: BDF velocity history, newest (the just-computed step) LAST, each a
+      nodal ``(N, d)`` array INCLUDING the boundary lift; ``len(us) - 1``
+      is the BDF order, so pass one more state than ``stokes_one_step``
+      consumes.
+    p: the pressure produced by the same step.
+    f: the external-forcing covector EXCLUDING convection (unmasked rows
+      matter; a row-masked covector loses its wall contribution to F).
+    convection: optional explicit unmasked convection covector.  By default
+      the scheme-consistent extrapolation the step used is rebuilt from the
+      old states ``us[:-1]`` (reference navier_stokes.py:423-434 pairs
+      extrapolated convection with the BDF solve the same way).
+
+  Returns the d-vector force; Schaefer-Turek drag/lift coefficients are
+  ``C = 2 F / (rho Ubar^2 D)``.
+  """
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+
+  vel = sem.velocity
+  k = len(us) - 1
+  if k < 1:
+    raise ValueError('us must hold the BDF history plus the new state')
+  coeffs = [float(c) for c in bdfk_coeffs(k)]
+  dudt = sum(c * u for c, u in zip(coeffs, us)) / dt
+
+  if convection is None:
+    ext = [float(c) for c in extk_coeffs(k=k - 1)] if k > 1 else [1.0]
+    convection = sum(
+        e * vel.scatter(vel.C_local(vel.gather(u)))
+        for e, u in zip(ext, us[:-1]))
+
+  b_term = vel.scatter(vel.B_local(vel.gather(dudt)))
+  a_term = vel.scatter(vel.A_local(vel.gather(us[-1])))
+  dt_term = vel.scatter(sem.Dt_local(sem.pressure.gather(p)))
+  residual = b_term + convection + mu * a_term - dt_term
+  if not (isinstance(f, (int, float)) and f == 0):
+    residual = residual - f
+
+  on_wall = jnp.asarray(
+      np.asarray(sem.velocity.mesh.physical_masks[group]) > 0)
+  return -jnp.sum(jnp.where(on_wall[:, None], residual, 0.0), axis=0)

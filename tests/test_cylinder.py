@@ -113,3 +113,64 @@ def test_dense_schur_preconditioner_exact_and_symmetric():
       u_boundary=ub, tol=1e-6, atol=1e-8, pressure_preconditioner=precond,
       project_out_nullspace=False)
   assert int(aux['dp_info']['num_iterations']) <= 3
+
+
+def test_reaction_force_poiseuille():
+  """Consistent-flux wall force on analytic Poiseuille flow.
+
+  Channel [0,1]^2, periodic in x, Dirichlet walls.  The steady profile
+  u = (g y (1-y), 0) is driven by the constant body force f_x = 2 mu g;
+  at steady state the walls must absorb exactly the injected momentum, so
+  the force the fluid exerts on the walls is (integral of f) = (2 mu g, 0).
+  The quartic velocity space represents the quadratic profile exactly, so
+  the discrete identity holds to roundoff.
+  """
+  from swirlfem_tpu.core.bc import BCType
+  from swirlfem_tpu.examples.cylinder import reaction_force
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  mu, g = 0.3, 1.7
+  premesh = unit_cube_mesh(4, ndim=2, periodic_dims=(0,))
+  sem = StokesSEM.create(
+      premesh, boundary_conditions={'boundary': (BCType.DIRICHLET, 0.0)},
+      order=4)
+  vel = sem.velocity
+  y = np.asarray(vel.mesh.node_coords)[:, 1]
+  u = jnp.asarray(np.stack([g * y * (1 - y), np.zeros_like(y)], axis=-1))
+  f_field = jnp.asarray(
+      np.stack([np.full_like(y, 2 * mu * g), np.zeros_like(y)], axis=-1))
+  f_cov = vel.scatter(vel.B_local(vel.gather(f_field)))
+  p = jnp.zeros(sem.pressure.pspace.mesh.num_nodes)
+
+  # Steady history: the BDF time-derivative term vanishes identically.
+  force = reaction_force(sem, [u, u, u], p, f_cov, mu=mu, dt=0.01,
+                         group='boundary')
+  np.testing.assert_allclose(
+      np.asarray(force), [2 * mu * g, 0.0], rtol=1e-9, atol=1e-11)
+
+  # Pure-pressure check: u = 0, constant p exerts zero net force on the
+  # closed opposing-wall pair.
+  force_p = reaction_force(
+      sem, [jnp.zeros_like(u)] * 2, jnp.full_like(p, 3.25), 0.0,
+      mu=mu, dt=0.01, group='boundary')
+  np.testing.assert_allclose(np.asarray(force_p), [0.0, 0.0], atol=1e-11)
+
+
+def test_reaction_force_cylinder_drag_positive():
+  """Impulsive-start cylinder: finite force, positive drag."""
+  from swirlfem_tpu.examples.cylinder import reaction_force
+
+  sem = make_cylinder_sem(order=3, ns=4, nr=3, nx_down=10)
+  mu = 1e-3
+  dt = 1e-3
+  u_boundary = inflow_boundary_field(sem)
+  u, p, _ = run_cylinder(sem, reynolds=100.0, dt=dt, num_steps=8,
+                         time_order=2, tol=1e-8)
+  # One more step to get a (k+1)-deep consistent history around (u, p).
+  us = [u, u]  # impulsive history is not stored by run_cylinder; use
+  # a BDF1-consistent pair for a smoke-level check.
+  force = reaction_force(sem, us, p, 0.0, mu=mu, dt=dt, group='cylinder')
+  force = np.asarray(force)
+  assert np.all(np.isfinite(force))
+  assert force[0] > 0.0, force  # drag pushes the cylinder downstream
