@@ -978,6 +978,39 @@ class StokesSEM:
     precondition.near_exact = True
     return precondition
 
+  def schwarz_pressure_preconditioner(self, premesh, boundary_conditions,
+                                      dt, time_order: int,
+                                      coarse: str = 'auto',
+                                      max_coarse_dofs: int = 16000):
+    """Two-level additive Schwarz pressure preconditioner (unstructured).
+
+    The scalable preconditioner for unstructured meshes beyond the dense
+    inverse's range: exact element-diagonal Schur blocks (graph-colored
+    probing, batched block matmul apply) plus a Galerkin coarse solve —
+    see ops.schwarz.  SPD by construction, so it plugs into plain PCG
+    (no `near_exact` handling needed).
+
+    Args:
+      premesh: the ORDER-1 premesh this sem was created from.
+      boundary_conditions: the same mapping given to ``create`` (detects
+        do-nothing outflow, i.e. whether E is nonsingular).
+      coarse: 'p1dg' | 'vertex' | 'auto' (see ops.schwarz).
+    """
+    from swirlfem_tpu.ops.schwarz import build_schwarz_pressure_solver
+    solve = build_schwarz_pressure_solver(
+        self, premesh, boundary_conditions, dt, time_order,
+        coarse=coarse, max_coarse_dofs=max_coarse_dofs)
+    if not solve.has_nullspace:
+      return solve
+
+    def precondition(p):
+      w = solve(p)
+      ones = jnp.ones_like(w)
+      return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
+
+    precondition.has_nullspace = True
+    return precondition
+
   def best_pressure_preconditioner(self, dt, time_order: int):
     """The strongest pressure preconditioner available for this geometry.
 

@@ -1,0 +1,390 @@
+"""Two-level Schwarz pressure preconditioner for large unstructured meshes.
+
+The pressure Schur operator ``E = D Q D^T`` of the P_N-P_{N-2} method is
+spectrally a (scaled) Poisson operator.  On unstructured meshes beyond the
+dense-inverse range (`ops.dense_schur`, ~20k dofs) the classical answer is
+two-level additive Schwarz (Fischer JCP 1997; nek5000's pressure
+preconditioner):
+
+    M = sum_e R_e^T (E_ee)^{-1} R_e  +  R_c^T (R_c E R_c^T)^{+} R_c
+
+* **Local solves**: the *exact* element-diagonal blocks ``E_ee`` of the
+  Schur operator, extracted by graph-colored probing — elements are
+  colored so no two vertex-adjacent elements share a color, and one
+  batched ``E`` apply per (color, local basis) pair reads off entire block
+  columns for every element of that color at once (≈ ``colors * m^d``
+  operator applies total, independent of mesh size).  Blocks are inverted
+  in float64 on the host and applied as one batched ``(E, m^d, m^d)``
+  matmul.  The pressure space is discontinuous, so the element blocks are
+  disjoint and this term is block-diagonal SPD — the optimal zero-overlap
+  local solve, with none of the FDM approximation error on deformed or
+  high-aspect elements.
+
+* **Coarse solve** (kills the global/low-frequency modes CG is slowest
+  on): a Galerkin restriction ``A_c = R_c E R_c^T`` onto a coarse space,
+  assembled by the same colored-probing trick (distance-2 coloring, since
+  the readout spreads to vertex-neighbor elements) and densely
+  (pseudo-)inverted in float64.  Two coarse spaces:
+
+  - ``'p1dg'`` (default): per-element bi/trilinear Gauss-Legendre
+    pressure, dimension ``2^d * E`` — the p-multigrid-flavored choice;
+  - ``'vertex'``: continuous Q1 on the order-1 premesh vertices,
+    dimension = #vertices — smaller, used automatically when the p1dg
+    space would exceed ``max_coarse_dofs``.
+
+Both terms are SPD by construction, so the sum plugs into plain PCG — no
+`near_exact` handling needed (unlike the exact inverses,
+``linalg.cg.near_exact_solve``).
+
+Measured on the Schaefer-Turek cylinder mesh (order 5, 228 elements, 3648
+pressure dofs, tol 1e-7): plain projected CG 1250 iterations; FDM-local +
+FEM-vertex coarse 106; exact blocks + vertex Galerkin 70; exact blocks +
+p1dg Galerkin **48** (26x).  The reference has no counterpart (its
+pressure CG is unpreconditioned,
+``swirl_fem/navier_stokes/navier_stokes.py:449-452``).  Unlike the dense
+inverse, setup cost and memory scale linearly with the element count.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax import lax
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.core.bc import BCType
+from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
+from swirlfem_tpu.core.quadrature import Nodes1D
+from swirlfem_tpu.core.quadrature import NodeType
+
+
+def _vertex_unique_ids(premesh):
+  """Premesh vertex id -> dense unique id (periodic images folded)."""
+  from swirlfem_tpu.core import topology
+  node_indices = topology.unique_node_indices(
+      np.arange(premesh.num_nodes, dtype=np.int32), premesh.periodic_links)
+  _, uid = np.unique(node_indices, return_inverse=True)
+  return uid.astype(np.int32)
+
+
+def _element_adjacency(el_uid: np.ndarray) -> list[set[int]]:
+  """Vertex-sharing element adjacency (E couples exactly these pairs)."""
+  num_e = len(el_uid)
+  vert2el: dict[int, list[int]] = {}
+  for e in range(num_e):
+    for v in el_uid[e]:
+      vert2el.setdefault(int(v), []).append(e)
+  adj = [set() for _ in range(num_e)]
+  for els in vert2el.values():
+    for a in els:
+      for b in els:
+        if a != b:
+          adj[a].add(b)
+  return adj
+
+
+def _greedy_coloring(adj: list[set[int]]) -> np.ndarray:
+  colors = -np.ones(len(adj), dtype=np.int64)
+  for e in range(len(adj)):
+    used = {colors[nb] for nb in adj[e]}
+    c = 0
+    while c in used:
+      c += 1
+    colors[e] = c
+  return colors
+
+
+def _distance2_coloring(adj: list[set[int]]) -> np.ndarray:
+  adj2 = [set(a) for a in adj]
+  for e, nbrs in enumerate(adj):
+    for nb in nbrs:
+      adj2[e] |= adj[nb]
+    adj2[e].discard(e)
+  return _greedy_coloring(adj2)
+
+
+def _boundary_vertices(elements: np.ndarray, uid: np.ndarray,
+                       ndim: int) -> np.ndarray:
+  """Unique vertex ids on the domain boundary (faces used exactly once)."""
+  idx = np.arange(2 ** ndim)
+  faces = []
+  for a in range(ndim):
+    stride = 2 ** (ndim - 1 - a)
+    for side in (0, 1):
+      sel = idx[(idx // stride) % 2 == side]
+      faces.append(np.sort(uid[elements[:, sel]], axis=1))
+  faces = np.concatenate(faces, axis=0)
+  _, inv, counts = np.unique(faces, axis=0, return_inverse=True,
+                             return_counts=True)
+  on_boundary = faces[counts[inv] == 1]
+  return np.unique(on_boundary)
+
+
+def _has_outflow(premesh, boundary_conditions, uid) -> bool:
+  """True when some boundary vertex has no Dirichlet velocity BC."""
+  dirichlet_vertices = set()
+  for name, bc in (boundary_conditions or {}).items():
+    bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
+    if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
+      dirichlet_vertices.update(
+          uid[np.unique(premesh.physical_groups[name].reshape(-1))].tolist())
+  boundary = _boundary_vertices(premesh.elements, uid, premesh.ndim)
+  return bool(set(boundary.tolist()) - dirichlet_vertices)
+
+
+def _matvec64(sem, dt: float, time_order: int):
+  """Float64 host-side ``E`` apply (f32 probing noise would corrupt the
+  inverted blocks — same lesson as ops.dense_schur)."""
+  cpu = jax.local_devices(backend='cpu')[0]
+
+  def _to64(x):
+    if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating):
+      return np.asarray(x, np.float64)
+    return x
+
+  with jax.default_device(cpu), jax.enable_x64(True):
+    sem64 = jax.tree.map(_to64, jax.device_put(sem, cpu))
+
+  def matvec(p):
+    return sem64.E(p, dt=dt, time_order=time_order)
+
+  def matvec_batch(ps, batch_size=32):
+    with jax.default_device(cpu), jax.enable_x64(True):
+      out = lax.map(matvec, jnp.asarray(ps, np.float64),
+                    batch_size=min(batch_size, len(ps)))
+    return np.asarray(out)
+
+  return matvec_batch
+
+
+def _probe_element_blocks(matvec_batch, elements: np.ndarray,
+                          colors: np.ndarray, num_nodes: int) -> np.ndarray:
+  """Exact diagonal blocks ``E_ee`` via colored probing, float64."""
+  num_e, mloc = elements.shape
+  blocks = np.zeros((num_e, mloc, mloc))
+  eye = np.eye(mloc)
+  for c in range(int(colors.max()) + 1):
+    sel = np.where(colors == c)[0]
+    probes = np.zeros((mloc, num_nodes))
+    probes[:, elements[sel]] = eye[:, None, :]
+    out = matvec_batch(probes)               # (mloc, num_nodes)
+    blocks[sel] = out[:, elements[sel]].transpose(1, 2, 0)
+  return blocks
+
+
+def _probe_galerkin_coarse(matvec_batch, elements: np.ndarray,
+                           adj: list[set[int]], colors2: np.ndarray,
+                           stencil: np.ndarray, num_nodes: int) -> np.ndarray:
+  """Galerkin coarse matrix ``A_c[(e',j),(e,i)] = phi_{e',j}^T E phi_{e,i}``
+  for per-element coarse dofs with prolongation `stencil` ``(mloc, nc)``,
+  assembled with distance-2 colored probes."""
+  num_e, mloc = elements.shape
+  nc = stencil.shape[1]
+  a_c = np.zeros((num_e * nc, num_e * nc))
+  # owner[e'] = the probed element whose neighborhood contains e'.
+  for c in range(int(colors2.max()) + 1):
+    sel = np.where(colors2 == c)[0]
+    probes = np.zeros((nc, num_nodes))
+    np.add.at(probes, (slice(None), elements[sel]),
+              np.broadcast_to(stencil.T[:, None, :], (nc, len(sel), mloc)))
+    out = matvec_batch(probes)               # (nc, num_nodes)
+    owner = -np.ones(num_e, dtype=np.int64)
+    for e in sel:
+      owner[e] = e
+      for nb in adj[e]:
+        owner[nb] = e
+    readers = np.where(owner >= 0)[0]
+    # y restricted to coarse dofs of reader elements: (nc_probe, nr, nc).
+    y = np.einsum('pen,nj->pej', out[:, elements[readers]], stencil)
+    rows = readers[:, None] * nc + np.arange(nc)[None, :]       # (nr, nc)
+    cols = owner[readers][:, None] * nc + np.arange(nc)[None, :]
+    # Entry A[(e', j), (owner(e'), i)] = y[i, e', j]; each written once.
+    for i in range(nc):
+      a_c[rows, cols[:, i:i + 1]] = y[i]
+  return a_c
+
+
+def _coarse_element_stiffness(premesh) -> np.ndarray:
+  """Q1 element stiffness matrices ``(E, 2^d, 2^d)``, float64 on host."""
+  from swirlfem_tpu.core.fespace import FiniteElementSpace
+  from swirlfem_tpu.core.fespace import grad, inner
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+
+  cmesh = premesh.finalize()
+  quad = Quadrature1D.create(num_points=2,
+                             quadrature_type=NodeType.GAUSS_LEGENDRE)
+  cpu = jax.local_devices(backend='cpu')[0]
+  with jax.default_device(cpu), jax.enable_x64(True):
+    cmesh64 = jax.tree.map(
+        lambda x: (jnp.asarray(np.asarray(x), np.float64)
+                   if hasattr(x, 'dtype')
+                   and jnp.issubdtype(x.dtype, jnp.floating) else x), cmesh)
+    space = FiniteElementSpace.create(cmesh64, quad)
+
+    def a_local(u_local):
+      def form(u, v):
+        return lambda x: inner(grad(u)(x), grad(v)(x))
+      u = space.scalar_function(u_local)
+      v = space.scalar_function(None)
+      return space.local_covector(form, (u, v))
+
+    nper = premesh.num_nodes_per_element
+    num_e = premesh.num_elements
+    basis = jnp.eye(nper, dtype=jnp.float64)
+    cols = jax.vmap(
+        lambda e: a_local(jnp.broadcast_to(e, (num_e, nper))))(basis)
+  return np.asarray(cols).transpose(1, 0, 2)  # (E, 2^d, 2^d)
+
+
+def _pinv_psd(a: np.ndarray, rcond: float = 1e-10) -> tuple[np.ndarray, bool]:
+  """Eigh-based pseudo-inverse; returns (inverse, had_nullspace)."""
+  lam, z = np.linalg.eigh(a)
+  cut = rcond * float(np.abs(lam).max())
+  null = np.abs(lam) <= cut
+  inv_l = np.where(~null, 1.0 / np.where(null, 1.0, lam), 0.0)
+  return (z * inv_l) @ z.T, bool(null.any())
+
+
+def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
+                                  dt: float, time_order: int,
+                                  coarse: str = 'auto',
+                                  max_coarse_dofs: int = 16000):
+  """Returns an SPD callable ``M(r) ~ E^{-1} r`` on nodal pressure arrays.
+
+  Args:
+    sem: the `StokesSEM` (supplies the operator for probing and dtypes).
+    premesh: the ORDER-1 premesh the sem was created from (vertex
+      connectivity drives coloring and the vertex coarse space).
+    boundary_conditions: the mapping given to ``StokesSEM.create``
+      (detects do-nothing outflow => E nonsingular, no projection).
+    coarse: ``'p1dg'`` | ``'vertex'`` | ``'auto'`` (p1dg when its
+      dimension fits ``max_coarse_dofs``, else vertex).
+    max_coarse_dofs: cap on the dense coarse inverse.
+
+  The result has ``.has_nullspace`` (True for enclosed/periodic flow:
+  pair with the nullspace projection, as for the other preconditioners).
+  """
+  if premesh.order != 1:
+    raise ValueError(f'expected the order-1 premesh, got {premesh.order}')
+  if premesh.is_partitioned():
+    raise NotImplementedError('partitioned Schwarz setup')
+
+  pmesh = sem.pressure.pspace.mesh
+  d = premesh.ndim
+  m = pmesh.order + 1
+  mloc = m ** d
+  num_e = premesh.num_elements
+  npn = pmesh.num_nodes
+  dtype = sem.velocity_mass_diag.dtype
+  rdtype = np.float32 if dtype == jnp.float32 else np.float64
+
+  uid = _vertex_unique_ids(premesh)
+  el_uid = uid[premesh.elements]             # (E, 2^d)
+  nv = int(uid.max()) + 1
+  adj = _element_adjacency(el_uid)
+  elements = np.asarray(pmesh.elements)      # (E, m^d)
+
+  matvec_batch = _matvec64(sem, dt, time_order)
+
+  # -- local: exact element-diagonal blocks ----------------------------------
+  colors = _greedy_coloring(adj)
+  blocks = _probe_element_blocks(matvec_batch, elements, colors, npn)
+  binv = np.linalg.inv(blocks)
+  binv = 0.5 * (binv + np.swapaxes(binv, 1, 2))  # exact symmetry per block
+
+  # -- coarse ----------------------------------------------------------------
+  if coarse == 'auto':
+    coarse = 'p1dg' if (2 ** d) * num_e <= max_coarse_dofs else 'vertex'
+  has_nullspace = not _has_outflow(premesh, boundary_conditions, uid)
+
+  if coarse == 'p1dg':
+    lo = Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)
+    jc1 = np.asarray(interpolation_matrix_1d(lo, pmesh.gridpoints_1d))
+    stencil = jc1
+    for _ in range(d - 1):
+      stencil = np.kron(stencil, jc1)        # (m^d, 2^d)
+    colors2 = _distance2_coloring(adj)
+    a_c = _probe_galerkin_coarse(matvec_batch, elements, adj, colors2,
+                                 stencil, npn)
+    a_c = 0.5 * (a_c + a_c.T)
+    if has_nullspace:
+      inv_c, _ = _pinv_psd(a_c)
+    else:
+      inv_c = np.linalg.inv(a_c)
+    coarse_rows = None                       # per-element contiguous dofs
+  elif coarse == 'vertex':
+    if nv > max_coarse_dofs:
+      raise ValueError(
+          f'vertex coarse space has {nv} > max_coarse_dofs={max_coarse_dofs}')
+    from swirlfem_tpu.nse.solver import bdfk_coeffs
+    beta_k = float(bdfk_coeffs(time_order)[-1])
+    corner_grid = Nodes1D.create(2, NodeType.NEWTON_COTES)
+    j1 = np.asarray(interpolation_matrix_1d(corner_grid,
+                                            pmesh.gridpoints_1d))
+    stencil = j1
+    for _ in range(d - 1):
+      stencil = np.kron(stencil, j1)         # (m^d, 2^d)
+    s_el = _coarse_element_stiffness(premesh)
+    a_c = np.zeros((nv, nv))
+    np.add.at(a_c, (el_uid[:, :, None], el_uid[:, None, :]), s_el)
+    # E ~ (dt/beta_k) * Laplacian: the FEM coarse operator needs the scale
+    # the Galerkin one inherits automatically.
+    if has_nullspace:
+      inv_c, _ = _pinv_psd(a_c)
+    else:
+      boundary = _boundary_vertices(premesh.elements, uid, d)
+      dirichlet_vertices = set()
+      for name, bc in (boundary_conditions or {}).items():
+        bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
+        if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
+          dirichlet_vertices.update(
+              uid[np.unique(
+                  premesh.physical_groups[name].reshape(-1))].tolist())
+      outflow = np.asarray(
+          sorted(set(boundary.tolist()) - dirichlet_vertices))
+      diag_ref = float(np.mean(np.diag(a_c))) or 1.0
+      a_c[outflow, :] = 0.0
+      a_c[:, outflow] = 0.0
+      a_c[outflow, outflow] = diag_ref
+      inv_c = np.linalg.inv(a_c)
+    inv_c = (beta_k / dt) * inv_c
+    coarse_rows = jnp.asarray(el_uid)
+  else:
+    raise ValueError(f'unknown coarse space {coarse!r}')
+
+  # -- device constants ------------------------------------------------------
+  hp = lax.Precision.HIGHEST
+  binv_dev = jnp.asarray(np.ascontiguousarray(binv, dtype=rdtype))
+  inv_c_dev = jnp.asarray(np.ascontiguousarray(inv_c, dtype=rdtype))
+  stencil_dev = jnp.asarray(np.ascontiguousarray(stencil, dtype=rdtype))
+  elements_dev = jnp.asarray(elements)
+  el_is_iota = bool(
+      np.array_equal(elements.reshape(-1), np.arange(npn)))
+
+  def solve(r):
+    if el_is_iota:
+      r_el = r.reshape(num_e, mloc)
+    else:
+      r_el = r[elements_dev]
+    t = jnp.einsum('eij,ej->ei', binv_dev, r_el.astype(binv_dev.dtype),
+                   precision=hp)
+    rc_el = jnp.einsum('nc,en->ec', stencil_dev,
+                       r_el.astype(stencil_dev.dtype), precision=hp)
+    if coarse_rows is None:
+      rc = rc_el.reshape(-1)
+    else:
+      rc = jnp.zeros(nv, dtype=rc_el.dtype).at[coarse_rows].add(rc_el)
+    yc = jnp.matmul(inv_c_dev, rc, precision=hp)
+    if coarse_rows is None:
+      yc_el = yc.reshape(num_e, -1)
+    else:
+      yc_el = yc[coarse_rows]
+    cy = jnp.einsum('nc,ec->en', stencil_dev, yc_el, precision=hp)
+    y = (t + cy).astype(r.dtype)
+    if el_is_iota:
+      return y.reshape(-1)
+    return pmesh.scatter(y)
+
+  solve.has_nullspace = has_nullspace
+  solve.coarse = coarse
+  return solve

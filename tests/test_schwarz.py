@@ -1,0 +1,146 @@
+"""Tests for the two-level Schwarz pressure preconditioner (ops.schwarz).
+
+Strategy mirrors the reference's operator-identity ladder
+(``swirl_fem/navier_stokes/navier_stokes_test.py``): structural properties
+(SPD, nullspace flag) first, then solver-level impact (CG iteration counts
+vs the unpreconditioned baseline and solution agreement with an exact
+solve).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from swirlfem_tpu.core.bc import BCType
+from swirlfem_tpu.linalg.cg import cg
+from swirlfem_tpu.nse.solver import StokesSEM
+from swirlfem_tpu.utils.box import unit_cube_mesh
+from swirlfem_tpu.utils.cylinder import cylinder_channel_premesh
+from swirlfem_tpu.utils.cylinder import make_cylinder_snap
+
+DT = 1e-3
+TIME_ORDER = 2
+
+
+def _cavity_sem(n=6, order=5):
+  premesh = unit_cube_mesh(n, ndim=2)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  sem = StokesSEM.create(premesh, boundary_conditions=bcs, order=order)
+  return sem, premesh, bcs
+
+
+def _cylinder_sem(order=5):
+  premesh = cylinder_channel_premesh(ns=6, nr=4, nx_down=10)
+  bcs = {
+      'cylinder': (BCType.DIRICHLET, 0.0),
+      'walls': (BCType.DIRICHLET, 0.0),
+      'inflow': (BCType.DIRICHLET, 0.0),
+  }
+  snap = make_cylinder_snap(premesh, radius=0.05, center=(0.2, 0.2))
+  sem = StokesSEM.create(premesh, boundary_conditions=bcs, order=order,
+                         coord_transform=snap)
+  return sem, premesh, bcs
+
+
+def _project(sem, r):
+  ones = jnp.ones_like(r)
+  return r - (jnp.vdot(ones, r) / jnp.vdot(ones, ones)) * ones
+
+
+def _pressure_iters(sem, matvec, rhs, M, tol=1e-8):
+  x, info = cg(matvec, rhs, M=M, tol=tol, maxiter=4000)
+  return x, int(info['num_iterations'])
+
+
+class TestSchwarzStructure:
+
+  def test_spd_enclosed(self):
+    sem, premesh, bcs = _cavity_sem()
+    from swirlfem_tpu.ops.schwarz import build_schwarz_pressure_solver
+    M = build_schwarz_pressure_solver(sem, premesh, bcs, DT, TIME_ORDER)
+    assert M.has_nullspace  # enclosed flow: E singular
+    npn = sem.pressure.pspace.mesh.num_nodes
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(npn))
+    y = jnp.asarray(rng.standard_normal(npn))
+    sym_err = abs(float(jnp.vdot(x, M(y)) - jnp.vdot(M(x), y)))
+    scale = float(jnp.vdot(x, M(x)))
+    assert sym_err < 1e-10 * abs(scale)
+    assert scale > 0
+    assert float(jnp.vdot(y, M(y))) > 0
+
+  def test_outflow_detection(self):
+    sem, premesh, bcs = _cylinder_sem(order=4)
+    from swirlfem_tpu.ops.schwarz import build_schwarz_pressure_solver
+    M = build_schwarz_pressure_solver(sem, premesh, bcs, DT, TIME_ORDER)
+    # Do-nothing outflow present: E nonsingular, no nullspace.
+    assert not M.has_nullspace
+
+
+class TestSchwarzSolves:
+
+  def test_cavity_iteration_reduction(self):
+    sem, premesh, bcs = _cavity_sem(n=8, order=6)
+    M = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER)
+    npn = sem.pressure.pspace.mesh.num_nodes
+    rng = np.random.default_rng(1)
+    rhs = _project(sem, jnp.asarray(rng.standard_normal(npn)))
+    matvec = lambda p: sem.E(p, dt=DT, time_order=TIME_ORDER)
+
+    x_plain, iters_plain = _pressure_iters(
+        sem, matvec, rhs, M=lambda r: _project(sem, r))
+    x_schwarz, iters_schwarz = _pressure_iters(sem, matvec, rhs, M=M)
+    # Both converge to the same solution (up to the constant mode).
+    da = _project(sem, x_plain - x_schwarz)
+    assert float(jnp.abs(da).max() / jnp.abs(x_plain).max()) < 1e-5
+    assert iters_schwarz < iters_plain / 2, (iters_schwarz, iters_plain)
+    assert iters_schwarz < 60, iters_schwarz
+
+  @pytest.mark.parametrize('coarse', ['p1dg', 'vertex'])
+  def test_cylinder_iteration_reduction(self, coarse):
+    sem, premesh, bcs = _cylinder_sem(order=5)
+    M = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
+                                            coarse=coarse)
+    npn = sem.pressure.pspace.mesh.num_nodes
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.standard_normal(npn))
+    matvec = lambda p: sem.E(p, dt=DT, time_order=TIME_ORDER)
+
+    x_plain, iters_plain = _pressure_iters(sem, matvec, rhs, M=None,
+                                           tol=1e-7)
+    x_schwarz, iters_schwarz = _pressure_iters(sem, matvec, rhs, M=M,
+                                               tol=1e-7)
+    rel = float(jnp.abs(x_plain - x_schwarz).max() / jnp.abs(x_plain).max())
+    assert rel < 1e-4, rel
+    # Measured: plain ~1250; p1dg coarse ~48, vertex coarse ~85.
+    bound = 80 if coarse == 'p1dg' else 140
+    assert iters_schwarz < bound, (iters_schwarz, iters_plain)
+    assert iters_schwarz < iters_plain / 8, (iters_schwarz, iters_plain)
+
+  def test_cylinder_step_matches_dense(self):
+    """A full NSE step with Schwarz-PCG matches the dense-inverse step."""
+    sem, premesh, bcs = _cylinder_sem(order=4)
+    nv = sem.velocity.mesh.num_nodes
+    npn = sem.pressure.pspace.mesh.num_nodes
+    rng = np.random.default_rng(3)
+    mask = np.asarray(sem.velocity.interior_mask)
+    u0 = jnp.asarray(rng.standard_normal((nv, 2)) * 1e-2 * mask)
+    p0 = jnp.zeros(npn)
+    dense = sem.dense_pressure_preconditioner(DT, TIME_ORDER)
+    schwarz = sem.schwarz_pressure_preconditioner(premesh, bcs, DT,
+                                                 TIME_ORDER)
+    kwargs = dict(mu=1e-3, dt=DT, time_order=TIME_ORDER, tol=1e-10,
+                  project_out_nullspace=False)
+    u_a, p_a, _ = sem.stokes_one_step(
+        [u0, u0], [p0, p0], jnp.zeros_like(u0),
+        pressure_preconditioner=dense, **kwargs)
+    u_b, p_b, aux = sem.stokes_one_step(
+        [u0, u0], [p0, p0], jnp.zeros_like(u0),
+        pressure_preconditioner=schwarz, **kwargs)
+    assert float(jnp.abs(u_a - u_b).max() / jnp.abs(u_a).max()) < 1e-6
+    assert float(jnp.abs(p_a - p_b).max() / jnp.abs(p_a).max()) < 1e-5
+
+
+if __name__ == '__main__':
+  pytest.main([__file__, '-v'])
