@@ -174,6 +174,58 @@ def _sharded_fdm_pressure_solve(rhs_el, z0r, z1r, inv_lam_loc, axis_name):
   return out.astype(rhs_el.dtype)
 
 
+def _sharded_fdm_pressure_solve_3d(rhs_el, z0r, z1r, z2r, inv_lam_loc,
+                                   axis_name):
+  """3D sibling of `_sharded_fdm_pressure_solve`.
+
+  ``rhs_el``: (m, m, m, n0_loc, n, n); ``z0r/z1r/z2r``: per-axis el-row
+  transforms (m, n, K); ``inv_lam_loc``: this device's K2-chunk of the
+  scaled inverted eigenvalue grid, (K0, K1, K2/P).  The slab decomposition
+  generalizes directly: transform the two resident axis pairs, one tiled
+  all_to_all swaps the sharded element axis for the K2 frequency axis,
+  transform axis 0, apply the diagonal, and unwind.
+  """
+  hp = lax.Precision.HIGHEST
+  z0, z1, z2 = (jnp.asarray(z) for z in (z0r, z1r, z2r))
+  nloc, full = rhs_el.shape[3], z0.shape[1]
+  t = jnp.einsum('cfM,abcDef->abDeM', z2, rhs_el, precision=hp)
+  t = jnp.einsum('beL,abDeM->aDLM', z1, t, precision=hp)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=3, concat_axis=1,
+                       tiled=True)                   # (m, n, K1, K2/P)
+  h = jnp.einsum('aDK,aDLM->KLM', z0, t, precision=hp)
+  h = h * jnp.asarray(inv_lam_loc)
+  t = jnp.einsum('aDK,KLM->aDLM', z0, h, precision=hp)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=3,
+                       tiled=True)                   # (m, n0_loc, K1, K2)
+  t = jnp.einsum('beL,aDLM->abDeM', z1, t, precision=hp)
+  out = jnp.einsum('cfM,abDeM->abcDef', z2, t, precision=hp)
+  return out.astype(rhs_el.dtype)
+
+
+def _sharded_fdm_viscous_solve_3d(r_el, z0r, z1r, z2r, lam_loc, beta_k, mu,
+                                  dt, axis_name):
+  """3D sibling of `_sharded_fdm_viscous_solve` (one velocity component)."""
+  hp = lax.Precision.HIGHEST
+  z0, z1, z2 = (jnp.asarray(z) for z in (z0r, z1r, z2r))
+  nloc, full = r_el.shape[3], z0.shape[1]
+  t = jnp.einsum('cfM,abcDef->abDeM', z2, r_el, precision=hp)
+  t = jnp.einsum('beL,abDeM->aDLM', z1, t, precision=hp)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=3, concat_axis=1,
+                       tiled=True)
+  h = jnp.einsum('aDK,aDLM->KLM', z0, t, precision=hp)
+  h = h / (beta_k / dt + mu * jnp.asarray(lam_loc))
+  t = jnp.einsum('aDK,KLM->aDLM', z0, h, precision=hp)
+  if nloc != full:
+    t = lax.all_to_all(t, axis_name, split_axis=1, concat_axis=3,
+                       tiled=True)
+  t = jnp.einsum('beL,aDLM->abDeM', z1, t, precision=hp)
+  out = jnp.einsum('cfM,abDeM->abcDef', z2, t, precision=hp)
+  return out.astype(r_el.dtype)
+
+
 def _sharded_fdm_viscous_solve(r_el, z0r, z1r, lam_loc, beta_k, mu, dt,
                                axis_name):
   """Applies the FDM H^{-1} to one slab-sharded el velocity component.
@@ -238,19 +290,36 @@ def _step_impl(ops, us_el, ps_el, f_el, precond_arrays, *, axis_name, mod,
       return w - (dot(ones, w) / dot(ones, ones)) * ones
 
   elif precond_kind == 'fdm':
-    z0p, z1p, inv_lam, z0v, z1v, lamv = precond_arrays
     from swirlfem_tpu.nse.solver import bdfk_coeffs
     beta_k = float(bdfk_coeffs(time_order)[-1])
+    if d == 2:
+      z0p, z1p, inv_lam, z0v, z1v, lamv = precond_arrays
+
+      def psolve(p_el):
+        return _sharded_fdm_pressure_solve(p_el, z0p, z1p, inv_lam,
+                                           axis_name)
+
+      def vsolve(r):
+        return _sharded_fdm_viscous_solve(r, z0v, z1v, lamv, beta_k, mu,
+                                          dt, axis_name)
+    else:
+      z0p, z1p, z2p, inv_lam, z0v, z1v, z2v, lamv = precond_arrays
+
+      def psolve(p_el):
+        return _sharded_fdm_pressure_solve_3d(p_el, z0p, z1p, z2p, inv_lam,
+                                              axis_name)
+
+      def vsolve(r):
+        return _sharded_fdm_viscous_solve_3d(r, z0v, z1v, z2v, lamv,
+                                             beta_k, mu, dt, axis_name)
 
     def precond(p_el):
-      w = _sharded_fdm_pressure_solve(p_el, z0p, z1p, inv_lam, axis_name)
+      w = psolve(p_el)
       ones = jnp.ones_like(w)
       return w - (dot(ones, w) / dot(ones, ones)) * ones
 
     def viscous(rt):
-      return tuple(
-          _sharded_fdm_viscous_solve(r, z0v, z1v, lamv, beta_k, mu, dt,
-                                     axis_name) for r in rt)
+      return tuple(vsolve(r) for r in rt)
 
   return nse_solver.stokes_step_el(
       mod, ops, us_el, ps_el, f_el, mu=mu, dt=dt, time_order=time_order,
@@ -363,10 +432,11 @@ class DistributedStokesBox:
     nodal forcing to assemble it).
 
     `preconditioner`: 'fdm' (exact separable inverses for BOTH solves,
-    sharded with one all_to_all transpose each way — preferred, and
-    required for `exact_solves`), 'fft' (block-circulant pressure inverse
-    only), or None (plain projected CG).  `exact_solves` skips the CG
-    certification as in the single-chip el path.
+    2D and 3D, sharded with one all_to_all transpose each way —
+    preferred, and required for `exact_solves`), 'fft' (block-circulant
+    pressure inverse, 2D only), or None (plain projected CG).
+    `exact_solves` skips the CG certification as in the single-chip el
+    path.
     """
     if use_fft_preconditioner is not None:  # legacy knob
       preconditioner = 'fft' if use_fft_preconditioner else None
@@ -374,11 +444,12 @@ class DistributedStokesBox:
     precond_specs = None
     scale = None
     kind = None
-    if preconditioner == 'fdm' and self.d == 2:
+    if preconditioner == 'fdm' and self.d in (2, 3):
       from swirlfem_tpu.ops.fdm_pressure import helmholtz_eig_el
       from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
       from swirlfem_tpu.ops.fdm_pressure import pressure_eig_el
       if is_uniform_box(self.sem):
+        d = self.d
         info = self.sem.fast_ops.vinfo
         pinfo = self.sem.fast_ops.pinfo
         n = info.num_elements_per_dim
@@ -388,17 +459,17 @@ class DistributedStokesBox:
         zels, lam_sum, _ = helmholtz_eig_el(self.sem, time_order)
         # el-row orders: pressure (i, e) i-major -> (m, n, K); velocity
         # (e, l) e-major -> transpose to (k, n, K).
-        z0p = zs[0].reshape(m, n, -1)
-        z1p = zs[1].reshape(m, n, -1)
-        z0v = zels[0].reshape(n, k, -1).transpose(1, 0, 2)
-        z1v = zels[1].reshape(n, k, -1).transpose(1, 0, 2)
+        zps = [z.reshape(m, n, -1) for z in zs]
+        zvs = [z.reshape(n, k, -1).transpose(1, 0, 2) for z in zels]
         rep = P(None, None, None)
-        shard1 = P(None, self.axis_name)
+        # Eigenvalue grids sharded along the LAST frequency axis — the
+        # one resident after the all_to_all transpose in the solves.
+        shard_last = P(*((None,) * (d - 1) + (self.axis_name,)))
+        precond_arrays = tuple(zps) + (inv_lam,) + tuple(zvs) + (lam_sum,)
+        precond_specs = ((rep,) * d + (shard_last,)) * 2
         precond_arrays = jax.device_put(
-            (z0p, z1p, inv_lam, z0v, z1v, lam_sum),
-            tuple(NamedSharding(self.mesh, s)
-                  for s in (rep, rep, shard1, rep, rep, shard1)))
-        precond_specs = (rep, rep, shard1, rep, rep, shard1)
+            precond_arrays,
+            tuple(NamedSharding(self.mesh, s) for s in precond_specs))
         kind = 'fdm'
     elif preconditioner == 'fft' and self.d == 2:
       from swirlfem_tpu.ops.fft_pressure import assemble_pressure_symbol

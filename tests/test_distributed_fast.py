@@ -109,7 +109,8 @@ def _setup_step_case(n=8, order=4, ndim=2):
 
 @pytest.mark.parametrize('ndim,precond,exact', [
     (2, None, False), (2, 'fft', False), (2, 'fdm', False),
-    (2, 'fdm', True), (3, None, False)])
+    (2, 'fdm', True), (3, None, False), (3, 'fdm', False),
+    (3, 'fdm', True)])
 def test_sharded_step_matches_single_device(dmesh, ndim, precond, exact):
   n = 8 if ndim == 2 else 4
   order = 4 if ndim == 2 else 3
