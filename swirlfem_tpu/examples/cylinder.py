@@ -128,13 +128,25 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
                       tol: float = 1e-5, probe: int | None = None,
                       perturb: float = 1e-2, log_every: int | None = None,
                       kick_amplitude: float = 0.3,
-                      kick_steps: int = 12000):
+                      kick_steps: int = 12000,
+                      compute_forces: bool = False,
+                      pressure_preconditioner=None):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
-  cross-stream velocity.  A transient cross-stream kick force seeds the
-  Karman mode.  States are per-component nodal tuples; designed for f32
-  single-chip runs (~6 ms/step at the order-5 reference mesh).
+  cross-stream velocity — or, with ``compute_forces=True``,
+  ``(u, p, trace, forces)`` where `forces` is the per-step ``(steps, 2)``
+  consistent-flux reaction force on the cylinder (Schaefer-Turek
+  coefficients: ``C = 2 F / (rho Ubar^2 D)`` with ``Ubar = 1``,
+  ``D = 0.1``), computed inside the scan from the unmasked momentum
+  residual at the wall rows (see `reaction_force`).  A transient
+  cross-stream kick force seeds the Karman mode.  States are
+  per-component nodal tuples; designed for f32 single-chip runs (~6
+  ms/step at the order-5 reference mesh).
+
+  ``pressure_preconditioner``: override the default dense Schur inverse
+  (e.g. ``sem.schwarz_pressure_preconditioner(...)`` for meshes beyond
+  the dense range).
 
   CFL WARNING (hard-won): the extrapolated-convection BDF scheme needs
   ``u_max * dt / dx_min <~ 0.7``.  Above it the instability does NOT
@@ -174,8 +186,17 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
 
   us = tuple(u0 for _ in range(time_order))
   ps = tuple(jnp.zeros(npn, dtype=dtype) for _ in range(time_order))
-  cus = tuple(sem.C(u + u_boundary) for u in us)
-  precond = sem.dense_pressure_preconditioner(dt, time_order)
+  # Convection covectors are stored UNMASKED: the step's forcing masks the
+  # Dirichlet rows, while the reaction force needs exactly those rows.
+  vel = sem.velocity
+
+  def raw_convection(u):
+    return vel.scatter(vel.C_local(vel.gather(u)))
+
+  cus = tuple(raw_convection(u + u_boundary) for u in us)
+  precond = pressure_preconditioner
+  if precond is None:
+    precond = sem.dense_pressure_preconditioner(dt, time_order)
 
   # Transient asymmetric kick: on fine meshes the initial perturbation
   # decays during the impulsive-start transient before the wake
@@ -189,35 +210,48 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   f_kick = sem.B(jnp.asarray(
       np.stack([np.zeros_like(kick), kick], axis=-1), dtype=dtype))
 
+  imask = sem.velocity.interior_mask
+
   @jax.jit
   def chunk(step0, us, ps, cus):
     def body(carry, k):
       us, ps, cus = carry
       cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
-      f = -cu + jnp.where(step0 + k < kick_steps, 1.0, 0.0) * f_kick
+      f = -imask * cu + jnp.where(step0 + k < kick_steps, 1.0, 0.0) * f_kick
       u, p, _ = sem.stokes_one_step(
           list(us), list(ps), f, mu=mu, dt=dt, time_order=time_order,
           u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
           pressure_preconditioner=precond, project_out_nullspace=False)
       carry = (us[1:] + (u - u_boundary,), ps[1:] + (p,),
-               cus[1:] + (sem.C(u),))
-      return carry, u[probe, 1]
+               cus[1:] + (raw_convection(u),))
+      out = u[probe, 1]
+      if compute_forces:
+        full = [w + u_boundary for w in us] + [u]
+        out = (out, reaction_force(sem, full, p, 0.0, mu=mu, dt=dt,
+                                   convection=cu))
+      return carry, out
     return jax.lax.scan(body, (us, ps, cus),
                         jnp.arange(steps_per_dispatch))
 
   import time as _time
-  trace = []
+  trace, forces = [], []
   carry = (us, ps, cus)
   t0 = _time.time()
   for i in range(num_steps // steps_per_dispatch):
     carry, tr = chunk(jnp.int32(i * steps_per_dispatch), *carry)
+    if compute_forces:
+      tr, fr = tr
+      forces.append(np.asarray(fr))
     trace.append(np.asarray(tr))
     if log_every and (i + 1) % log_every == 0:
       done = (i + 1) * steps_per_dispatch
       print(f'step {done}: probe={trace[-1][-1]:+.4f} '
             f'({(_time.time() - t0) / done * 1e3:.1f} ms/step)', flush=True)
   us, ps, _ = carry
-  return us[-1] + u_boundary, ps[-1], np.concatenate(trace)
+  out = (us[-1] + u_boundary, ps[-1], np.concatenate(trace))
+  if compute_forces:
+    out = out + (np.concatenate(forces),)
+  return out
 
 
 def reaction_force(sem: StokesSEM, us, p, f=0.0, *, mu: float, dt: float,

@@ -174,3 +174,18 @@ def test_reaction_force_cylinder_drag_positive():
   force = np.asarray(force)
   assert np.all(np.isfinite(force))
   assert force[0] > 0.0, force  # drag pushes the cylinder downstream
+
+
+def test_scan_force_trace():
+  """run_cylinder_scan(compute_forces=True) yields finite per-step forces
+  with positive drag once the inflow is established."""
+  from swirlfem_tpu.examples.cylinder import run_cylinder_scan
+
+  sem = make_cylinder_sem(order=3, ns=4, nr=3, nx_down=10)
+  u, p, trace, forces = run_cylinder_scan(
+      sem, dt=5e-4, num_steps=20, steps_per_dispatch=10,
+      compute_forces=True, kick_steps=5)
+  assert trace.shape == (20,)
+  assert forces.shape == (20, 2)
+  assert np.isfinite(forces).all()
+  assert forces[-1, 0] > 0.0, forces[-1]  # drag points downstream
