@@ -246,6 +246,7 @@ class StokesSEM:
              axis_name: str | None = None,
              device_mesh=None,
              use_pallas_kernels: bool = False,
+             unstructured_el_ops: bool = False,
              coord_transform=None) -> 'StokesSEM':
     if premesh.order != 1:
       raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
@@ -291,15 +292,23 @@ class StokesSEM:
           quad_coords=velocity.vspace.quad_coords))
 
     fast_ops = None
-    if (not premesh.is_partitioned()
-        and velocity.mesh.structured is not None
-        and pressure.pspace.mesh.structured is not None
-        and premesh.ndim in (2, 3)):
-      if premesh.ndim == 2:
+    if not premesh.is_partitioned() and premesh.ndim in (2, 3):
+      structured = (velocity.mesh.structured is not None
+                    and pressure.pspace.mesh.structured is not None)
+      if premesh.ndim == 2 and (structured or unstructured_el_ops):
+        # The E-last element operators are geometry-agnostic: on
+        # structured boxes they pair with index-free layout transforms,
+        # on unstructured meshes with gather/scatter transforms.
+        # Unstructured is OPT-IN: measured on the 228-element cylinder
+        # mesh (TPU v5e) the el path loses 5x to the generic operators —
+        # at benchmark mesh sizes the step is kernel-launch-bound and the
+        # extra per-apply layout transforms dominate; the generic path's
+        # fused (E, Q, d, k) einsums win despite their lane padding.
         from swirlfem_tpu.ops.sem2d import build_sem2d_ops
-        fast_ops = build_sem2d_ops(velocity, pressure,
-                                   use_pallas=use_pallas_kernels)
-      else:
+        fast_ops = build_sem2d_ops(
+            velocity, pressure,
+            use_pallas=use_pallas_kernels and structured)
+      elif premesh.ndim == 3 and structured:
         from swirlfem_tpu.ops.sem3d import build_sem3d_ops
         fast_ops = build_sem3d_ops(velocity, pressure)
     return cls(velocity=velocity, pressure=pressure,
@@ -378,43 +387,74 @@ class StokesSEM:
   @property
   def _elops(self):
     """The dimension-matched element-operator module (sem2d / sem3d)."""
-    if self.fast_ops.vinfo.ndim == 3:
+    if self.velocity.mesh.ndim == 3:
       from swirlfem_tpu.ops import sem3d
       return sem3d
     from swirlfem_tpu.ops import sem2d
     return sem2d
 
+  @property
+  def _structured_fast(self) -> bool:
+    """Structured fast path: index-free transforms + roll exchange."""
+    return self.fast_ops is not None and self.fast_ops.vinfo is not None
+
+  # Layout transforms between flat nodal arrays and E-last element-local
+  # ``(q, .., q, E)`` blocks.  Structured boxes use the index-free
+  # reshapes; unstructured meshes go through the mesh gather/scatter
+  # tables.  `*_cov` transposes sum covector copies (direct-stiffness).
+
+  def _v_el(self, u):
+    if self._structured_fast:
+      return self._elops.nodal_to_el(u, self.fast_ops.vinfo)
+    mesh = self.velocity.vspace.mesh
+    q = mesh.order + 1
+    return jnp.moveaxis(mesh.gather(u), 0, -1).reshape(
+        (q,) * mesh.ndim + (mesh.num_elements,))
+
+  def _v_el_cov(self, w):
+    if self._structured_fast:
+      return self._elops.el_to_nodal(w, self.fast_ops.vinfo)
+    mesh = self.velocity.vspace.mesh
+    return mesh.scatter(
+        jnp.moveaxis(w.reshape(-1, mesh.num_elements), -1, 0))
+
+  def _p_el(self, p):
+    if self._structured_fast:
+      return self._elops.nodal_to_el(p, self.fast_ops.pinfo)
+    mesh = self.pressure.pspace.mesh
+    q = mesh.order + 1
+    return jnp.moveaxis(mesh.gather(p), 0, -1).reshape(
+        (q,) * mesh.ndim + (mesh.num_elements,))
+
+  def _p_el_cov(self, w):
+    if self._structured_fast:
+      return self._elops.el_to_nodal(w, self.fast_ops.pinfo)
+    mesh = self.pressure.pspace.mesh
+    return mesh.scatter(
+        jnp.moveaxis(w.reshape(-1, mesh.num_elements), -1, 0))
+
   def _fast_stiffness(self, ut):
-    mod = self._elops
-    ops, vinfo = self.fast_ops, self.fast_ops.vinfo
+    ops = self.fast_ops
     return tuple(
-        mod.el_to_nodal(ops.stiffness_el(mod.nodal_to_el(u, vinfo)),
-                        vinfo) for u in ut)
+        self._v_el_cov(ops.stiffness_el(self._v_el(u))) for u in ut)
 
   def _fast_D(self, ut):
-    mod = self._elops
-    ops = self.fast_ops
-    comps = [mod.nodal_to_el(u, ops.vinfo) for u in ut]
-    return mod.el_to_nodal(ops.divergence_el(*comps), ops.pinfo)
+    comps = [self._v_el(u) for u in ut]
+    return self._p_el_cov(self.fast_ops.divergence_el(*comps))
 
   def _fast_Dt(self, p):
-    mod = self._elops
-    ops = self.fast_ops
     mask = jnp.squeeze(self.velocity.interior_mask, -1)
-    outs = ops.gradient_el(mod.nodal_to_el(p, ops.pinfo))
-    return tuple(mask * mod.el_to_nodal(o, ops.vinfo) for o in outs)
+    outs = self.fast_ops.gradient_el(self._p_el(p))
+    return tuple(mask * self._v_el_cov(o) for o in outs)
 
   def _fast_C(self, ut):
-    mod = self._elops
-    ops = self.fast_ops
-    comps = [mod.nodal_to_el(u, ops.vinfo) for u in ut]
-    outs = ops.convection_el(*comps)
-    return tuple(mod.el_to_nodal(o, ops.vinfo) for o in outs)
+    comps = [self._v_el(u) for u in ut]
+    outs = self.fast_ops.convection_el(*comps)
+    return tuple(self._v_el_cov(o) for o in outs)
 
   def _fast_filter(self, ut, alpha):
     from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
-    mod = self._elops
-    ops, vinfo = self.fast_ops, self.fast_ops.vinfo
+    ops = self.fast_ops
     grid = self.velocity.mesh.gridpoints_1d
     low = Nodes1D.create(grid.num_points - 1, grid.node_type)
     blend = jnp.asarray(
@@ -424,9 +464,9 @@ class StokesSEM:
     mult = vmesh.exchange(self.velocity.diag_qqt)
     outs = []
     for u in ut:
-      el = mod.nodal_to_el(u, vinfo)
+      el = self._v_el(u)
       f = ops.interp_all(blend, el)
-      avg = vmesh.exchange(mod.el_to_nodal(f, vinfo)) / mult
+      avg = vmesh.exchange(self._v_el_cov(f)) / mult
       outs.append((1.0 - alpha) * u + alpha * avg)
     return tuple(outs)
 
@@ -536,7 +576,7 @@ class StokesSEM:
     if u_boundary is not None:
       u_boundary = tup(u_boundary)
 
-    if u_boundary is None and self._fully_periodic:
+    if u_boundary is None and self._structured_fast and self._fully_periodic:
       # Fully-periodic boxes: run CG entirely in element-local form
       # (roll-based exchange; zero layout transforms per iteration).
       _s2 = self._elops
@@ -591,9 +631,7 @@ class StokesSEM:
     # Jacobi-preconditioned continuity projector for the viscous solve:
     # M(r) = exchange(r) / diag(H) with the assembled diagonal (constant
     # across dof copies, so it commutes with QQ^T and M stays symmetric).
-    from swirlfem_tpu.ops import sem2d as _sem2d
-    diag_a = _sem2d.el_to_nodal(self.fast_ops.stiffness_diag_el(),
-                                self.fast_ops.vinfo)
+    diag_a = self._v_el_cov(self.fast_ops.stiffness_diag_el())
     diag_h = vmesh.exchange((beta_k / dt) * md + mu * diag_a)
 
     def exch_t(ut):
@@ -813,7 +851,7 @@ class StokesSEM:
     with zero nodal<->el layout conversions (measured ~0.3 ms per
     conversion on TPU; the nodal-API step pays ~8 of them per call).
     """
-    assert self.fast_ops is not None and self._fully_periodic
+    assert self._structured_fast and self._fully_periodic
     mod = self._elops
     vinfo = self.fast_ops.vinfo
     eshape = (vinfo.num_elements_per_dim,) * vinfo.ndim

@@ -92,7 +92,7 @@ def _periodic_axes(sem):
 def is_uniform_box(sem) -> bool:
   """True for an axis-aligned uniform structured box with separable BCs."""
   ops = sem.fast_ops
-  if ops is None:
+  if ops is None or ops.vinfo is None:
     return False
   d = ops.vinfo.ndim
   # All elements identical and axis-aligned: geometric factor fields must

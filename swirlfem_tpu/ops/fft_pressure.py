@@ -33,7 +33,7 @@ from swirlfem_tpu.ops import sem2d
 def is_uniform_periodic(sem) -> bool:
   """True if the fast-path mesh is a uniform fully-periodic 2D box."""
   ops = sem.fast_ops
-  if ops is None or ops.vinfo.ndim != 2:
+  if ops is None or ops.vinfo is None or ops.vinfo.ndim != 2:
     return False  # the block-FFT solver is built for 2D element grids
   # All elements identical geometry: the geometric factor fields must be
   # constant along the element axis (tolerance scaled to the working dtype:

@@ -252,17 +252,22 @@ class Sem2DOps:
 def build_sem2d_ops(velocity, pressure, use_pallas: bool = False) -> Sem2DOps:
   """Builds E-last factors from the generic spaces (host/setup time).
 
+  Works for ANY 2D mesh — the element operators only consume per-element
+  geometric factor fields.  On structured boxes ``vinfo``/``pinfo``
+  additionally enable the index-free layout transforms and the roll-based
+  el exchange; on unstructured meshes they are None and the solver pairs
+  the same operators with index-based gather/scatter transforms.
+
   Args:
-    velocity: `StokesVelocity` with a structured 2D GLL mesh (collocated
-      quadrature: vspace quad points == mesh gridpoints).
-    pressure: `StokesPressure` with the matching structured GL mesh.
+    velocity: `StokesVelocity` with a 2D GLL mesh (collocated quadrature:
+      vspace quad points == mesh gridpoints).
+    pressure: `StokesPressure` with the matching GL pressure mesh.
   """
   vspace = velocity.vspace
   vinfo = vspace.mesh.structured
   pinfo = pressure.pspace.mesh.structured
-  assert vinfo is not None and pinfo is not None and vinfo.ndim == 2
-  n = vinfo.order + 1
-  num_elems = vinfo.num_elements_per_dim ** 2
+  num_elems = vspace.num_elements
+  assert vspace.mesh.ndim == 2
 
   def to_el(arr):  # (E, Q) -> (n_q, n_q, E), lexicographic quad order
     q = int(round(np.sqrt(arr.shape[1])))

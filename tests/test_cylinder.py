@@ -189,3 +189,53 @@ def test_scan_force_trace():
   assert forces.shape == (20, 2)
   assert np.isfinite(forces).all()
   assert forces[-1, 0] > 0.0, forces[-1]  # drag points downstream
+
+
+def test_unstructured_fast_path_matches_generic_step():
+  """The E-last unstructured fast path must reproduce the generic-operator
+  step on the curved cylinder mesh to rounding."""
+  from swirlfem_tpu.core.bc import BCType
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.utils.cylinder import make_cylinder_snap
+  premesh = cylinder_channel_premesh(ns=4, nr=3, nx_down=10)
+  bcs = {'cylinder': (BCType.DIRICHLET, 0.0),
+         'walls': (BCType.DIRICHLET, 0.0),
+         'inflow': (BCType.DIRICHLET, 0.0)}
+  snap = make_cylinder_snap(premesh, radius=0.05, center=(0.2, 0.2))
+  sem = StokesSEM.create(premesh, boundary_conditions=bcs, order=4,
+                         coord_transform=snap, unstructured_el_ops=True)
+  assert sem.fast_ops is not None and sem.fast_ops.vinfo is None
+  sem_generic = sem.replace(fast_ops=None)
+  nv = sem.velocity.mesh.num_nodes
+  npn = sem.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(0)
+  mask = np.asarray(sem.velocity.interior_mask)
+  u0 = jnp.asarray(rng.standard_normal((nv, 2)) * 1e-2 * mask)
+  ub = inflow_boundary_field(sem)
+  p0 = jnp.zeros(npn)
+  kwargs = dict(mu=1e-3, dt=5e-4, time_order=2, tol=1e-12,
+                project_out_nullspace=False)
+  u_f, p_f, _ = sem.stokes_one_step([u0, u0], [p0, p0],
+                                    jnp.zeros_like(u0), u_boundary=ub,
+                                    **kwargs)
+  u_g, p_g, _ = sem_generic.stokes_one_step([u0, u0], [p0, p0],
+                                            jnp.zeros_like(u0),
+                                            u_boundary=ub, **kwargs)
+  np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_g), atol=1e-9)
+  np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_g), atol=1e-7)
+
+  # The element operators themselves agree too (A, C, D, Dt).
+  u1 = jnp.asarray(rng.standard_normal((nv, 2)))
+  p1 = jnp.asarray(rng.standard_normal(npn))
+  a_f = jnp.stack(sem._fast_stiffness(tuple(u1[:, j] for j in range(2))),
+                  axis=-1) * sem.velocity.interior_mask
+  a_g = sem_generic.A(u1)
+  np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_g), atol=1e-10)
+  np.testing.assert_allclose(np.asarray(sem.C(u1)),
+                             np.asarray(sem_generic.C(u1)), atol=1e-10)
+  d_f = sem._fast_D(tuple(u1[:, j] for j in range(2)))
+  np.testing.assert_allclose(np.asarray(d_f),
+                             np.asarray(sem_generic.D(u1)), atol=1e-10)
+  dt_f = jnp.stack(sem._fast_Dt(p1), axis=-1)
+  np.testing.assert_allclose(np.asarray(dt_f),
+                             np.asarray(sem_generic.Dt(p1)), atol=1e-10)
