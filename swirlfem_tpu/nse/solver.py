@@ -1066,6 +1066,10 @@ class StokesSEM:
       precond = self.fft_pressure_preconditioner(dt, time_order)
     if precond is None:
       precond = self.dense_pressure_preconditioner(dt, time_order)
+    # Unstructured meshes beyond the dense range: use
+    # `schwarz_pressure_preconditioner` (needs the order-1 premesh and the
+    # boundary-condition mapping, so it cannot be selected automatically
+    # here).
     return precond
 
   def filter(self, u, alpha: float = 0.05):
