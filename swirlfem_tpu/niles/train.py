@@ -480,7 +480,10 @@ def train_and_evaluate(config, workdir: str):
             p_eval_step(state, eval_batch,
                         jax.random.fold_in(eval_rng, step))))
       summary = {k: np.mean([m[k] for m in evals]) for k in evals[0]}
-      logging.info('eval at step %d: loss %.5f', step + 1, summary['loss'])
+      logging.info(
+          'eval at step %d: loss %.5f  %s', step + 1, summary['loss'],
+          {k: round(float(v), 6) for k, v in summary.items()
+           if k.startswith('mse') or k == 'tke_err'})
       writer.write_scalars(
           step + 1, {f'eval_{k}': float(v) for k, v in summary.items()})
 
