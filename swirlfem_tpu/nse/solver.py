@@ -1019,7 +1019,8 @@ class StokesSEM:
   def schwarz_pressure_preconditioner(self, premesh, boundary_conditions,
                                       dt, time_order: int,
                                       coarse: str = 'auto',
-                                      max_coarse_dofs: int = 16000):
+                                      max_coarse_dofs: int = 16000,
+                                      overlap='auto'):
     """Two-level additive Schwarz pressure preconditioner (unstructured).
 
     The scalable preconditioner for unstructured meshes beyond the dense
@@ -1037,7 +1038,7 @@ class StokesSEM:
     from swirlfem_tpu.ops.schwarz import build_schwarz_pressure_solver
     solve = build_schwarz_pressure_solver(
         self, premesh, boundary_conditions, dt, time_order,
-        coarse=coarse, max_coarse_dofs=max_coarse_dofs)
+        coarse=coarse, max_coarse_dofs=max_coarse_dofs, overlap=overlap)
     if not solve.has_nullspace:
       return solve
 

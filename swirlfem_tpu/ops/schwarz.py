@@ -36,11 +36,17 @@ Both terms are SPD by construction, so the sum plugs into plain PCG — no
 `near_exact` handling needed (unlike the exact inverses,
 ``linalg.cg.near_exact_solve``).
 
+In 2D the local solves extend one GL layer into the face neighbors by
+default (``overlap=1``): the exact *extended* blocks are assembled from
+the same probing pass (plus recorded neighbor-pair blocks) and added
+with count-weighted symmetric scaling — the full overlapping method of
+Fischer (1997).
+
 Measured on the Schaefer-Turek cylinder mesh (order 5, 228 elements, 3648
 pressure dofs, tol 1e-7): plain projected CG 1250 iterations; FDM-local +
 FEM-vertex coarse 106; exact blocks + vertex Galerkin 70; exact blocks +
-p1dg Galerkin **48** (26x).  The reference has no counterpart (its
-pressure CG is unpreconditioned,
+p1dg Galerkin 48; with overlap-1 locals **23** (54x).  The reference has
+no counterpart (its pressure CG is unpreconditioned,
 ``swirl_fem/navier_stokes/navier_stokes.py:449-452``).  Unlike the dense
 inverse, setup cost and memory scale linearly with the element count.
 """
@@ -158,10 +164,19 @@ def _matvec64(sem, dt: float, time_order: int):
 
 
 def _probe_element_blocks(matvec_batch, elements: np.ndarray,
-                          colors: np.ndarray, num_nodes: int) -> np.ndarray:
-  """Exact diagonal blocks ``E_ee`` via colored probing, float64."""
+                          colors: np.ndarray, num_nodes: int,
+                          adj: list[set[int]] | None = None):
+  """Exact diagonal blocks ``E_ee`` via colored probing, float64.
+
+  With `adj` given (requires a DISTANCE-2 coloring so neighbor readouts
+  do not collide), also returns the off-diagonal neighbor-pair blocks
+  ``pairs[(n, e)][i, j] = E[(n, i), (e, j)]`` for every vertex-adjacent
+  ordered pair — the raw material for overlapping (extended) local
+  blocks.
+  """
   num_e, mloc = elements.shape
   blocks = np.zeros((num_e, mloc, mloc))
+  pairs: dict[tuple[int, int], np.ndarray] = {}
   eye = np.eye(mloc)
   for c in range(int(colors.max()) + 1):
     sel = np.where(colors == c)[0]
@@ -169,7 +184,126 @@ def _probe_element_blocks(matvec_batch, elements: np.ndarray,
     probes[:, elements[sel]] = eye[:, None, :]
     out = matvec_batch(probes)               # (mloc, num_nodes)
     blocks[sel] = out[:, elements[sel]].transpose(1, 2, 0)
+    if adj is not None:
+      for e in sel:
+        pairs[(e, e)] = blocks[e]
+        for n in adj[e]:
+          pairs[(n, e)] = out[:, elements[n]].T
+  if adj is not None:
+    return blocks, pairs
   return blocks
+
+
+def _face_adjacency_2d(el_uid: np.ndarray):
+  """Conforming-face adjacency with orientation for 2D quad meshes.
+
+  Returns ``nbr[e][(a, s)] = (n, a_n, s_n, flip)`` for each element side
+  (axis ``a``, end ``s``): the neighbor element, the neighbor's matching
+  side, and whether the shared tangential direction is reversed.
+  Corner indices are lexicographic with axis 0 slowest, so side (0, s)
+  has corners ``(2s, 2s + 1)`` and side (1, s) corners ``(s, 2 + s)``,
+  both listed in increasing tangential order.
+  """
+  side_corners = {(0, 0): (0, 1), (0, 1): (2, 3),
+                  (1, 0): (0, 2), (1, 1): (1, 3)}
+  by_face: dict[tuple, list] = {}
+  for e in range(len(el_uid)):
+    for (a, s), (clo, chi) in side_corners.items():
+      ua, ub = int(el_uid[e, clo]), int(el_uid[e, chi])
+      by_face.setdefault(tuple(sorted((ua, ub))), []).append(
+          (e, a, s, (ua, ub)))
+  nbr = [dict() for _ in range(len(el_uid))]
+  for entries in by_face.values():
+    if len(entries) != 2:
+      continue  # boundary face (or nonconforming: unsupported)
+    (e1, a1, s1, t1), (e2, a2, s2, t2) = entries
+    flip = t1[0] != t2[0]
+    nbr[e1][(a1, s1)] = (e2, a2, s2, flip)
+    nbr[e2][(a2, s2)] = (e1, a1, s1, flip)
+  return nbr
+
+
+def _extended_index_tables(el_uid: np.ndarray, elements: np.ndarray, m: int):
+  """Overlap-1 extended dof tables for 2D quad meshes.
+
+  Extended locals per element: the ``m^2`` own GL dofs followed by the
+  four one-layer strips gathered from face neighbors (each ``m`` dofs,
+  listed in the owner's tangential order; -1 where the side is a domain
+  boundary).  Returns ``(ext_nodes, ext_owner, ext_local)`` each shaped
+  ``(E, m^2 + 4m)``: global pressure dof id, owner element (or -1), and
+  the dof's local index within its owner.
+  """
+  num_e = len(elements)
+  nbr = _face_adjacency_2d(el_uid)
+  next_loc = m * m + 4 * m
+  ext_nodes = -np.ones((num_e, next_loc), dtype=np.int64)
+  ext_owner = -np.ones((num_e, next_loc), dtype=np.int64)
+  ext_local = np.zeros((num_e, next_loc), dtype=np.int64)
+  own = np.arange(m * m)
+  for e in range(num_e):
+    ext_nodes[e, :m * m] = elements[e]
+    ext_owner[e, :m * m] = e
+    ext_local[e, :m * m] = own
+    for side_idx, (a, s) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+      if (a, s) not in nbr[e]:
+        continue
+      n, a_n, s_n, flip = nbr[e][(a, s)]
+      # Neighbor's GL layer adjacent to the shared face: local indices
+      # with axis a_n pinned at its near end, tangential running free.
+      pin = (m - 1) if s_n == 1 else 0
+      t = np.arange(m)
+      if a_n == 0:
+        layer = pin * m + t          # i0 = pin, i1 = t
+      else:
+        layer = t * m + pin          # i0 = t, i1 = pin
+      if flip:
+        layer = layer[::-1]
+      sl = slice(m * m + side_idx * m, m * m + (side_idx + 1) * m)
+      ext_nodes[e, sl] = elements[n][layer]
+      ext_owner[e, sl] = n
+      ext_local[e, sl] = layer
+  return ext_nodes, ext_owner, ext_local
+
+
+def _extended_blocks(pairs, adj, ext_owner: np.ndarray,
+                     ext_local: np.ndarray) -> np.ndarray:
+  """Exact extended blocks ``E[ext(e), ext(e)]`` from the pair blocks.
+
+  Entries between dofs owned by non-adjacent elements are structurally
+  zero (E couples only vertex-sharing elements).  Missing (boundary)
+  slots get an identity row/column so the batched inverse is harmless;
+  their rhs is zero-padded so they contribute nothing.
+  """
+  num_e, next_loc = ext_owner.shape
+  out = np.zeros((num_e, next_loc, next_loc))
+  for e in range(num_e):
+    owners = ext_owner[e]
+    locs = ext_local[e]
+    groups: dict[int, np.ndarray] = {}
+    for p, o in enumerate(owners):
+      groups.setdefault(int(o), []).append(p)
+    for op_, ps in groups.items():
+      if op_ < 0:
+        continue
+      ps = np.asarray(ps)
+      for oq, qs in groups.items():
+        if oq < 0:
+          continue
+        qs_arr = np.asarray(qs)
+        if op_ == oq:
+          blk = pairs[(op_, oq)]
+        elif oq in adj[op_]:
+          blk = pairs.get((op_, oq))
+          if blk is None:
+            continue
+        else:
+          continue
+        out[e][np.ix_(ps, qs_arr)] = blk[np.ix_(locs[ps], locs[qs_arr])]
+    dead = np.where(owners < 0)[0]
+    out[e, dead, :] = 0.0
+    out[e, :, dead] = 0.0
+    out[e, dead, dead] = 1.0
+  return out
 
 
 def _probe_galerkin_coarse(matvec_batch, elements: np.ndarray,
@@ -248,7 +382,8 @@ def _pinv_psd(a: np.ndarray, rcond: float = 1e-10) -> tuple[np.ndarray, bool]:
 def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
                                   dt: float, time_order: int,
                                   coarse: str = 'auto',
-                                  max_coarse_dofs: int = 16000):
+                                  max_coarse_dofs: int = 16000,
+                                  overlap='auto'):
   """Returns an SPD callable ``M(r) ~ E^{-1} r`` on nodal pressure arrays.
 
   Args:
@@ -260,6 +395,12 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
     coarse: ``'p1dg'`` | ``'vertex'`` | ``'auto'`` (p1dg when its
       dimension fits ``max_coarse_dofs``, else vertex).
     max_coarse_dofs: cap on the dense coarse inverse.
+    overlap: 0 = element-diagonal blocks; 1 = true overlapping Schwarz
+      — each local domain extends one GL layer into its face neighbors,
+      with the exact extended blocks assembled from the probing pass and
+      count-weighted symmetric addition (measured 48 -> 23 iterations on
+      the cylinder mesh, Fischer's classical ~2x).  'auto' = 1 in 2D,
+      0 in 3D (the 3D extended-index bookkeeping is not implemented).
 
   The result has ``.has_nullspace`` (True for enclosed/periodic flow:
   pair with the nullspace projection, as for the other preconditioners).
@@ -286,9 +427,29 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
 
   matvec_batch = _matvec64(sem, dt, time_order)
 
-  # -- local: exact element-diagonal blocks ----------------------------------
-  colors = _greedy_coloring(adj)
-  blocks = _probe_element_blocks(matvec_batch, elements, colors, npn)
+  # -- local: exact (extended) element blocks --------------------------------
+  if overlap == 'auto':
+    overlap = 1 if d == 2 else 0
+  ext_nodes = None
+  if overlap:
+    if d != 2 or overlap != 1:
+      raise NotImplementedError('overlap=1 is supported in 2D only')
+    colors2_local = _distance2_coloring(adj)
+    _, pairs = _probe_element_blocks(matvec_batch, elements, colors2_local,
+                                     npn, adj=adj)
+    ext_nodes, ext_owner, ext_local = _extended_index_tables(
+        el_uid, elements, m)
+    blocks = _extended_blocks(pairs, adj, ext_owner, ext_local)
+    # Count-weighted symmetric addition: W = 1/sqrt(#domains per dof),
+    # applied on both sides of each local inverse (keeps M SPD while
+    # normalizing the ~3x interface over-counting of plain addition).
+    count = np.zeros(npn)
+    np.add.at(count, ext_nodes[ext_nodes >= 0], 1.0)
+    w = 1.0 / np.sqrt(np.maximum(count, 1.0))
+    w_ext = np.where(ext_nodes >= 0, w[np.clip(ext_nodes, 0, None)], 0.0)
+  else:
+    colors = _greedy_coloring(adj)
+    blocks = _probe_element_blocks(matvec_batch, elements, colors, npn)
   binv = np.linalg.inv(blocks)
   binv = 0.5 * (binv + np.swapaxes(binv, 1, 2))  # exact symmetry per block
 
@@ -360,14 +521,11 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
   elements_dev = jnp.asarray(elements)
   el_is_iota = bool(
       np.array_equal(elements.reshape(-1), np.arange(npn)))
+  if overlap:
+    ext_idx_dev = jnp.asarray(np.clip(ext_nodes, 0, None))
+    w_ext_dev = jnp.asarray(np.ascontiguousarray(w_ext, dtype=rdtype))
 
-  def solve(r):
-    if el_is_iota:
-      r_el = r.reshape(num_e, mloc)
-    else:
-      r_el = r[elements_dev]
-    t = jnp.einsum('eij,ej->ei', binv_dev, r_el.astype(binv_dev.dtype),
-                   precision=hp)
+  def _coarse_apply(r_el):
     rc_el = jnp.einsum('nc,en->ec', stencil_dev,
                        r_el.astype(stencil_dev.dtype), precision=hp)
     if coarse_rows is None:
@@ -379,7 +537,28 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
       yc_el = yc.reshape(num_e, -1)
     else:
       yc_el = yc[coarse_rows]
-    cy = jnp.einsum('nc,ec->en', stencil_dev, yc_el, precision=hp)
+    return jnp.einsum('nc,ec->en', stencil_dev, yc_el, precision=hp)
+
+  def solve(r):
+    if el_is_iota:
+      r_el = r.reshape(num_e, mloc)
+    else:
+      r_el = r[elements_dev]
+    cy = _coarse_apply(r_el)
+    if overlap:
+      # Overlapping locals: gather extended (own + neighbor-layer) rhs,
+      # weighted batched block solve, weighted scatter-add back.
+      r_ext = r[ext_idx_dev].astype(binv_dev.dtype) * w_ext_dev
+      y_ext = jnp.einsum('epq,eq->ep', binv_dev, r_ext,
+                         precision=hp) * w_ext_dev
+      y_loc = jnp.zeros(npn, dtype=y_ext.dtype).at[ext_idx_dev].add(y_ext)
+      if el_is_iota:
+        yc_nodal = cy.reshape(-1)
+      else:
+        yc_nodal = pmesh.scatter(cy)
+      return (y_loc + yc_nodal).astype(r.dtype)
+    t = jnp.einsum('eij,ej->ei', binv_dev, r_el.astype(binv_dev.dtype),
+                   precision=hp)
     y = (t + cy).astype(r.dtype)
     if el_is_iota:
       return y.reshape(-1)

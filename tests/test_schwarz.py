@@ -97,11 +97,15 @@ class TestSchwarzSolves:
     assert iters_schwarz < iters_plain / 2, (iters_schwarz, iters_plain)
     assert iters_schwarz < 60, iters_schwarz
 
-  @pytest.mark.parametrize('coarse', ['p1dg', 'vertex'])
-  def test_cylinder_iteration_reduction(self, coarse):
+  @pytest.mark.parametrize('coarse,overlap,bound', [
+      ('p1dg', 0, 80),       # measured ~48 (plain CG: ~1250)
+      ('p1dg', 'auto', 40),  # overlap-1 locals, measured ~23
+      ('vertex', 'auto', 90),
+  ])
+  def test_cylinder_iteration_reduction(self, coarse, overlap, bound):
     sem, premesh, bcs = _cylinder_sem(order=5)
     M = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
-                                            coarse=coarse)
+                                            coarse=coarse, overlap=overlap)
     npn = sem.pressure.pspace.mesh.num_nodes
     rng = np.random.default_rng(2)
     rhs = jnp.asarray(rng.standard_normal(npn))
@@ -113,8 +117,6 @@ class TestSchwarzSolves:
                                                tol=1e-7)
     rel = float(jnp.abs(x_plain - x_schwarz).max() / jnp.abs(x_plain).max())
     assert rel < 1e-4, rel
-    # Measured: plain ~1250; p1dg coarse ~48, vertex coarse ~85.
-    bound = 80 if coarse == 'p1dg' else 140
     assert iters_schwarz < bound, (iters_schwarz, iters_plain)
     assert iters_schwarz < iters_plain / 8, (iters_schwarz, iters_plain)
 
