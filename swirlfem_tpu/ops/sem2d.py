@@ -178,6 +178,10 @@ class Sem2DOps:
   def stiffness_el(self, u: jax.Array) -> jax.Array:
     """A_local on one component, (n, n, E) -> (n, n, E)."""
     if self.use_pallas:
+      # The row-unrolled kernel.  `stiffness_el_pallas_kron` measures ~11%
+      # faster standalone (7.2 vs 6.5 GDOF/s single-stream) but blows up
+      # XLA compile time when traced inside the NSE-step scan, so it stays
+      # opt-in.
       from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas
       return stiffness_el_pallas(u, self.g11, self.g12, self.g22, self.dmat)
     d = self._m(self.dmat)

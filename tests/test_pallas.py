@@ -55,3 +55,23 @@ def test_exchange2d_pallas_interpret():
   got = exchange2d_pallas(w, interpret=True)
   np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                              atol=1e-6)
+
+
+def test_kron_kernel_matches_einsum_interpret():
+  """The kron-matmul Pallas variant reproduces the einsum operator."""
+  import numpy as np
+  import jax.numpy as jnp
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+  from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_kron
+
+  sem = StokesSEM.create(unit_cube_mesh(8, ndim=2, periodic_dims=(0, 1)),
+                         boundary_conditions={}, order=8)
+  ops = sem.fast_ops
+  rng = np.random.default_rng(0)
+  u = jnp.asarray(rng.standard_normal((9, 9, 64)))
+  ref = ops.stiffness_el(u)
+  got = stiffness_el_pallas_kron(u, ops.g11, ops.g12, ops.g22, ops.dmat,
+                                 interpret=True)
+  err = float(jnp.abs(ref - got).max() / jnp.abs(ref).max())
+  assert err < 1e-12, err
