@@ -130,7 +130,8 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
                       kick_amplitude: float = 0.3,
                       kick_steps: int = 12000,
                       compute_forces: bool = False,
-                      pressure_preconditioner=None):
+                      pressure_preconditioner=None,
+                      use_assembled_viscous: bool = False):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
@@ -210,6 +211,16 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   f_kick = sem.B(jnp.asarray(
       np.stack([np.zeros_like(kick), kick], axis=-1), dtype=dtype))
 
+  if use_assembled_viscous:
+    # Assembled element-block H apply inside the viscous CG
+    # (ops.assembled): equal to rounding, fewer kernel launches — but the
+    # O(n^{2d}) block FLOPs lose to the sum-factorized chain at both
+    # benchmark meshes (measured: 37.0 vs 32.6 ms/step at 912 el order 6;
+    # also slower at 228 el order 5), so it stays opt-in.
+    viscous_matvec = sem.assembled_viscous_matvec(mu, dt, time_order)
+  else:
+    viscous_matvec = None
+
   imask = sem.velocity.interior_mask
 
   @jax.jit
@@ -221,7 +232,8 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
       u, p, _ = sem.stokes_one_step(
           list(us), list(ps), f, mu=mu, dt=dt, time_order=time_order,
           u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
-          pressure_preconditioner=precond, project_out_nullspace=False)
+          pressure_preconditioner=precond, viscous_matvec=viscous_matvec,
+          project_out_nullspace=False)
       carry = (us[1:] + (u - u_boundary,), ps[1:] + (p,),
                cus[1:] + (raw_convection(u),))
       out = u[probe, 1]

@@ -239,6 +239,10 @@ class StokesSEM:
   axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
   # E-last fast operator core (structured 2D/3D boxes; see ops.sem2d/sem3d).
   fast_ops: Any | None = None
+  # Assembled mixed-divergence blocks (unstructured meshes; ops.assembled):
+  # D/Dt/E become single batched block matmuls instead of ~15-kernel
+  # matrix-free chains (TPU steps at these sizes are kernel-count bound).
+  assembled_ops: Any | None = None
 
   @classmethod
   def create(cls, premesh: Premesh, boundary_conditions, order: int,
@@ -247,6 +251,7 @@ class StokesSEM:
              device_mesh=None,
              use_pallas_kernels: bool = False,
              unstructured_el_ops: bool = False,
+             use_assembled_ops: bool | str = 'auto',
              coord_transform=None) -> 'StokesSEM':
     if premesh.order != 1:
       raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
@@ -311,9 +316,26 @@ class StokesSEM:
       elif premesh.ndim == 3 and structured:
         from swirlfem_tpu.ops.sem3d import build_sem3d_ops
         fast_ops = build_sem3d_ops(velocity, pressure)
-    return cls(velocity=velocity, pressure=pressure,
-               velocity_mass_diag=velocity_mass_diag, axis_name=axis_name,
-               fast_ops=fast_ops)
+    sem = cls(velocity=velocity, pressure=pressure,
+              velocity_mass_diag=velocity_mass_diag, axis_name=axis_name,
+              fast_ops=fast_ops)
+    if use_assembled_ops == 'auto':
+      # Unstructured meshes (no structured fast path) below a block-memory
+      # cap; structured boxes already run the el-form/FDM path.
+      pmesh_f = sem.pressure.pspace.mesh
+      vmesh_f = sem.velocity.vspace.mesh
+      entries = (premesh.num_elements * pmesh_f.num_nodes_per_element
+                 * vmesh_f.num_nodes_per_element * premesh.ndim)
+      use_assembled_ops = (fast_ops is None
+                           and not premesh.is_partitioned()
+                           and entries <= 16_000_000)
+    if use_assembled_ops:
+      if premesh.is_partitioned() or fast_ops is not None:
+        raise ValueError('use_assembled_ops requires an unpartitioned mesh '
+                         'without the structured fast path')
+      from swirlfem_tpu.ops.assembled import build_assembled_mixed
+      sem = sem.replace(assembled_ops=build_assembled_mixed(sem))
+    return sem
 
   # -- distributed-aware inner product --------------------------------------
 
@@ -366,10 +388,17 @@ class StokesSEM:
 
   def D(self, u):
     """Divergence: velocity -> pressure."""
+    if self.assembled_ops is not None:
+      return self.assembled_ops.D(self.velocity.vspace.mesh,
+                                  self.pressure.pspace.mesh, u)
     return self.pressure.scatter(self.D_local(self.velocity.gather(u)))
 
   def Dt(self, p):
     """Gradient (transpose of D): pressure -> velocity, row-masked."""
+    if self.assembled_ops is not None:
+      return self.assembled_ops.Dt(self.velocity.vspace.mesh,
+                                   self.pressure.pspace.mesh,
+                                   self.velocity.interior_mask, p)
     return self.velocity.interior_mask * self.velocity.scatter(
         self.Dt_local(self.pressure.gather(p)))
 
@@ -663,6 +692,7 @@ class StokesSEM:
       # Enclosed/periodic flow: E is singular with a constant nullspace;
       # project the rhs onto range(E).  With outflow E is nonsingular and
       # projecting would corrupt dp by the mean mass-flux imbalance.
+      matvec = getattr(pressure_preconditioner, 'fast_matvec', None) or matvec
       if project_out_nullspace:
         ones = jnp.ones_like(rhs)
         rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
@@ -695,6 +725,7 @@ class StokesSEM:
       u_boundary: jax.Array | None = None,
       pressure_preconditioner=None,
       viscous_preconditioner=None,
+      viscous_matvec=None,
       project_out_nullspace: bool = True,
       tol: float = 1e-8, atol: float = 0.0,
       maxiter: int | None = None,
@@ -710,6 +741,11 @@ class StokesSEM:
 
     Nonlinear convection enters through `f` (extrapolated advection), as in
     the reference datagen/training paths.
+
+    ``viscous_matvec``: optional replacement for the H apply *inside* the
+    viscous CG only (e.g. ``assembled_viscous_matvec``, one batched block
+    matmul instead of the sum-factorized kernel chain); must equal H to
+    rounding.  Generic (non-fast-ops) path only.
     """
     if self.fast_ops is not None:
       return self._stokes_one_step_fast(
@@ -749,6 +785,8 @@ class StokesSEM:
     diag_h = self._viscous_jacobi_diag(mu, dt, time_order)
 
     def vsolve(matvec, rhs):
+      if viscous_matvec is not None:
+        matvec = viscous_matvec
       rhs = self.velocity.interior_mask * rhs
       x0 = None
       if viscous_preconditioner is not None:
@@ -769,6 +807,10 @@ class StokesSEM:
     # component) for the same reason as above; done with the plain
     # mean-removal projector regardless of the preconditioner in use.
     def psolve(matvec, rhs):
+      # Preconditioners built from probing/assembly carry the assembled
+      # block-sparse E apply (ops.assembled): equal to rounding, ~15x
+      # fewer kernel launches than the matrix-free chain.
+      matvec = getattr(pressure_preconditioner, 'fast_matvec', None) or matvec
       if project_out_nullspace:
         ones = jnp.ones_like(rhs)
         rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
@@ -988,6 +1030,17 @@ class StokesSEM:
     solve = build_fdm_helmholtz_solver(self, time_order)
     return lambda r: solve(r, mu, dt)
 
+  def assembled_viscous_matvec(self, mu, dt, time_order: int):
+    """Assembled element-block H apply for the viscous CG (unstructured).
+
+    One ``(E, n^d, n^d)`` batched matmul between a gather and a scatter,
+    equal to the generic ``mask ((beta_k/dt) B + mu A)`` to rounding but
+    with ~4x fewer kernel launches per CG iteration — see ops.assembled.
+    Pass as ``stokes_one_step(viscous_matvec=...)``.
+    """
+    from swirlfem_tpu.ops.assembled import build_helmholtz_matvec
+    return build_helmholtz_matvec(self, mu, dt, time_order)
+
   def dense_pressure_preconditioner(self, dt, time_order: int,
                                     max_dofs: int = 20000):
     """Exact dense Schur inverse for small (unstructured) meshes.
@@ -1014,6 +1067,7 @@ class StokesSEM:
 
     precondition.has_nullspace = True
     precondition.near_exact = True
+    precondition.fast_matvec = solve.fast_matvec
     return precondition
 
   def schwarz_pressure_preconditioner(self, premesh, boundary_conditions,
@@ -1048,6 +1102,7 @@ class StokesSEM:
       return w - (self.dot(ones, w) / self.dot(ones, ones)) * ones
 
     precondition.has_nullspace = True
+    precondition.fast_matvec = solve.fast_matvec
     return precondition
 
   def best_pressure_preconditioner(self, dt, time_order: int):

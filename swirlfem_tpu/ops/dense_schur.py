@@ -75,4 +75,15 @@ def build_dense_pressure_solver(sem, dt: float, time_order: int,
                       precision=lax.Precision.HIGHEST).astype(r.dtype)
 
   solve.has_nullspace = has_nullspace
+
+  # The assembled E itself, as one dense matvec: replaces the ~15-kernel
+  # matrix-free apply wherever only the operator's *action* is needed
+  # (the true-residual recomputation in `linalg.cg.near_exact_solve`).
+  e_dev = np.ascontiguousarray(e_mat, dtype=rdtype)
+
+  def fast_matvec(p):
+    return jnp.matmul(jnp.asarray(e_dev), p.astype(rdtype),
+                      precision=lax.Precision.HIGHEST).astype(p.dtype)
+
+  solve.fast_matvec = fast_matvec
   return solve

@@ -428,15 +428,19 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
   matvec_batch = _matvec64(sem, dt, time_order)
 
   # -- local: exact (extended) element blocks --------------------------------
+  # Probing always runs with a distance-2 coloring and neighbor readout:
+  # the recorded pair blocks feed both the overlap-1 extended locals and
+  # the assembled block-sparse E matvec (ops.assembled) that replaces the
+  # ~15-kernel matrix-free apply inside the pressure CG.
   if overlap == 'auto':
     overlap = 1 if d == 2 else 0
   ext_nodes = None
+  colors2_local = _distance2_coloring(adj)
+  diag_blocks, pairs = _probe_element_blocks(matvec_batch, elements,
+                                             colors2_local, npn, adj=adj)
   if overlap:
     if d != 2 or overlap != 1:
       raise NotImplementedError('overlap=1 is supported in 2D only')
-    colors2_local = _distance2_coloring(adj)
-    _, pairs = _probe_element_blocks(matvec_batch, elements, colors2_local,
-                                     npn, adj=adj)
     ext_nodes, ext_owner, ext_local = _extended_index_tables(
         el_uid, elements, m)
     blocks = _extended_blocks(pairs, adj, ext_owner, ext_local)
@@ -448,8 +452,7 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
     w = 1.0 / np.sqrt(np.maximum(count, 1.0))
     w_ext = np.where(ext_nodes >= 0, w[np.clip(ext_nodes, 0, None)], 0.0)
   else:
-    colors = _greedy_coloring(adj)
-    blocks = _probe_element_blocks(matvec_batch, elements, colors, npn)
+    blocks = diag_blocks
   binv = np.linalg.inv(blocks)
   binv = 0.5 * (binv + np.swapaxes(binv, 1, 2))  # exact symmetry per block
 
@@ -566,4 +569,10 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
 
   solve.has_nullspace = has_nullspace
   solve.coarse = coarse
+  # Assembled block-sparse E from the same probing pass: the CG matvec
+  # becomes one gather + one batched matmul (see ops.assembled docstring;
+  # measured 3.05 -> ~0.2 ms per apply on the 912-element cylinder mesh).
+  from swirlfem_tpu.ops.assembled import build_block_schur_matvec
+  solve.fast_matvec = build_block_schur_matvec(
+      pairs, adj, elements, npn, pmesh, rdtype)
   return solve
