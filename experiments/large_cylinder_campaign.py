@@ -1,0 +1,84 @@
+"""Schaefer-Turek 2D-2 validation at scale: 912-element order-6 mesh.
+
+The large curved mesh (22.8k pressure dofs — beyond the dense-Schur cap)
+with the overlap-1 two-level Schwarz preconditioner and the assembled
+block-sparse E matvec: ~33 ms/step on the TPU v5 lite chip, which makes a
+full shedding campaign (~150k steps at the CFL-limited dt) a ~90 minute
+run.  Prints St / Cd_max / Cl range vs the benchmark intervals
+(St 0.295-0.305, Cd_max 3.22-3.24, Cl_max 0.99-1.01).
+
+Run:  python experiments/large_cylinder_campaign.py [--num_steps 150000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from swirlfem_tpu.core.bc import BCType
+from swirlfem_tpu.examples import cylinder as cyl
+from swirlfem_tpu.nse.solver import StokesSEM
+from swirlfem_tpu.utils.cylinder import cylinder_channel_premesh
+from swirlfem_tpu.utils.cylinder import make_cylinder_snap
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--order', type=int, default=6)
+  ap.add_argument('--num_steps', type=int, default=150000)
+  ap.add_argument('--tol', type=float, default=1e-5)
+  ap.add_argument('--out', default='/tmp/large_cylinder_forces.npz')
+  args = ap.parse_args()
+
+  t0 = time.time()
+  premesh = cylinder_channel_premesh(ns=12, nr=8, nx_up=2, nx_down=28,
+                                     ny_low=2, ny_high=2)
+  bcs = {
+      'cylinder': (BCType.DIRICHLET, 0.0),
+      'walls': (BCType.DIRICHLET, 0.0),
+      'inflow': (BCType.DIRICHLET, 0.0),
+  }
+  snap = make_cylinder_snap(premesh, radius=cyl.RADIUS, center=cyl.CENTER)
+  with jax.default_device(jax.local_devices(backend='cpu')[0]):
+    sem_cpu = StokesSEM.create(premesh, boundary_conditions=bcs,
+                               order=args.order, coord_transform=snap)
+  sem = jax.device_put(sem_cpu, jax.devices()[0])
+  from swirlfem_tpu.niles.datagen import min_node_spacing
+  dx = min_node_spacing(sem.velocity.mesh)
+  dt = float(0.65 * dx / 2.2)
+  print(f'mesh: {premesh.num_elements} el, order {args.order}, '
+        f'{sem.pressure.pspace.mesh.num_nodes} pressure dofs; dt {dt:.2e} '
+        f'({time.time() - t0:.0f} s setup)', flush=True)
+
+  t0 = time.time()
+  precond = sem.schwarz_pressure_preconditioner(premesh, bcs, dt, 2)
+  print(f'schwarz setup {time.time() - t0:.0f} s', flush=True)
+
+  t0 = time.time()
+  u, p, trace, forces = cyl.run_cylinder_scan(
+      sem, reynolds=100.0, dt=dt, num_steps=args.num_steps,
+      steps_per_dispatch=1000, tol=args.tol, compute_forces=True,
+      pressure_preconditioner=precond, kick_steps=30000,
+      log_every=10)
+  wall = time.time() - t0
+  np.savez(args.out, trace=trace, forces=forces, dt=dt)
+  print(f'{args.num_steps} steps in {wall:.0f} s '
+        f'({wall / args.num_steps * 1e3:.2f} ms/step)', flush=True)
+
+  # Steady-state window: the last 40% of the run.
+  tail = slice(int(0.6 * args.num_steps), None)
+  coeffs = 2.0 * forces / (1.0 * 1.0 ** 2 * 2 * cyl.RADIUS)
+  cd, cl = coeffs[tail, 0], coeffs[tail, 1]
+  st = cyl.strouhal_number(trace, dt)
+  print(f'St = {st:.4f}  (benchmark 0.295-0.305)')
+  print(f'Cd_max = {cd.max():.4f}  (benchmark 3.22-3.24)')
+  print(f'Cl in [{cl.min():+.4f}, {cl.max():+.4f}]  (Cl_max 0.99-1.01)')
+
+
+if __name__ == '__main__':
+  main()

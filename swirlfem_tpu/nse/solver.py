@@ -48,6 +48,7 @@ from swirlfem_tpu.core.quadrature import Quadrature1D
 from swirlfem_tpu.core.refine import refine_premesh
 from swirlfem_tpu.core.premesh import Premesh
 from swirlfem_tpu.core.tensor import BarycentricInterpolator
+from swirlfem_tpu.core import topology
 from swirlfem_tpu.linalg.cg import cg
 from swirlfem_tpu.linalg.cg import near_exact_solve
 
@@ -90,7 +91,7 @@ def _pressure_project_out_nullspace(sem: 'StokesSEM', p: jax.Array):
   convergence.)
   """
   w = sem.pressure.exchange(p)
-  q = jnp.ones_like(p)
+  q = sem._pressure_ones(p)
   return w - (sem.dot(q, w) / sem.dot(q, q)) * q
 
 
@@ -347,6 +348,16 @@ class StokesSEM:
       d = lax.psum(d, axis_name=self.axis_name)
     return d
 
+  def _pressure_ones(self, like):
+    """Valid-pressure-dof indicator (the constant-nullspace direction).
+
+    Equals ones on unpartitioned meshes; on partitioned meshes the
+    SENTINEL-padded slots of smaller partitions are zeroed so nullspace
+    projections neither count them nor write into them.
+    """
+    valid = self.pressure.pspace.mesh.node_indices != topology.SENTINEL
+    return valid.astype(like.dtype).reshape(jnp.shape(like))
+
   # -- operators -------------------------------------------------------------
 
   def B(self, u):
@@ -354,8 +365,14 @@ class StokesSEM:
     return self.velocity.interior_mask * self.velocity_mass_diag * u
 
   def Bi(self, u):
-    """Lumped inverse velocity mass: 1/exchange(diag) after exchange."""
-    diag = 1.0 / self.velocity.exchange(self.velocity_mass_diag)
+    """Lumped inverse velocity mass: 1/exchange(diag) after exchange.
+
+    The assembled diagonal is zero at SENTINEL-padded slots of unevenly
+    partitioned meshes; guard the reciprocal so no NaN (0 * inf) leaks
+    into CG dot products.
+    """
+    d = self.velocity.exchange(self.velocity_mass_diag)
+    diag = jnp.where(d > 0, 1.0 / jnp.where(d > 0, d, 1.0), 0.0)
     return diag * self.velocity.exchange(u)
 
   def A(self, u):
@@ -812,7 +829,10 @@ class StokesSEM:
       # fewer kernel launches than the matrix-free chain.
       matvec = getattr(pressure_preconditioner, 'fast_matvec', None) or matvec
       if project_out_nullspace:
-        ones = jnp.ones_like(rhs)
+        # Valid-dof indicator, not ones: on unevenly partitioned meshes
+        # SENTINEL-padded slots would otherwise receive a -mean offset the
+        # CG can never reduce (E maps them to zero).
+        ones = self._pressure_ones(rhs)
         rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
       if getattr(pressure_preconditioner, 'near_exact', False):
         return near_exact_solve(matvec, rhs, pressure_preconditioner,
@@ -1013,7 +1033,10 @@ class StokesSEM:
     beta_k = float(bdfk_coeffs(time_order)[-1])
     diag = ((beta_k / dt) * self.velocity_mass_diag[..., 0]
             + mu * self.velocity.mesh.scatter(diag_a_local))
-    return self.velocity.vspace.mesh.exchange(diag)
+    diag = self.velocity.vspace.mesh.exchange(diag)
+    # Padded (SENTINEL) slots of unevenly partitioned meshes assemble to
+    # zero; 1 there keeps M(r) = exchange(r)/diag NaN-free (r is 0 there).
+    return jnp.where(diag > 0, diag, 1.0)
 
   def fdm_viscous_preconditioner(self, mu, dt, time_order: int):
     """Exact FDM inverse of the viscous Helmholtz operator, uniform boxes.
@@ -1148,7 +1171,9 @@ class StokesSEM:
     # which poison the pressure solve.)
     total = self.velocity.exchange(self.velocity.scatter(filtered))
     mult = self.velocity.vspace.mesh.exchange(self.velocity.diag_qqt)
-    averaged = total / mult[:, None]
+    # Multiplicity is 0 at SENTINEL-padded slots (uneven partitions); 0/0
+    # NaNs there would poison the following step's dot products.
+    averaged = total / jnp.where(mult > 0, mult, 1.0)[:, None]
     return (1.0 - alpha) * u + alpha * averaged
 
   def vorticity(self, u):
