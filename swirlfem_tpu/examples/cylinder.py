@@ -131,7 +131,8 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
                       kick_steps: int = 12000,
                       compute_forces: bool = False,
                       pressure_preconditioner=None,
-                      use_assembled_viscous: bool = False):
+                      use_assembled_viscous: bool = False,
+                      use_projection: bool = True):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
@@ -222,32 +223,37 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
     viscous_matvec = None
 
   imask = sem.velocity.interior_mask
+  # Fischer successive-rhs projection (linalg.projection): warm-start both
+  # solves from the span of previous increments; in steady shedding cuts
+  # the viscous CG to ~1-2 iterations.
+  proj0 = sem.initial_projection_state() if use_projection else None
 
   @jax.jit
-  def chunk(step0, us, ps, cus):
+  def chunk(step0, us, ps, cus, proj):
     def body(carry, k):
-      us, ps, cus = carry
+      us, ps, cus, proj = carry
       cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
       f = -imask * cu + jnp.where(step0 + k < kick_steps, 1.0, 0.0) * f_kick
-      u, p, _ = sem.stokes_one_step(
+      u, p, aux = sem.stokes_one_step(
           list(us), list(ps), f, mu=mu, dt=dt, time_order=time_order,
           u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
           pressure_preconditioner=precond, viscous_matvec=viscous_matvec,
-          project_out_nullspace=False)
+          project_out_nullspace=False, projection_state=proj)
       carry = (us[1:] + (u - u_boundary,), ps[1:] + (p,),
-               cus[1:] + (raw_convection(u),))
+               cus[1:] + (raw_convection(u),),
+               aux.get('projection_state', proj))
       out = u[probe, 1]
       if compute_forces:
         full = [w + u_boundary for w in us] + [u]
         out = (out, reaction_force(sem, full, p, 0.0, mu=mu, dt=dt,
                                    convection=cu))
       return carry, out
-    return jax.lax.scan(body, (us, ps, cus),
+    return jax.lax.scan(body, (us, ps, cus, proj),
                         jnp.arange(steps_per_dispatch))
 
   import time as _time
   trace, forces = [], []
-  carry = (us, ps, cus)
+  carry = (us, ps, cus, proj0)
   t0 = _time.time()
   for i in range(num_steps // steps_per_dispatch):
     carry, tr = chunk(jnp.int32(i * steps_per_dispatch), *carry)
@@ -259,7 +265,7 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
       done = (i + 1) * steps_per_dispatch
       print(f'step {done}: probe={trace[-1][-1]:+.4f} '
             f'({(_time.time() - t0) / done * 1e3:.1f} ms/step)', flush=True)
-  us, ps, _ = carry
+  us, ps = carry[0], carry[1]
   out = (us[-1] + u_boundary, ps[-1], np.concatenate(trace))
   if compute_forces:
     out = out + (np.concatenate(forces),)

@@ -80,6 +80,18 @@ def bdfk_coeffs(k: int) -> np.ndarray:
   return interpolation_grad_matrix_1d(grid, target).reshape(-1) * h
 
 
+@flax.struct.dataclass
+class StokesProjection:
+  """Solve-history pair for `stokes_one_step(projection_state=...)`.
+
+  Thread through the time-loop carry: pass in, read the updated value from
+  ``aux['projection_state']``.  See `linalg.projection`.
+  """
+
+  viscous: Any
+  pressure: Any
+
+
 def _pressure_project_out_nullspace(sem: 'StokesSEM', p: jax.Array):
   """Removes the constant (all-ones) nullspace component from p.
 
@@ -347,6 +359,28 @@ class StokesSEM:
     if self.axis_name is not None:
       d = lax.psum(d, axis_name=self.axis_name)
     return d
+
+  def initial_projection_state(self, k_viscous: int = 4,
+                               k_pressure: int = 8) -> StokesProjection:
+    """Empty Fischer solve-history for ``stokes_one_step``.
+
+    K sizes trade memory (``2 K`` state-sized vectors per solve) against
+    guess quality; BDF time stepping saturates around 4-8 entries.
+    """
+    from swirlfem_tpu.linalg.projection import ProjectionState
+    nv = self.velocity.mesh.num_nodes
+    npn = self.pressure.pspace.mesh.num_nodes
+    d = self.velocity.mesh.ndim
+    dtype = self.velocity_mass_diag.dtype
+    state = StokesProjection(
+        viscous=ProjectionState.create(jnp.zeros((nv, d), dtype), k_viscous),
+        pressure=ProjectionState.create(jnp.zeros(npn, dtype), k_pressure))
+    if self.axis_name is not None:
+      # Stacked per-partition histories, ready to pass through spmd_map.
+      num_p = self.velocity.mesh.node_coords.shape[0]
+      state = jax.tree.map(
+          lambda x: jnp.tile(x, (num_p,) + (1,) * x.ndim), state)
+    return state
 
   def _pressure_ones(self, like):
     """Valid-pressure-dof indicator (the constant-nullspace direction).
@@ -746,6 +780,7 @@ class StokesSEM:
       project_out_nullspace: bool = True,
       tol: float = 1e-8, atol: float = 0.0,
       maxiter: int | None = None,
+      projection_state=None,
   ) -> tuple[jax.Array, jax.Array, Any]:
     """Advances the (linear) Stokes system by one BDF-k step.
 
@@ -763,8 +798,21 @@ class StokesSEM:
     viscous CG only (e.g. ``assembled_viscous_matvec``, one batched block
     matmul instead of the sum-factorized kernel chain); must equal H to
     rounding.  Generic (non-fast-ops) path only.
+
+    ``projection_state``: optional `StokesProjection` (see
+    ``initial_projection_state``) enabling Fischer successive-rhs
+    projection: both solves start from the A-optimal guess in the span of
+    previous solution increments, solved as the shifted system
+    ``x = x0 + A^{-1}(b - A x0)`` so converged results (and gradients via
+    ``custom_linear_solve``) are unchanged.  The updated state is returned
+    in ``aux['projection_state']`` — thread it through the time loop
+    carry.  Generic path only.
     """
     if self.fast_ops is not None:
+      if projection_state is not None:
+        raise NotImplementedError(
+            'projection_state is for the generic path; the structured fast '
+            'path uses exact FDM solves')
       return self._stokes_one_step_fast(
           us, ps, f, mu, dt, time_order, alpha, u_boundary,
           pressure_preconditioner, project_out_nullspace, tol, atol, maxiter,
@@ -811,10 +859,37 @@ class StokesSEM:
                         for j in range(rhs.shape[-1])], axis=-1)
       return cg(matvec, rhs, x0=x0,
                 M=lambda r: self.velocity.exchange(r) / diag_h[:, None],
-                tol=tol, atol=atol, dot_fn=self.dot, maxiter=maxiter)
+                tol=tol, atol=atol_v, dot_fn=self.dot, maxiter=maxiter)
+
+    # Fischer successive-rhs projection: x = x0 + H^{-1}(b - H x0) with the
+    # A-optimal x0 from the solve history.  H x0 comes free from the stored
+    # operator images; x0 is stop_gradient'ed (it only changes the CG path,
+    # not its limit, so gradients via custom_linear_solve stay exact).
+    atol_v = atol
+    if projection_state is not None:
+      from swirlfem_tpu.linalg.projection import project_guess
+      from swirlfem_tpu.linalg.projection import update_history
+      b_v = self.velocity.interior_mask * f
+      x0v, ax0v = project_guess(projection_state.viscous, b_v, self.dot)
+      x0v = lax.stop_gradient(x0v)
+      f = f - lax.stop_gradient(ax0v)
+      # Anchor the stopping test to the ORIGINAL rhs: CG's relative test on
+      # the shifted system would otherwise keep iterating to tol * ||b -
+      # H x0|| — same iteration count, no payoff from the guess.  The
+      # relative term stays as a floor so the transpose (gradient) solves,
+      # whose rhs scale is unrelated, remain safe.
+      mb = self.velocity.exchange(b_v) / diag_h[:, None]
+      sv = lax.stop_gradient(self.dot(b_v, mb))
+      atol_v = jnp.sqrt(jnp.maximum(tol * tol * sv, atol * atol))
 
     u_star, u_info = lax.custom_linear_solve(
         H, f, solve=vsolve, symmetric=True, has_aux=True)
+    if projection_state is not None:
+      u_star = u_star + x0v
+      new_viscous = update_history(
+          projection_state.viscous, lax.stop_gradient(u_star), x0v,
+          viscous_matvec if viscous_matvec is not None else H, self.dot,
+          ax0=ax0v)
     if u_boundary is not None:
       u_star = u_star + u_boundary
 
@@ -836,18 +911,50 @@ class StokesSEM:
         rhs = rhs - (self.dot(ones, rhs) / self.dot(ones, ones)) * ones
       if getattr(pressure_preconditioner, 'near_exact', False):
         return near_exact_solve(matvec, rhs, pressure_preconditioner,
-                                tol=tol, atol=atol, dot_fn=self.dot,
+                                tol=tol, atol=atol_p, dot_fn=self.dot,
                                 maxiter=maxiter)
-      return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol,
+      return cg(matvec, rhs, M=pressure_preconditioner, tol=tol, atol=atol_p,
                 dot_fn=self.dot, maxiter=maxiter)
 
+    b_p = -self.D(u_star)
+    e_matvec = (getattr(pressure_preconditioner, 'fast_matvec', None)
+                or partial(self.E, dt=dt, time_order=time_order))
+    atol_p = atol
+    if projection_state is not None:
+      # History entries are mean-free (rhs is projected, E preserves
+      # range(E)), so the coefficient dots are insensitive to b's mean.
+      x0p, ax0p = project_guess(projection_state.pressure, b_p, self.dot)
+      x0p = lax.stop_gradient(x0p)
+      # Stopping anchored to the ORIGINAL (projected) rhs, as for vsolve.
+      bp0 = b_p
+      if project_out_nullspace:
+        q = self._pressure_ones(bp0)
+        bp0 = bp0 - (self.dot(q, bp0) / self.dot(q, q)) * q
+      if getattr(pressure_preconditioner, 'near_exact', False):
+        sp = self.dot(bp0, bp0)
+      elif pressure_preconditioner is not None:
+        sp = self.dot(bp0, pressure_preconditioner(bp0))
+      else:
+        sp = self.dot(bp0, bp0)
+      sp = lax.stop_gradient(sp)
+      atol_p = jnp.sqrt(jnp.maximum(tol * tol * sp, atol * atol))
+      b_p = b_p - lax.stop_gradient(ax0p)
+
     dp, p_info = lax.custom_linear_solve(
-        partial(self.E, dt=dt, time_order=time_order), -self.D(u_star),
+        partial(self.E, dt=dt, time_order=time_order), b_p,
         solve=psolve, symmetric=True, has_aux=True)
+    aux = {'u_star_info': u_info, 'dp_info': p_info}
+    if projection_state is not None:
+      dp = dp + x0p
+      new_pressure = update_history(
+          projection_state.pressure, lax.stop_gradient(dp), x0p, e_matvec,
+          self.dot, ax0=ax0p)
+      aux['projection_state'] = projection_state.replace(
+          viscous=new_viscous, pressure=new_pressure)
 
     u = u_star + self.Q(self.Dt(dp), dt=dt, time_order=time_order)
     p = p_ext + dp
-    return u, p, {'u_star_info': u_info, 'dp_info': p_info}
+    return u, p, aux
 
   def fft_pressure_preconditioner(self, dt, time_order: int):
     """Near-exact FFT pressure preconditioner for uniform periodic boxes.
