@@ -60,6 +60,8 @@ def main():
   ap.add_argument('--no-assembled', action='store_true',
                   help='build the solver without assembled D/Dt blocks')
   ap.add_argument('--overlap', default='auto')
+  ap.add_argument('--projection', action='store_true',
+                  help='Fischer successive-rhs projection in the step')
   args = ap.parse_args()
 
   from swirlfem_tpu.utils.cylinder import cylinder_channel_premesh
@@ -144,19 +146,23 @@ def main():
   ext = [float(c) for c in cyl.extk_coeffs(k=time_order - 1)]
   imask = sem.velocity.interior_mask
 
+  proj0 = sem.initial_projection_state() if args.projection else None
+
   @jax.jit
   def chunk(carry):
     def body(c, _):
-      us, ps, cus = c
+      us, ps, cus, proj = c
       cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
       u, pnew, aux = sem.stokes_one_step(
           list(us), list(ps), -imask * cu, mu=mu, dt=dt,
           time_order=time_order, u_boundary=u_boundary, tol=args.tol,
           atol=args.tol * 1e-2, pressure_preconditioner=precond,
-          viscous_matvec=hmv, project_out_nullspace=False)
+          viscous_matvec=hmv, project_out_nullspace=False,
+          projection_state=proj)
       c = (us[1:] + (u - u_boundary,), ps[1:] + (pnew,),
            cus[1:] + (sem.velocity.scatter(
-               sem.velocity.C_local(sem.velocity.gather(u))),))
+               sem.velocity.C_local(sem.velocity.gather(u))),),
+           aux.get('projection_state', proj))
       return c, (aux['u_star_info']['num_iterations'],
                  aux['dp_info']['num_iterations'])
     return jax.lax.scan(body, carry, None, length=args.steps)
@@ -164,7 +170,7 @@ def main():
   # Commit the initial carry to the device: otherwise call 2's inputs
   # (committed outputs of call 1) key a fresh jit cache entry and the
   # "steady-state" timing silently measures a second XLA compile.
-  carry = jax.device_put((us, ps, cus), jax.devices()[0])
+  carry = jax.device_put((us, ps, cus, proj0), jax.devices()[0])
   t0 = time.time()
   carry, its = chunk(carry)
   jax.block_until_ready(carry)

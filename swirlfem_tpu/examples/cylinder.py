@@ -113,12 +113,24 @@ def run_cylinder(sem: StokesSEM, reynolds: float = 100.0, dt: float = 2e-3,
 
 def strouhal_number(trace: np.ndarray, dt: float,
                     mean_velocity: float = MEAN_VELOCITY) -> float:
-  """St = f D / U from the dominant FFT peak of the probe trace tail."""
+  """St = f D / U from the dominant FFT peak of the probe trace tail.
+
+  Hann window + log-parabolic peak interpolation: the raw argmax snaps to
+  the FFT bin grid (bin width in St units = D / (U T_tail) — 0.016 for a
+  10 s window), which alone can move St outside the 0.295-0.305
+  benchmark interval.
+  """
   tail = trace[len(trace) // 2:]
   tail = tail - tail.mean()
   freqs = np.fft.rfftfreq(len(tail), d=dt)
-  spectrum = np.abs(np.fft.rfft(tail))
-  f = freqs[1:][np.argmax(spectrum[1:])]
+  spectrum = np.abs(np.fft.rfft(tail * np.hanning(len(tail))))
+  k = int(np.argmax(spectrum[1:])) + 1
+  f = freqs[k]
+  if 1 <= k < len(spectrum) - 1 and spectrum[k - 1] > 0 and spectrum[k + 1] > 0:
+    a, b, c = np.log(spectrum[k - 1: k + 2])
+    denom = a - 2 * b + c
+    if denom < 0:  # genuine local max
+      f = (k + 0.5 * (a - c) / denom) * (freqs[1] - freqs[0])
   return float(f * 2 * RADIUS / mean_velocity)
 
 
