@@ -139,16 +139,26 @@ def exchange(
   if unique_indices is not None:
     summed = summed[unique_indices]
 
-  delta = jnp.where(mask, summed - own, jnp.zeros_like(own))
+  # Write back the total itself, NOT u + (summed - own): the psum total is
+  # bitwise identical on every copy, but the add-the-delta form carries a
+  # per-copy cancellation error ~eps*|own| that breaks bitwise consistency
+  # of exchange output across dof copies.  That eps seed is amplified
+  # exponentially by CG's beta chain once a solve reaches its rounding
+  # floor, letting the iterate wander in the kernel of the redundant
+  # partitioned system — invisible to every residual norm (measured:
+  # velocity error 3.5 after ~200 below-floor iterations at tol=1e-12).
+  # With replace-writes, copies stay bitwise equal through any number of
+  # floor iterations.
   if scatter_slots is not None:
     # Gather-based write-back (TPU fast path): every node reads its own
-    # delta (or zero) instead of a scatter-add.
-    picked = delta[jnp.clip(scatter_slots, 0, None)]
-    return u + jnp.where(scatter_slots != SENTINEL, picked,
-                         jnp.zeros_like(picked))
-  # Replace (not add): add the delta so SENTINEL rows (which alias index -1)
-  # contribute zero and repeated targets stay correct.
-  return u.at[gather_indices].add(delta)
+    # total (or keeps u) instead of a scatter-add.
+    picked = summed[jnp.clip(scatter_slots, 0, None)]
+    return jnp.where(scatter_slots != SENTINEL, picked, u)
+  # Scatter path: zero the shared slots exactly (u + (-u) is exact in
+  # IEEE), then add the total (0 + summed is exact).  SENTINEL rows alias
+  # index -1 with zero contributions on both writes.
+  cleared = u.at[gather_indices].add(-own)
+  return cleared.at[gather_indices].add(jnp.where(mask, summed, 0.0))
 
 
 # ---------------------------------------------------------------------------
