@@ -39,7 +39,7 @@ def _axpy(alpha, x, y):
 
 
 def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
-       dot_fn=_highest_vdot, euclidean_stop=False):
+       dot_fn=_highest_vdot, euclidean_stop=False, checkpoint_every=64):
   """Solves ``A x = b`` with preconditioned conjugate gradients.
 
   Args:
@@ -60,9 +60,27 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
     euclidean_stop: stop on the euclidean residual norm instead of the
       M-weighted one (one extra dot per iteration).  Useful when the caller
       needs a fixed physical tolerance independent of the preconditioner.
+    checkpoint_every: cadence of the true-residual floor guard (below).
 
   Returns:
     ``(x, info)`` with ``info = {'residual': s, 'num_iterations': k}``.
+
+  Rounding-floor guard.  When `tol`/`atol` lie below the attainable
+  rounding floor, post-floor iterations take ``alpha = tiny/tiny`` steps
+  along noise directions that corrupt the iterate by orders of magnitude,
+  while the RECURRENCE residual keeps (falsely) decaying and eventually
+  passes the stopping test (measured on the distributed viscous solve at
+  tol=1e-12: u error 3.5 after ~200 post-floor iterations, recurrence
+  s = 1e-22 vs true residual 1e-12).  Tracking the best recurrence-s
+  iterate does not help — the recurrence is the lie.  Instead, every
+  `checkpoint_every` iterations the TRUE residual ``b - A x`` is
+  recomputed (one extra matvec, ~2% at the default cadence): it updates a
+  best-true-iterate register, and a recurrence-vs-truth drift test
+  (``s_true > 1e6 * s``) detects the floor and stops the loop.  On exit
+  past the first checkpoint, one final true-residual evaluation picks the
+  final iterate or the best checkpoint, whichever is truly better.  Short
+  solves (fewer than `checkpoint_every` iterations — e.g. warm-started
+  viscous solves) skip all of this: zero extra cost, classical behavior.
   """
   if x0 is None:
     x0 = tree_map(jnp.zeros_like, b)
@@ -86,12 +104,18 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
   s0 = (_tree_vdot(r0, r0, dot_fn).astype(dtype) if euclidean_stop
         else gamma0)
 
+  def true_s(x):
+    rt = tree_map(operator.sub, b, A(x))
+    if euclidean_stop:
+      return _tree_vdot(rt, rt, dot_fn).astype(dtype)
+    return _tree_vdot(rt, M(rt), dot_fn).astype(dtype)
+
   def cond(state):
-    _, _, _, s, _, k = state
+    _, _, _, s, _, k, _, _ = state
     return (s > threshold) & (k < maxiter)
 
   def body(state):
-    x, r, gamma, _, p, k = state
+    x, r, gamma, _, p, k, best_x, s_best = state
     ap = A(p)
     pap = _tree_vdot(p, ap, dot_fn).astype(dtype)
     # Breakdown guard: with a near-exact preconditioner in f32, <r, M r>
@@ -113,10 +137,36 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
       s = gamma_new
     beta = gamma_new / jnp.where(gamma == 0, 1, gamma)
     p = _axpy(beta, p, z)
-    return x, r, gamma_new, s, p, k + 1
 
-  x, _, _, s, _, iters = lax.while_loop(
-      cond, body, (x0, r0, gamma0, s0, z0, 0))
+    def checkpoint(args):
+      best_x, s_best, s = args
+      st = true_s(x)
+      improved = st < s_best
+      best_x = tree_map(lambda bx, xx: jnp.where(improved, xx, bx),
+                        best_x, x)
+      s_best = jnp.where(improved, st, s_best)
+      # Floor signature: the recurrence has drifted far below the truth.
+      # Zeroing s exits the loop; the final selection keeps best_x.
+      s = jnp.where(st > 1e6 * jnp.maximum(s, 0), jnp.zeros_like(s), s)
+      return best_x, s_best, s
+
+    best_x, s_best, s = lax.cond(
+        ((k + 1) % checkpoint_every == 0) & safe & (s > threshold),
+        checkpoint, lambda args: args, (best_x, s_best, s))
+    return x, r, gamma_new, s, p, k + 1, best_x, s_best
+
+  x, _, _, s, _, iters, best_x, s_best = lax.while_loop(
+      cond, body, (x0, r0, gamma0, s0, z0, 0, x0, s0))
+
+  def final_select(args):
+    x, best_x, s_best, _ = args
+    st = true_s(x)
+    final_better = st <= s_best
+    x = tree_map(lambda xx, bx: jnp.where(final_better, xx, bx), x, best_x)
+    return x, jnp.minimum(st, s_best)
+
+  x, s = lax.cond(iters >= checkpoint_every, final_select,
+                  lambda args: (args[0], args[3]), (x, best_x, s_best, s))
   return x, {'residual': s, 'num_iterations': iters}
 
 
