@@ -265,6 +265,106 @@ def _extended_index_tables(el_uid: np.ndarray, elements: np.ndarray, m: int):
   return ext_nodes, ext_owner, ext_local
 
 
+def _face_adjacency_3d(el_uid: np.ndarray):
+  """Conforming-face adjacency for 3D hex meshes.
+
+  Returns ``nbr[e][(a, s)] = (n, a_n, s_n)`` for each element face (axis
+  ``a``, end ``s``): the neighbor element and its matching face, paired by
+  the sorted unique ids of the four face corners.  No orientation
+  transform is recorded: the extended tables are permutation-invariant
+  (see `_extended_index_tables_3d`).  Corner indices are lexicographic
+  with axis 0 slowest.
+  """
+  num_e = len(el_uid)
+  d = 3
+
+  def face_corner_ids(e, a, s):
+    t1, t2 = [ax for ax in range(d) if ax != a]
+    ids = []
+    for p in (0, 1):
+      for q in (0, 1):
+        bits = [0] * d
+        bits[a], bits[t1], bits[t2] = s, p, q
+        ids.append(int(el_uid[e, bits[0] * 4 + bits[1] * 2 + bits[2]]))
+    return ids
+
+  by_face: dict[tuple, list] = {}
+  for e in range(num_e):
+    for a in range(d):
+      for s in (0, 1):
+        by_face.setdefault(tuple(sorted(face_corner_ids(e, a, s))),
+                           []).append((e, a, s))
+  nbr = [dict() for _ in range(num_e)]
+  for entries in by_face.values():
+    if len(entries) != 2:
+      continue  # boundary face (or nonconforming: unsupported)
+    (e1, a1, s1), (e2, a2, s2) = entries
+    nbr[e1][(a1, s1)] = (e2, a2, s2)
+    nbr[e2][(a2, s2)] = (e1, a1, s1)
+  return nbr
+
+
+def _extended_index_tables_3d(el_uid: np.ndarray, elements: np.ndarray,
+                              m: int):
+  """Overlap-1 extended dof tables for 3D hex meshes.
+
+  Extended locals per element: the ``m^3`` own GL dofs followed by six
+  one-layer ``m^2`` sheets gathered from face neighbors (-1 where the
+  face is a domain boundary).  Returns ``(ext_nodes, ext_owner,
+  ext_local)`` each shaped ``(E, m^3 + 6 m^2)``.
+
+  Unlike the 2D builder no tangential-orientation matching is needed:
+  the GL pressure dofs are element-owned (discontinuous), each extended
+  slot is the self-consistent triple ``ext_nodes = elements[ext_owner]
+  [ext_local]``, and every consumer (`_extended_blocks`, the count
+  weights, the batched solve + scatter-add) is invariant to the order of
+  slots within a sheet — so the neighbor sheet is listed in the
+  neighbor's own natural order.
+  """
+  num_e = len(elements)
+  nbr = _face_adjacency_3d(el_uid)
+  next_loc = m ** 3 + 6 * m * m
+  ext_nodes = -np.ones((num_e, next_loc), dtype=np.int64)
+  ext_owner = -np.ones((num_e, next_loc), dtype=np.int64)
+  ext_local = np.zeros((num_e, next_loc), dtype=np.int64)
+  own = np.arange(m ** 3)
+  grid = np.indices((m, m))
+  for e in range(num_e):
+    ext_nodes[e, :m ** 3] = elements[e]
+    ext_owner[e, :m ** 3] = e
+    ext_local[e, :m ** 3] = own
+    for f_idx, (a, s) in enumerate(
+        ((0, 0), (0, 1), (1, 0), (1, 1), (2, 0), (2, 1))):
+      if (a, s) not in nbr[e]:
+        continue
+      n, a_n, s_n = nbr[e][(a, s)]
+      # Neighbor's GL sheet adjacent to the shared face: its normal axis
+      # pinned at the near end, tangential axes running free.
+      pin = (m - 1) if s_n == 1 else 0
+      t1n, t2n = [ax for ax in range(3) if ax != a_n]
+      coords = [None, None, None]
+      coords[a_n] = np.full((m, m), pin)
+      coords[t1n] = grid[0]
+      coords[t2n] = grid[1]
+      layer = (coords[0] * m * m + coords[1] * m + coords[2]).reshape(-1)
+      sl = slice(m ** 3 + f_idx * m * m, m ** 3 + (f_idx + 1) * m * m)
+      ext_nodes[e, sl] = elements[n][layer]
+      ext_owner[e, sl] = n
+      ext_local[e, sl] = layer
+  return ext_nodes, ext_owner, ext_local
+
+
+def _extended_tables(el_uid: np.ndarray, elements: np.ndarray, m: int,
+                     d: int):
+  """Overlap-1 extended tables, dispatched on dimension (2D strips or 3D
+  sheets); used by both the single-device and distributed builders."""
+  if d == 2:
+    return _extended_index_tables(el_uid, elements, m)
+  if d == 3:
+    return _extended_index_tables_3d(el_uid, elements, m)
+  raise NotImplementedError(f'overlap=1 is supported in 2D/3D only (d={d})')
+
+
 def _extended_blocks(pairs, adj, ext_owner: np.ndarray,
                      ext_local: np.ndarray) -> np.ndarray:
   """Exact extended blocks ``E[ext(e), ext(e)]`` from the pair blocks.
@@ -370,6 +470,52 @@ def _coarse_element_stiffness(premesh) -> np.ndarray:
   return np.asarray(cols).transpose(1, 0, 2)  # (E, 2^d, 2^d)
 
 
+def _vertex_stencil(pmesh, d: int) -> np.ndarray:
+  """Q1 vertex -> order-(n-2) GL prolongation stencil ``(m^d, 2^d)``."""
+  corner_grid = Nodes1D.create(2, NodeType.NEWTON_COTES)
+  j1 = np.asarray(interpolation_matrix_1d(corner_grid, pmesh.gridpoints_1d))
+  stencil = j1
+  for _ in range(d - 1):
+    stencil = np.kron(stencil, j1)             # (m^d, 2^d)
+  return stencil
+
+
+def _vertex_coarse_inverse(premesh, boundary_conditions, uid, el_uid,
+                           nv: int, dt: float, time_order: int,
+                           has_nullspace: bool) -> np.ndarray:
+  """Dense inverse of the Q1 FEM vertex coarse operator, float64.
+
+  ``E ~ (dt/beta_k) * Laplacian``: the FEM coarse operator needs the scale
+  the probed Galerkin one inherits automatically.  With a do-nothing
+  outflow the vertex operator gets Dirichlet rows on the outflow vertices
+  (matching E's nonsingularity) instead of the pseudo-inverse.
+  """
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+  s_el = _coarse_element_stiffness(premesh)
+  a_c = np.zeros((nv, nv))
+  np.add.at(a_c, (el_uid[:, :, None], el_uid[:, None, :]), s_el)
+  if has_nullspace:
+    inv_c, _ = _pinv_psd(a_c)
+  else:
+    boundary = _boundary_vertices(premesh.elements, uid, premesh.ndim)
+    dirichlet_vertices = set()
+    for name, bc in (boundary_conditions or {}).items():
+      bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
+      if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
+        dirichlet_vertices.update(
+            uid[np.unique(
+                premesh.physical_groups[name].reshape(-1))].tolist())
+    outflow = np.asarray(
+        sorted(set(boundary.tolist()) - dirichlet_vertices))
+    diag_ref = float(np.mean(np.diag(a_c))) or 1.0
+    a_c[outflow, :] = 0.0
+    a_c[:, outflow] = 0.0
+    a_c[outflow, outflow] = diag_ref
+    inv_c = np.linalg.inv(a_c)
+  return (beta_k / dt) * inv_c
+
+
 def _pinv_psd(a: np.ndarray, rcond: float = 1e-10) -> tuple[np.ndarray, bool]:
   """Eigh-based pseudo-inverse; returns (inverse, had_nullspace)."""
   lam, z = np.linalg.eigh(a)
@@ -400,7 +546,8 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
       with the exact extended blocks assembled from the probing pass and
       count-weighted symmetric addition (measured 48 -> 23 iterations on
       the cylinder mesh, Fischer's classical ~2x).  'auto' = 1 in 2D,
-      0 in 3D (the 3D extended-index bookkeeping is not implemented).
+      0 in 3D — 3D overlap-1 is supported but opt-in: the extended
+      blocks grow to ``(m^3 + 6 m^2)^2`` floats per element.
 
   The result has ``.has_nullspace`` (True for enclosed/periodic flow:
   pair with the nullspace projection, as for the other preconditioners).
@@ -439,10 +586,10 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
   diag_blocks, pairs = _probe_element_blocks(matvec_batch, elements,
                                              colors2_local, npn, adj=adj)
   if overlap:
-    if d != 2 or overlap != 1:
-      raise NotImplementedError('overlap=1 is supported in 2D only')
-    ext_nodes, ext_owner, ext_local = _extended_index_tables(
-        el_uid, elements, m)
+    if overlap != 1:
+      raise NotImplementedError('only overlap=1 extended locals')
+    ext_nodes, ext_owner, ext_local = _extended_tables(
+        el_uid, elements, m, d)
     blocks = _extended_blocks(pairs, adj, ext_owner, ext_local)
     # Count-weighted symmetric addition: W = 1/sqrt(#domains per dof),
     # applied on both sides of each local inverse (keeps M SPD while
@@ -480,38 +627,10 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
     if nv > max_coarse_dofs:
       raise ValueError(
           f'vertex coarse space has {nv} > max_coarse_dofs={max_coarse_dofs}')
-    from swirlfem_tpu.nse.solver import bdfk_coeffs
-    beta_k = float(bdfk_coeffs(time_order)[-1])
-    corner_grid = Nodes1D.create(2, NodeType.NEWTON_COTES)
-    j1 = np.asarray(interpolation_matrix_1d(corner_grid,
-                                            pmesh.gridpoints_1d))
-    stencil = j1
-    for _ in range(d - 1):
-      stencil = np.kron(stencil, j1)         # (m^d, 2^d)
-    s_el = _coarse_element_stiffness(premesh)
-    a_c = np.zeros((nv, nv))
-    np.add.at(a_c, (el_uid[:, :, None], el_uid[:, None, :]), s_el)
-    # E ~ (dt/beta_k) * Laplacian: the FEM coarse operator needs the scale
-    # the Galerkin one inherits automatically.
-    if has_nullspace:
-      inv_c, _ = _pinv_psd(a_c)
-    else:
-      boundary = _boundary_vertices(premesh.elements, uid, d)
-      dirichlet_vertices = set()
-      for name, bc in (boundary_conditions or {}).items():
-        bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
-        if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
-          dirichlet_vertices.update(
-              uid[np.unique(
-                  premesh.physical_groups[name].reshape(-1))].tolist())
-      outflow = np.asarray(
-          sorted(set(boundary.tolist()) - dirichlet_vertices))
-      diag_ref = float(np.mean(np.diag(a_c))) or 1.0
-      a_c[outflow, :] = 0.0
-      a_c[:, outflow] = 0.0
-      a_c[outflow, outflow] = diag_ref
-      inv_c = np.linalg.inv(a_c)
-    inv_c = (beta_k / dt) * inv_c
+    stencil = _vertex_stencil(pmesh, d)
+    inv_c = _vertex_coarse_inverse(premesh, boundary_conditions, uid,
+                                   el_uid, nv, dt, time_order,
+                                   has_nullspace)
     coarse_rows = jnp.asarray(el_uid)
   else:
     raise ValueError(f'unknown coarse space {coarse!r}')

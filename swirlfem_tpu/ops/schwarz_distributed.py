@@ -71,11 +71,16 @@ class DistributedSchwarz:
   iface_valid: jax.Array   # (I,) 1.0 where the slot is real
   # -- coarse ---------------------------------------------------------------
   stencil: jax.Array       # (mloc, nc) per-element coarse prolongation
-  inv_c_rows: jax.Array    # (E * nc, P * E * nc) this partition's inverse rows
+  # p1dg: (E * nc, P * E * nc) inverse rows for this partition's coarse
+  # dofs; vertex: (nv_max, nv) inverse rows for this partition's vertices.
+  inv_c_rows: jax.Array
   valid_el: jax.Array      # (E,) 1.0 for real (non-padded) elements
   # -- assembled block-sparse E (fast_matvec) --------------------------------
   rb: jax.Array            # (E, mloc, width * mloc) row blocks
   nbr_buf_idx: jax.Array   # (E, width * mloc) gather into the concat buffer
+  # -- vertex coarse only (None under p1dg) -----------------------------------
+  cvid_scatter: Any = None  # (E, nc) global vertex id (nv = dead slot)
+  cvid_gather: Any = None   # (E, nc) index into this partition's inv rows
   # -- static ---------------------------------------------------------------
   axis_name: str = flax.struct.field(pytree_node=False, default='part')
   overlap: int = flax.struct.field(pytree_node=False, default=1)
@@ -83,6 +88,8 @@ class DistributedSchwarz:
   num_partitions: int = flax.struct.field(pytree_node=False, default=1)
   iface_size: int = flax.struct.field(pytree_node=False, default=0)
   mloc: int = flax.struct.field(pytree_node=False, default=0)
+  coarse_kind: str = flax.struct.field(pytree_node=False, default='p1dg')
+  coarse_nv: int = flax.struct.field(pytree_node=False, default=0)
 
   def _halo_buffer(self, r):
     iface = r[self.iface_idx] * self.iface_valid.astype(r.dtype)
@@ -95,9 +102,19 @@ class DistributedSchwarz:
     rc_el = jnp.einsum('nc,en->ec', self.stencil,
                        r_el.astype(self.stencil.dtype), precision=hp)
     rc_el = rc_el * self.valid_el[:, None].astype(rc_el.dtype)
-    all_rc = lax.all_gather(rc_el, self.axis_name)         # (P, E, nc)
-    yc = jnp.matmul(self.inv_c_rows, all_rc.reshape(-1), precision=hp)
-    yc_el = yc.reshape(r_el.shape[0], -1)                  # (E, nc)
+    if self.coarse_kind == 'vertex':
+      # Assembled Q1 restriction: scatter-add into the nv-sized vertex
+      # vector, one psum (size nv, vs all_gather of P*E*nc for p1dg),
+      # then this partition's inverse rows + gather-prolongation.
+      rc = jnp.zeros(self.coarse_nv + 1, dtype=rc_el.dtype)
+      rc = rc.at[self.cvid_scatter].add(rc_el)[:self.coarse_nv]
+      rc = lax.psum(rc, self.axis_name)
+      yc_v = jnp.matmul(self.inv_c_rows, rc, precision=hp)  # (nv_max,)
+      yc_el = yc_v[self.cvid_gather]                        # (E, nc)
+    else:
+      all_rc = lax.all_gather(rc_el, self.axis_name)       # (P, E, nc)
+      yc = jnp.matmul(self.inv_c_rows, all_rc.reshape(-1), precision=hp)
+      yc_el = yc.reshape(r_el.shape[0], -1)                # (E, nc)
     return jnp.einsum('nc,ec->en', self.stencil, yc_el, precision=hp)
 
   def __call__(self, r):
@@ -139,7 +156,8 @@ class DistributedSchwarz:
 
 def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
                               dt: float, time_order: int, axis_name: str,
-                              coarse: str = 'p1dg',
+                              coarse: str = 'auto',
+                              max_coarse_dofs: int = 16000,
                               overlap='auto') -> DistributedSchwarz:
   """Distributed Schwarz preconditioner for a partitioned pressure solve.
 
@@ -151,7 +169,13 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
       partitioned solver was created from).
     boundary_conditions: as given to ``StokesSEM.create``.
     axis_name: the shard_map axis of the partitioned solver.
-    coarse: only ``'p1dg'`` (per-element bilinear GL Galerkin coarse).
+    coarse: ``'p1dg'`` (per-element bilinear GL Galerkin coarse; one
+      all_gather of ``P * E * nc`` floats per apply) | ``'vertex'``
+      (continuous Q1 FEM coarse on the order-1 vertices; one psum of
+      ``nv`` floats per apply — the very-large-mesh choice, as in
+      `ops.schwarz`) | ``'auto'`` (p1dg while its dimension fits
+      ``max_coarse_dofs``).
+    max_coarse_dofs: cap on the dense coarse inverse ('auto' switch).
     overlap: 0 | 1 | 'auto' (1 in 2D, 0 otherwise), as in `ops.schwarz`.
 
   Returns:
@@ -161,8 +185,8 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
   """
   if not premesh.is_partitioned():
     raise ValueError('premesh must be partitioned')
-  if coarse != 'p1dg':
-    raise NotImplementedError('distributed coarse spaces other than p1dg')
+  if coarse not in ('auto', 'p1dg', 'vertex'):
+    raise ValueError(f'unknown coarse space {coarse!r}')
 
   pmesh = sem_u.pressure.pspace.mesh
   d = premesh.ndim
@@ -182,8 +206,6 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
   adj = _schwarz._element_adjacency(el_uid)
   if overlap == 'auto':
     overlap = 1 if d == 2 else 0
-  if overlap and d != 2:
-    raise NotImplementedError('overlap=1 is supported in 2D only')
 
   # -- probing on the unpartitioned twin (identical to ops.schwarz) ---------
   matvec_batch = _schwarz._matvec64(sem_u, dt, time_order)
@@ -191,8 +213,10 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
   diag_blocks, pairs = _schwarz._probe_element_blocks(
       matvec_batch, elements, colors2, npn, adj=adj)
   if overlap:
-    ext_nodes, ext_owner, ext_local = _schwarz._extended_index_tables(
-        el_uid, elements, m)
+    if overlap != 1:
+      raise NotImplementedError('only overlap=1 extended locals')
+    ext_nodes, ext_owner, ext_local = _schwarz._extended_tables(
+        el_uid, elements, m, d)
     blocks = _schwarz._extended_blocks(pairs, adj, ext_owner, ext_local)
     count = np.zeros(npn)
     np.add.at(count, ext_nodes[ext_nodes >= 0], 1.0)
@@ -211,20 +235,32 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
 
   has_nullspace = not _schwarz._has_outflow(premesh, boundary_conditions, uid)
 
-  # -- coarse (p1dg probed Galerkin, as in ops.schwarz) ----------------------
-  lo = Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)
-  jc1 = np.asarray(interpolation_matrix_1d(lo, pmesh.gridpoints_1d))
-  stencil = jc1
-  for _ in range(d - 1):
-    stencil = np.kron(stencil, jc1)                         # (m^d, 2^d)
-  nc = stencil.shape[1]
-  a_c = _schwarz._probe_galerkin_coarse(matvec_batch, elements, adj, colors2,
-                                        stencil, npn)
-  a_c = 0.5 * (a_c + a_c.T)
-  if has_nullspace:
-    inv_c, _ = _schwarz._pinv_psd(a_c)
+  # -- coarse (p1dg probed Galerkin or Q1 vertex FEM, as in ops.schwarz) -----
+  nv = int(uid.max()) + 1
+  if coarse == 'auto':
+    coarse = 'p1dg' if (2 ** d) * num_e <= max_coarse_dofs else 'vertex'
+  if coarse == 'p1dg':
+    lo = Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)
+    jc1 = np.asarray(interpolation_matrix_1d(lo, pmesh.gridpoints_1d))
+    stencil = jc1
+    for _ in range(d - 1):
+      stencil = np.kron(stencil, jc1)                       # (m^d, 2^d)
+    a_c = _schwarz._probe_galerkin_coarse(matvec_batch, elements, adj,
+                                          colors2, stencil, npn)
+    a_c = 0.5 * (a_c + a_c.T)
+    if has_nullspace:
+      inv_c, _ = _schwarz._pinv_psd(a_c)
+    else:
+      inv_c = np.linalg.inv(a_c)
   else:
-    inv_c = np.linalg.inv(a_c)
+    if nv > max_coarse_dofs:
+      raise ValueError(
+          f'vertex coarse space has {nv} > max_coarse_dofs={max_coarse_dofs}')
+    stencil = _schwarz._vertex_stencil(pmesh, d)
+    inv_c = _schwarz._vertex_coarse_inverse(
+        premesh.replace(partitions=None), boundary_conditions, uid, el_uid,
+        nv, dt, time_order, has_nullspace)
+  nc = stencil.shape[1]
 
   # -- partition layout -------------------------------------------------------
   rows = topology.group_by_partitions(premesh.partitions)   # (P, E_max)
@@ -319,20 +355,43 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
                 n_loc + q * iface_n + iface_pos[q][base + j])
 
   # -- coarse inverse rows, partition-sharded ---------------------------------
-  # Column order follows the all_gathered (q, l, i) layout; padded element
-  # slots get zero columns/rows.
-  perm_cols = np.full(num_p * e_max * nc, -1, dtype=np.int64)
-  for q in range(num_p):
-    for l, g in enumerate(rows[q][valid_el[q]]):
-      for i in range(nc):
-        perm_cols[(q * e_max + l) * nc + i] = g * nc + i
-  inv_c_rows = np.zeros((num_p, e_max * nc, num_p * e_max * nc))
-  col_valid = perm_cols >= 0
-  for p in range(num_p):
-    for l, g in enumerate(rows[p][valid_el[p]]):
-      block = inv_c[g * nc:(g + 1) * nc]                    # (nc, E*nc)
-      inv_c_rows[p, l * nc:(l + 1) * nc][:, col_valid] = (
-          block[:, perm_cols[col_valid]])
+  cvid_scatter = cvid_gather = None
+  if coarse == 'p1dg':
+    # Column order follows the all_gathered (q, l, i) layout; padded
+    # element slots get zero columns/rows.
+    perm_cols = np.full(num_p * e_max * nc, -1, dtype=np.int64)
+    for q in range(num_p):
+      for l, g in enumerate(rows[q][valid_el[q]]):
+        for i in range(nc):
+          perm_cols[(q * e_max + l) * nc + i] = g * nc + i
+    inv_c_rows = np.zeros((num_p, e_max * nc, num_p * e_max * nc))
+    col_valid = perm_cols >= 0
+    for p in range(num_p):
+      for l, g in enumerate(rows[p][valid_el[p]]):
+        block = inv_c[g * nc:(g + 1) * nc]                  # (nc, E*nc)
+        inv_c_rows[p, l * nc:(l + 1) * nc][:, col_valid] = (
+            block[:, perm_cols[col_valid]])
+  else:
+    # Vertex coarse: each partition keeps the inverse rows of the unique
+    # vertices its elements touch; restriction scatters into the global
+    # nv-sized vector (dead slot nv for padded elements) and one psum
+    # assembles it; prolongation gathers from the local rows.
+    part_vids = []
+    for p in range(num_p):
+      els = rows[p][valid_el[p]]
+      part_vids.append(np.unique(el_uid[els]) if len(els) else
+                       np.zeros(0, dtype=el_uid.dtype))
+    nv_max = max(1, max(len(v) for v in part_vids))
+    inv_c_rows = np.zeros((num_p, nv_max, nv))
+    cvid_scatter = np.full((num_p, e_max, nc), nv, dtype=np.int64)
+    cvid_gather = np.zeros((num_p, e_max, nc), dtype=np.int64)
+    for p in range(num_p):
+      vids = part_vids[p]
+      inv_c_rows[p, :len(vids)] = inv_c[vids]
+      pos = {int(v): i for i, v in enumerate(vids)}
+      for l, g in enumerate(rows[p][valid_el[p]]):
+        cvid_scatter[p, l] = el_uid[g]
+        cvid_gather[p, l] = [pos[int(v)] for v in el_uid[g]]
 
   def dev(x, dt_=None):
     return jnp.asarray(np.ascontiguousarray(x),
@@ -349,6 +408,8 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
       stencil=dev(np.tile(stencil, (num_p, 1, 1)), rdtype),
       inv_c_rows=dev(inv_c_rows, rdtype),
       valid_el=dev(valid_el_f, rdtype),
+      cvid_scatter=None if cvid_scatter is None else dev(cvid_scatter),
+      cvid_gather=None if cvid_gather is None else dev(cvid_gather),
       rb=dev(rb, rdtype),
       nbr_buf_idx=dev(nbr_buf_idx),
       axis_name=axis_name,
@@ -356,4 +417,6 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
       has_nullspace=has_nullspace,
       num_partitions=num_p,
       iface_size=iface_n,
-      mloc=mloc)
+      mloc=mloc,
+      coarse_kind=coarse,
+      coarse_nv=nv)

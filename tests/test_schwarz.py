@@ -120,6 +120,46 @@ class TestSchwarzSolves:
     assert iters_schwarz < bound, (iters_schwarz, iters_plain)
     assert iters_schwarz < iters_plain / 8, (iters_schwarz, iters_plain)
 
+  def test_3d_overlap_tables_consistent(self):
+    """ext_nodes must be the self-consistent elements[owner][local]."""
+    from swirlfem_tpu.ops import schwarz as _s
+    premesh = unit_cube_mesh(3, ndim=3)
+    sem = StokesSEM.create(premesh, {'boundary': (BCType.DIRICHLET, 0.0)},
+                           order=3)
+    uid = _s._vertex_unique_ids(premesh)
+    el_uid = uid[premesh.elements]
+    elements = np.asarray(sem.pressure.pspace.mesh.elements)
+    m = sem.pressure.pspace.mesh.order + 1
+    ext_nodes, ext_owner, ext_local = _s._extended_index_tables_3d(
+        el_uid, elements, m)
+    assert ext_nodes.shape == (27, m ** 3 + 6 * m * m)
+    live = ext_owner >= 0
+    np.testing.assert_array_equal(
+        ext_nodes[live],
+        elements[ext_owner[live], ext_local[live]])
+    # Interior element: all 6 faces present; corner element: 3.
+    n_live = live.sum(axis=1)
+    assert n_live.max() == m ** 3 + 6 * m * m
+    assert n_live.min() == m ** 3 + 3 * m * m
+
+  def test_3d_overlap_iteration_reduction(self):
+    premesh = unit_cube_mesh(3, ndim=3)
+    bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+    sem = StokesSEM.create(premesh, bcs, order=3)
+    npn = sem.pressure.pspace.mesh.num_nodes
+    rng = np.random.default_rng(4)
+    rhs = _project(sem, jnp.asarray(rng.standard_normal(npn)))
+    matvec = lambda p: sem.E(p, dt=DT, time_order=TIME_ORDER)
+    m0 = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
+                                             overlap=0)
+    m1 = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
+                                             overlap=1)
+    x0, it0 = _pressure_iters(sem, matvec, rhs, M=m0)
+    x1, it1 = _pressure_iters(sem, matvec, rhs, M=m1)
+    da = _project(sem, x0 - x1)
+    assert float(jnp.abs(da).max() / jnp.abs(x0).max()) < 1e-5
+    assert it1 < it0, (it1, it0)
+
   def test_cylinder_step_matches_dense(self):
     """A full NSE step with Schwarz-PCG matches the dense-inverse step."""
     sem, premesh, bcs = _cylinder_sem(order=4)

@@ -74,6 +74,60 @@ def test_distributed_apply_matches_unpartitioned(dmesh, overlap):
                              rtol=1e-9, atol=1e-11)
 
 
+def test_distributed_vertex_coarse_matches_unpartitioned(dmesh):
+  """'vertex' coarse (psum of nv floats, the very-large-mesh path)."""
+  pm, bcs, sem_u, dt, k = _setup()
+  m_u = build_schwarz_pressure_solver(sem_u, pm.replace(partitions=None),
+                                      bcs, dt, k, coarse='vertex')
+  m_d = build_distributed_schwarz(sem_u, pm, bcs, dt, k, axis_name='part',
+                                  coarse='vertex')
+  assert m_d.coarse_kind == 'vertex'
+
+  sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                           device_mesh=dmesh)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  npn = sem_u.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(2)
+  r = rng.standard_normal(npn)
+  r_sharded = jnp.asarray(r[np.clip(p_idx, 0, None)] * (p_idx != -1))
+  apply_d = spmd_map(lambda m, x: m(x), dmesh, 'part')
+  got = np.asarray(apply_d(m_d, r_sharded))
+  expected = np.asarray(m_u(jnp.asarray(r)))
+  valid = p_idx != -1
+  np.testing.assert_allclose(got[valid], expected[p_idx[valid]],
+                             rtol=1e-10, atol=1e-12)
+
+
+def test_distributed_vertex_coarse_uneven_partitions(dmesh):
+  """Vertex coarse with SENTINEL-padded element slots."""
+  n = 6
+  parts = np.zeros((n, n), dtype=np.int64)
+  parts[2:4, :] = 1
+  parts[4, :] = 2
+  parts[5, :] = 3                      # sizes 12 / 12 / 6 / 6
+  pm = unit_cube_mesh(n, ndim=2, partitions=parts)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  dt, k = 1e-2, 2
+  sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=4)
+  m_u = build_schwarz_pressure_solver(sem_u, pm.replace(partitions=None),
+                                      bcs, dt, k, coarse='vertex')
+  m_d = build_distributed_schwarz(sem_u, pm, bcs, dt, k, axis_name='part',
+                                  coarse='vertex')
+  sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                           device_mesh=dmesh)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  npn = sem_u.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(3)
+  r = rng.standard_normal(npn)
+  r_sharded = jnp.asarray(r[np.clip(p_idx, 0, None)] * (p_idx != -1))
+  apply_d = spmd_map(lambda m, x: m(x), dmesh, 'part')
+  got = np.asarray(apply_d(m_d, r_sharded))
+  expected = np.asarray(m_u(jnp.asarray(r)))
+  valid = p_idx != -1
+  np.testing.assert_allclose(got[valid], expected[p_idx[valid]],
+                             rtol=1e-10, atol=1e-12)
+
+
 def test_partitioned_step_with_distributed_schwarz(dmesh):
   pm, bcs, sem_u, dt, k = _setup()
   m_d = build_distributed_schwarz(sem_u, pm, bcs, dt, k, axis_name='part')
