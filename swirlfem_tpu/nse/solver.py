@@ -515,6 +515,9 @@ class StokesSEM:
 
   def _fast_stiffness(self, ut):
     ops = self.fast_ops
+    if hasattr(ops, 'stiffness_el_multi'):
+      a_el = ops.stiffness_el_multi(tuple(self._v_el(u) for u in ut))
+      return tuple(self._v_el_cov(a) for a in a_el)
     return tuple(
         self._v_el_cov(ops.stiffness_el(self._v_el(u))) for u in ut)
 

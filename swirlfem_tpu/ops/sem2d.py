@@ -191,6 +191,19 @@ class Sem2DOps:
     b = self.g12 * ur + self.g22 * us
     return self._ax0(d.T, a) + self._ax1(d.T, b)
 
+  def stiffness_el_multi(self, us):
+    """A_local on a tuple of components (one fused launch under Pallas).
+
+    The component-batched kernel reads the three geometric-factor fields
+    once for all components (~30% less HBM traffic at 2 components in the
+    bandwidth-bound regime) — see `stiffness_el_pallas_batched`.
+    """
+    if self.use_pallas and len(us) > 1:
+      from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_batched
+      return stiffness_el_pallas_batched(us, self.g11, self.g12, self.g22,
+                                         self.dmat)
+    return tuple(self.stiffness_el(u) for u in us)
+
   def stiffness_diag_el(self) -> jax.Array:
     """Element-local diagonal of the stiffness operator, (n, n, E).
 

@@ -28,6 +28,28 @@ def test_pallas_stiffness_matches_einsum(order):
   np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-12)
 
 
+@pytest.mark.parametrize('order', [3, 5])
+def test_pallas_stiffness_batched_matches_einsum(order):
+  """Component-batched kernel (both velocity components in one launch)."""
+  from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_batched
+  sem = StokesSEM.create(unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+                         {}, order=order)
+  ops = sem.fast_ops
+  rng = np.random.default_rng(10 + order)
+  n = order + 1
+  us = tuple(jnp.asarray(rng.standard_normal((n, n, 16))) for _ in range(2))
+  ref = [ops.stiffness_el(u) for u in us]
+  got = stiffness_el_pallas_batched(us, ops.g11, ops.g12, ops.g22, ops.dmat,
+                                    interpret=True)
+  for g, r in zip(got, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-12)
+  # The tiled grid path agrees with the single-tile path.
+  got_tiled = stiffness_el_pallas_batched(us, ops.g11, ops.g12, ops.g22,
+                                          ops.dmat, tile_e=8, interpret=True)
+  for g, r in zip(got_tiled, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-12)
+
+
 def test_pallas_tiling_grid():
   """Multiple element tiles produce the same result as one tile."""
   sem = StokesSEM.create(unit_cube_mesh(8, ndim=2, periodic_dims=(0, 1)),
