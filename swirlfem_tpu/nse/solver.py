@@ -1370,6 +1370,10 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
   beta_hist, beta_k = coeffs[:-1], coeffs[-1]
 
   def H_t(ut):
+    if hasattr(ops, 'stiffness_el_multi'):
+      a_el = ops.stiffness_el_multi(tuple(flat(w) for w in ut))
+      return tuple((beta_k / dt) * wmass * w + mu * unflat(a)
+                   for w, a in zip(ut, a_el))
     return tuple((beta_k / dt) * wmass * w + mu * stiff(w) for w in ut)
 
   hist = tmap(lambda *xs: sum(c * x for c, x in zip(beta_hist, xs)) / dt,
