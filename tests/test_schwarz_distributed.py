@@ -230,6 +230,36 @@ def test_uneven_partitions_step(dmesh):
                              exp_p - exp_p.mean(), atol=1e-7)
 
 
+@pytest.mark.parametrize('overlap', [0, 1])
+def test_distributed_3d_apply_matches_unpartitioned(dmesh, overlap):
+  """3D hex mesh: distributed apply (incl. overlap-1 sheets) vs oracle."""
+  n = 4
+  parts = np.zeros((n, n, n), dtype=np.int64)
+  parts[2:, :, :] += 2
+  parts[:, 2:, :] += 1                 # 2x2x1 blocks of 2x2x4 elements
+  pm = unit_cube_mesh(n, ndim=3, partitions=parts)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  dt, k = 1e-2, 2
+  sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=3)
+  m_u = build_schwarz_pressure_solver(sem_u, pm.replace(partitions=None),
+                                      bcs, dt, k, overlap=overlap)
+  m_d = build_distributed_schwarz(sem_u, pm, bcs, dt, k, axis_name='part',
+                                  overlap=overlap)
+  sem_p = StokesSEM.create(pm, bcs, order=3, axis_name='part',
+                           device_mesh=device_mesh('part', 4))
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  npn = sem_u.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(5)
+  r = rng.standard_normal(npn)
+  r_sharded = jnp.asarray(r[np.clip(p_idx, 0, None)] * (p_idx != -1))
+  apply_d = spmd_map(lambda m, x: m(x), device_mesh('part', 4), 'part')
+  got = np.asarray(apply_d(m_d, r_sharded))
+  expected = np.asarray(m_u(jnp.asarray(r)))
+  valid = p_idx != -1
+  np.testing.assert_allclose(got[valid], expected[p_idx[valid]],
+                             rtol=1e-10, atol=1e-12)
+
+
 def test_distributed_pcg_iteration_parity(dmesh):
   """Distributed PCG iteration count matches the single-device solve."""
   from swirlfem_tpu.linalg.cg import cg, distributed_vdot
