@@ -253,18 +253,31 @@ def exchange_indices(
                   if c > 1 and idx != SENTINEL)
   rank = {idx: r for r, idx in enumerate(shared)}
   num_partitions = node_indices.shape[0]
-  gather_idx = np.full((num_partitions, len(shared)), SENTINEL, dtype=np.int32)
+  # K = max copies of one shared dof within a single partition: 1 for plain
+  # domain decomposition, >1 when periodic images land on the same
+  # partition (e.g. slab layouts of periodic boxes, where the unpartitioned
+  # axis wraps onto itself).  Slot (r, c) of the K-wide layout holds the
+  # c-th local copy of shared dof r; `unique_indices = repeat(arange(S), K)`
+  # is identical on every partition, so it stays a STATIC segment map and
+  # the psum payload stays S floats regardless of K.  The reference raises
+  # on this case (swirl_fem/core/gather_scatter.py:349-353).
+  copies: list[list[list[int]]] = [
+      [[] for _ in shared] for _ in range(num_partitions)]
   for p in range(num_partitions):
     for pos, idx in enumerate(node_indices[p].tolist()):
-      if idx == SENTINEL or idx not in rank:
-        continue
-      if gather_idx[p, rank[idx]] != SENTINEL:
-        raise NotImplementedError(
-            'intra-partition duplicate of a shared dof (e.g. periodicity '
-            f'inside partition {p} for global id {idx}) is not supported; '
-            'place the periodic images on distinct partitions')
-      gather_idx[p, rank[idx]] = pos
-  return gather_idx, None
+      if idx != SENTINEL and idx in rank:
+        copies[p][rank[idx]].append(pos)
+  k_max = max((len(c) for row in copies for c in row), default=1)
+  gather_idx = np.full((num_partitions, len(shared) * k_max), SENTINEL,
+                       dtype=np.int32)
+  for p in range(num_partitions):
+    for r, poss in enumerate(copies[p]):
+      for c, pos in enumerate(poss):
+        gather_idx[p, r * k_max + c] = pos
+  if k_max == 1:
+    return gather_idx, None
+  return gather_idx, np.repeat(
+      np.arange(len(shared), dtype=np.int32), k_max)
 
 
 def pad_ragged(rows: list[np.ndarray]) -> np.ndarray:

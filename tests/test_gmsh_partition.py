@@ -115,11 +115,8 @@ def test_partitioned_gmsh_mesh_solves():
   """Partition a Gmsh mesh and run a finalize + exchange cycle."""
   pm = gmsh.read(f'{TESTDATA}/kovasznay.msh', ndim=2)
   parts = partition(pm, 2)
-  # Periodic images must land on distinct partitions for finalize to work;
-  # if RCB split along the periodic axis, skip (mesh-specific).
+  # Periodic images may land on the same partition (split along the
+  # periodic axis): supported via the K-slot exchange layout.
   pm2 = pm.replace(partitions=parts)
-  try:
-    mesh = pm2.finalize(axis_name='part')
-  except NotImplementedError:
-    pytest.skip('periodic images in one partition for this split')
+  mesh = pm2.finalize(axis_name='part')
   assert mesh.node_coords.ndim == 3  # stacked (P, n_local, 2)

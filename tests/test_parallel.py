@@ -117,6 +117,84 @@ def test_partitioned_stokes_step_matches_unpartitioned(dmesh):
   assert np.asarray(aux['u_star_info']['residual']).max() < 1e-12
 
 
+def test_slab_periodic_partition_exchange(dmesh):
+  """Periodic wrap INSIDE a partition (slab layout of a periodic box).
+
+  Splitting only along axis 0 leaves each partition spanning the full
+  axis-1 period, so the periodic images pair up within the partition.
+  The reference raises on this (``swirl_fem/core/gather_scatter.py:
+  349-353``); the K-slot exchange layout supports it.
+  """
+  n = 4
+  parts = np.repeat(np.arange(2), n // 2)[:, None] * np.ones(
+      (1, n), dtype=np.int64)
+  pm = unit_cube_mesh(n, ndim=2, periodic_dims=(0, 1), partitions=parts)
+  dm2 = device_mesh('part', 2)
+  grid = Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)
+  refined = refine_premesh(pm, grid)
+  mesh_u = refined.replace(partitions=None).finalize()
+  mesh_p = refined.finalize(axis_name='part', device_mesh=dm2)
+
+  rng = np.random.default_rng(1)
+  w_local = rng.standard_normal(
+      (mesh_u.num_elements, mesh_u.num_nodes_per_element))
+  expected = np.asarray(mesh_u.exchange(mesh_u.scatter(jnp.asarray(w_local))))
+  parts_flat = refined.partitions
+  w_stacked = np.stack([w_local[parts_flat == p] for p in range(2)])
+  run = spmd_map(lambda m, w: m.exchange(m.scatter(w)), dm2, 'part')
+  out = np.asarray(run(mesh_p, jnp.asarray(w_stacked)))
+  node_idx = np.asarray(mesh_p.node_indices)
+  valid = node_idx != -1
+  np.testing.assert_allclose(out[valid], expected[node_idx[valid]],
+                             atol=1e-12)
+
+
+def test_slab_periodic_partition_step(dmesh):
+  """Full NSE step on a channel-periodic box split along the OTHER axis."""
+  n = 6
+  parts = np.repeat(np.arange(2), n // 2)[:, None] * np.ones(
+      (1, n), dtype=np.int64)
+  # periodic axis 1 unsplit -> its wrap is intra-partition.
+  pm = unit_cube_mesh(n, ndim=2, periodic_dims=(1,), partitions=parts)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  order, dt, k = 4, 1e-3, 2
+  dm2 = device_mesh('part', 2)
+
+  sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=order)
+  sem_p = StokesSEM.create(pm, bcs, order=order, axis_name='part',
+                           device_mesh=dm2)
+  vc = np.asarray(sem_u.velocity.mesh.node_coords)
+  pc = np.asarray(sem_u.pressure.pspace.mesh.node_coords)
+  u0 = jnp.asarray(np.stack(
+      [np.sin(2 * np.pi * vc[:, 1]) * (1 - (2 * vc[:, 0] - 1) ** 2),
+       np.cos(2 * np.pi * vc[:, 1]) * 0.1], axis=-1))
+  p0 = jnp.asarray(np.sin(2 * np.pi * pc[:, 1]) * pc[:, 0])
+  us, ps = [u0, 0.9 * u0], [p0, 0.9 * p0]
+
+  u_exp, p_exp, _ = sem_u.stokes_one_step(
+      us, ps, f=0, mu=1.0, dt=dt, time_order=k, tol=1e-12, atol=1e-12)
+
+  v_idx = np.asarray(sem_p.velocity.mesh.node_indices)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  shard_v = lambda u: jnp.asarray(np.asarray(u)[np.clip(v_idx, 0, None)])
+  shard_p = lambda p: jnp.asarray(np.asarray(p)[np.clip(p_idx, 0, None)])
+
+  def step(sem, us, ps, f):
+    return sem.stokes_one_step(us, ps, f, mu=1.0, dt=dt, time_order=k,
+                               tol=1e-12, atol=1e-12)
+
+  run = spmd_map(step, dm2, 'part')
+  u_got, p_got, _ = run(sem_p, [shard_v(u) for u in us],
+                        [shard_p(p) for p in ps],
+                        jnp.zeros_like(shard_v(u0)))
+  valid_v = v_idx != -1
+  np.testing.assert_allclose(np.asarray(u_got)[valid_v],
+                             np.asarray(u_exp)[v_idx[valid_v]], atol=1e-8)
+  valid_p = p_idx != -1
+  np.testing.assert_allclose(np.asarray(p_got)[valid_p],
+                             np.asarray(p_exp)[p_idx[valid_p]], atol=1e-7)
+
+
 def test_spmd_map_psum():
   dmesh = device_mesh('x', 8)
   f = spmd_map(lambda v: jax.lax.psum(v, 'x'), dmesh, 'x')

@@ -80,10 +80,25 @@ def test_exchange_partitioned_oracle():
   np.testing.assert_allclose(out, [[1.0, 2.0, 7.0], [7.0, 5.0, 0.0]])
 
 
-def test_exchange_partitioned_intra_partition_duplicate_raises():
+def test_exchange_partitioned_intra_partition_duplicates():
+  """Periodic images within one partition: K-slot layout.
+
+  The reference raises on this configuration
+  (``swirl_fem/core/gather_scatter.py:349-353``); here slot (r, c) holds
+  the c-th local copy of shared dof r with a static segment map, so the
+  psum payload stays one float per shared dof.
+  """
   node_indices = np.array([[0, 1, 0], [0, 2, 3]], dtype=np.int32)
-  with pytest.raises(NotImplementedError):
-    topo.exchange_indices(node_indices)
+  gidx, uniq = topo.exchange_indices(node_indices)
+  assert gidx.shape == (2, 2)      # one shared dof, two slots
+  np.testing.assert_array_equal(uniq, [0, 0])
+  us = jnp.asarray([[1.0, 2.0, 4.0], [8.0, 16.0, 32.0]])
+
+  def run(u, g):
+    return topo.exchange(u, g, unique_indices=uniq, axis_name='i')
+
+  out = jax.vmap(run, axis_name='i')(us, jnp.asarray(gidx))
+  np.testing.assert_allclose(out, [[13.0, 2.0, 13.0], [13.0, 16.0, 32.0]])
 
 
 def test_group_by_partitions_padding():
