@@ -296,5 +296,57 @@ def test_distributed_pcg_iteration_parity(dmesh):
                              rtol=1e-5, atol=1e-8)
 
 
+def test_distributed_projection_warm_start(dmesh):
+  """Fischer projection threaded through partitioned steps: parity with
+  the single-device projected run + iteration drop by the third step."""
+  pm, bcs, sem_u, dt, k = _setup()
+  m_d = build_distributed_schwarz(sem_u, pm, bcs, dt, k, axis_name='part')
+  sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                           device_mesh=dmesh)
+
+  vc = np.asarray(sem_u.velocity.mesh.node_coords)
+  pc = np.asarray(sem_u.pressure.pspace.mesh.node_coords)
+  mask = np.asarray(sem_u.velocity.interior_mask)
+  u0 = jnp.asarray(np.stack(
+      [np.sin(np.pi * vc[:, 1]) * (1 - vc[:, 0] ** 2),
+       np.cos(np.pi * vc[:, 0]) * 0.1], axis=-1) * mask)
+  p0 = jnp.asarray(np.sin(pc[:, 0]) * np.cos(pc[:, 1]))
+
+  v_idx = np.asarray(sem_p.velocity.mesh.node_indices)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  shard_v = lambda u: jnp.asarray(np.asarray(u)[np.clip(v_idx, 0, None)]
+                                  * (v_idx != -1)[..., None])
+  shard_p = lambda p: jnp.asarray(np.asarray(p)[np.clip(p_idx, 0, None)]
+                                  * (p_idx != -1))
+
+  def rollout(sem, m, us, ps, proj):
+    its = []
+    for _ in range(3):
+      u, p, aux = sem.stokes_one_step(
+          us, ps, 0.0 * us[-1], mu=1.0, dt=dt, time_order=k,
+          tol=1e-8, pressure_preconditioner=m, projection_state=proj)
+      us, ps = [us[-1], u], [ps[-1], p]
+      proj = aux['projection_state']
+      its.append(aux['dp_info']['num_iterations'])
+    return us[-1], ps[-1], jnp.stack(its)
+
+  u_exp, p_exp, its_u = rollout(sem_u, None, [u0, 0.9 * u0],
+                                [p0, 0.9 * p0],
+                                sem_u.initial_projection_state())
+
+  run = spmd_map(rollout, dmesh, 'part')
+  u_got, p_got, its_d = run(sem_p, m_d,
+                            [shard_v(u0), shard_v(0.9 * u0)],
+                            [shard_p(p0), shard_p(0.9 * p0)],
+                            sem_p.initial_projection_state())
+  valid_v = v_idx != -1
+  np.testing.assert_allclose(np.asarray(u_got)[valid_v],
+                             np.asarray(u_exp)[v_idx[valid_v]], atol=1e-6)
+  its_d = np.asarray(its_d).max(axis=0)
+  # Projection actually warm-starts: step-3 pressure CG beats step 1.
+  assert int(its_d[2]) < int(its_d[0]), its_d
+  assert int(np.asarray(its_u)[2]) < int(np.asarray(its_u)[0]), its_u
+
+
 if __name__ == '__main__':
   pytest.main([__file__, '-v'])
