@@ -1,12 +1,13 @@
-"""Native Gmsh MSH 4.1 (ASCII) reader producing a `Premesh`.
+"""Native Gmsh MSH 4.1 (ASCII and binary) reader producing a `Premesh`.
 
 Parity target: reference ``swirl_fem/common/mesh_reader.py`` (read :78-114):
 line/quad/hexahedron cells reordered from Gmsh corner conventions to
 lexicographic tensor order, and ``$Periodic`` node correspondences converted
-to facet-pair periodic links.  The reference delegates parsing to `meshio`;
-this environment has no meshio, so the MSH 4.1 format is parsed directly —
-which also lets us surface ``$PhysicalNames`` as Premesh physical groups
-(the reference reader drops them).
+to facet-pair periodic links.  The reference delegates parsing to `meshio`
+(which also handles binary files); this environment has no meshio, so both
+the ASCII and the binary MSH 4.1 encodings are parsed directly — which also
+lets us surface ``$PhysicalNames`` as Premesh physical groups (the
+reference reader drops them).
 """
 
 from __future__ import annotations
@@ -144,27 +145,214 @@ def _parse_periodic(body):
   return mapping_by_dim
 
 
+# ---------------------------------------------------------------------------
+# Binary MSH 4.1
+# ---------------------------------------------------------------------------
+
+
+class _BinReader:
+  """Sequential reader over binary MSH bytes (spec: gmsh.info MSH 4.1)."""
+
+  def __init__(self, data: bytes, pos: int, size_t_bytes: int,
+               byteorder: str):
+    self._data = data
+    self._pos = pos
+    self._i4 = np.dtype(byteorder + 'i4')
+    self._szt = np.dtype(byteorder + ('i8' if size_t_bytes == 8 else 'i4'))
+    self._f8 = np.dtype(byteorder + 'f8')
+
+  def line(self) -> str:
+    end = self._data.index(b'\n', self._pos)
+    out = self._data[self._pos:end].decode('ascii').strip()
+    self._pos = end + 1
+    return out
+
+  def skip_newline(self):
+    while self._pos < len(self._data) and self._data[self._pos:
+                                                     self._pos + 1] == b'\n':
+      self._pos += 1
+
+  def _array(self, dtype, n):
+    out = np.frombuffer(self._data, dtype=dtype, count=n, offset=self._pos)
+    self._pos += n * dtype.itemsize
+    return out
+
+  def i4(self, n):
+    return self._array(self._i4, n).astype(np.int64)
+
+  def size_t(self, n):
+    return self._array(self._szt, n).astype(np.int64)
+
+  def f8(self, n):
+    return self._array(self._f8, n)
+
+
+def _bin_nodes(r: _BinReader):
+  num_blocks, total, _, _ = r.size_t(4)
+  tags = np.empty(total, dtype=np.int64)
+  coords = np.empty((total, 3), dtype=np.float64)
+  filled = 0
+  for _ in range(num_blocks):
+    _, _, parametric = r.i4(3)
+    if parametric:
+      raise NotImplementedError('parametric nodes are not supported')
+    (count,) = r.size_t(1)
+    tags[filled:filled + count] = r.size_t(count)
+    coords[filled:filled + count] = r.f8(3 * count).reshape(count, 3)
+    filled += count
+  return tags, coords
+
+
+def _bin_elements(r: _BinReader):
+  num_blocks, _, _, _ = r.size_t(4)
+  blocks = []
+  for _ in range(num_blocks):
+    entity_dim, entity_tag, etype = r.i4(3)
+    (count,) = r.size_t(1)
+    if etype not in _ELEM_TYPES:
+      raise NotImplementedError(
+          f'unsupported Gmsh element type {etype}; only points, 2-node '
+          'lines, 4-node quads and 8-node hexahedra are supported')
+    _, nper = _ELEM_TYPES[int(etype)]
+    rows = r.size_t(count * (1 + nper)).reshape(count, 1 + nper)[:, 1:]
+    blocks.append((int(entity_dim), int(entity_tag), int(etype),
+                   np.ascontiguousarray(rows)))
+  return blocks
+
+
+def _bin_entities(r: _BinReader):
+  counts = r.size_t(4)
+  phys = {}
+  for dim, count in enumerate(counts):
+    for _ in range(count):
+      (tag,) = r.i4(1)
+      r.f8(3 if dim == 0 else 6)
+      (num_phys,) = r.size_t(1)
+      phys[(dim, int(tag))] = [int(t) for t in r.i4(num_phys)]
+      if dim > 0:
+        (num_bounding,) = r.size_t(1)
+        r.i4(num_bounding)
+  return phys
+
+
+def _bin_periodic(r: _BinReader):
+  (num_links,) = r.size_t(1)
+  mapping_by_dim: dict[int, dict[int, int]] = {}
+  for _ in range(num_links):
+    entity_dim, _, _ = r.i4(3)
+    (num_affine,) = r.size_t(1)
+    r.f8(num_affine)
+    (count,) = r.size_t(1)
+    pairs = r.size_t(2 * count).reshape(count, 2)
+    table = mapping_by_dim.setdefault(int(entity_dim), {})
+    for slave, master in pairs:
+      table[int(slave)] = int(master)
+  return mapping_by_dim
+
+
+def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
+  """Sequentially parses a binary MSH 4.1 byte stream.
+
+  Sections are read in file order: binary bodies are self-describing (the
+  counts give the exact byte extent), so no marker scanning happens inside
+  them — binary payloads may legitimately contain bytes resembling ``$``
+  markers.  PhysicalNames stays ASCII even in binary files.
+  """
+  r = _BinReader(data, data.index(b'$EndMeshFormat'), size_t_bytes,
+                 byteorder)
+  r.line()  # $EndMeshFormat
+  tags = coords3 = None
+  blocks = []
+  names = {}
+  entity_phys = {}
+  periodic_by_dim = {}
+  while True:
+    r.skip_newline()
+    if r._pos >= len(data):
+      break
+    header = r.line()
+    if not header.startswith('$'):
+      continue
+    name = header[1:]
+    if name == 'Nodes':
+      tags, coords3 = _bin_nodes(r)
+    elif name == 'Elements':
+      blocks = _bin_elements(r)
+    elif name == 'Entities':
+      entity_phys = _bin_entities(r)
+    elif name == 'Periodic':
+      periodic_by_dim = _bin_periodic(r)
+    elif name == 'PhysicalNames':
+      num_names = int(r.line())
+      for _ in range(num_names):
+        parts = r.line().split()
+        names[(int(parts[0]), int(parts[1]))] = ' '.join(
+            parts[2:]).strip('"')
+    elif name.startswith('End'):
+      continue
+    else:
+      # Unknown section: skip to its end marker (these are rare and, per
+      # the spec, written by gmsh as ASCII).
+      marker = f'$End{name}'.encode('ascii')
+      r._pos = data.index(marker, r._pos) + len(marker)
+      continue
+    r.skip_newline()
+    end_line = r.line()
+    if end_line != f'$End{name}':
+      raise ValueError(f'malformed binary MSH: expected $End{name}, '
+                       f'got {end_line!r}')
+  if tags is None:
+    raise ValueError('binary MSH file has no $Nodes section')
+  return tags, coords3, blocks, names, entity_phys, periodic_by_dim
+
+
+def _parse_ascii(text: str):
+  sections = _sections(text)
+  tags, coords3 = _parse_nodes(sections['Nodes'])
+  blocks = _parse_elements(sections['Elements'])
+  names = {}
+  if 'PhysicalNames' in sections:
+    tok = _Tokens(sections['PhysicalNames'])
+    num_names = tok.int()
+    for _ in range(num_names):
+      dim, tag = tok.ints(2)
+      names[(dim, tag)] = tok.take(1)[0].strip('"')
+  entity_phys = (_parse_entities(sections['Entities'])
+                 if 'Entities' in sections else {})
+  periodic_by_dim = (_parse_periodic(sections['Periodic'])
+                     if 'Periodic' in sections else {})
+  return tags, coords3, blocks, names, entity_phys, periodic_by_dim
+
+
 def read(path, ndim: int) -> Premesh:
-  """Parses an MSH 4.1 ASCII file into an order-1 `Premesh`."""
+  """Parses an MSH 4.1 file (ASCII or binary) into an order-1 `Premesh`."""
   if ndim not in (1, 2, 3):
     raise ValueError(f'invalid ndim {ndim}; expected 1, 2 or 3')
-  with open(path) as f:
-    text = f.read()
-  sections = _sections(text)
-  if 'MeshFormat' not in sections:
+  with open(path, 'rb') as f:
+    data = f.read()
+  if not data.startswith(b'$MeshFormat'):
     raise ValueError(f'{path} is not a Gmsh MSH file')
-  version = sections['MeshFormat'][0].split()
-  if not version[0].startswith('4'):
+  fmt_line = data[len(b'$MeshFormat'):data.index(b'$EndMeshFormat')]
+  version = fmt_line.split(b'\n')[1].split()
+  if not version[0].startswith(b'4'):
     raise NotImplementedError(
-        f'only MSH format 4.x is supported, got {version[0]}')
-  if int(version[1]) != 0:
-    raise NotImplementedError('binary MSH files are not supported')
+        f'only MSH format 4.x is supported, got {version[0].decode()}')
+  file_type = int(version[1])
+  if file_type == 0:
+    parsed = _parse_ascii(data.decode('ascii'))
+  else:
+    size_t_bytes = int(version[2])
+    # The binary int 1 written right after the version line probes byte
+    # order.
+    head = data[:data.index(b'$EndMeshFormat')]
+    nl = head.index(b'\n', head.index(b'\n') + 1)  # end of the version line
+    one = int.from_bytes(data[nl + 1:nl + 5], 'little', signed=True)
+    byteorder = '<' if one == 1 else '>'
+    parsed = _parse_binary(data, size_t_bytes, byteorder)
+  tags, coords3, blocks, names, entity_phys, periodic_by_dim = parsed
 
-  tags, coords3 = _parse_nodes(sections['Nodes'])
   tag_to_idx = {int(t): i for i, t in enumerate(tags)}
   node_coords = coords3[:, :ndim]
-
-  blocks = _parse_elements(sections['Elements'])
 
   def to_indices(rows, dim):
     idx = np.vectorize(tag_to_idx.__getitem__)(rows)
@@ -179,15 +367,7 @@ def read(path, ndim: int) -> Premesh:
 
   # Physical groups: facet-dimension entities carrying physical tags.
   physical_groups = {}
-  if 'PhysicalNames' in sections and 'Entities' in sections:
-    tok = _Tokens(sections['PhysicalNames'])
-    num_names = tok.int()
-    names = {}
-    for _ in range(num_names):
-      dim, tag = tok.ints(2)
-      name = tok.take(1)[0].strip('"')
-      names[(dim, tag)] = name
-    entity_phys = _parse_entities(sections['Entities'])
+  if names and entity_phys:
     facet_dim = ndim - 1
     facets_by_name: dict[str, list[np.ndarray]] = {}
     for d, t, etype, rows in blocks:
@@ -205,9 +385,9 @@ def read(path, ndim: int) -> Premesh:
   # Periodic links: node correspondences on (ndim-1)-dim entities, turned
   # into facet pairs over the facet cells present in the file.
   periodic_links = None
-  if 'Periodic' in sections:
+  if periodic_by_dim:
     mapping = {}
-    for dim, table in _parse_periodic(sections['Periodic']).items():
+    for dim, table in periodic_by_dim.items():
       if dim <= ndim - 1:
         mapping.update(table)
     mapping = {tag_to_idx[s]: tag_to_idx[m] for s, m in mapping.items()
