@@ -24,6 +24,7 @@ loops batch whole cycles per dispatch).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -114,7 +115,17 @@ def main():
   # Correctness cross-check against the reference-algorithm baseline (f32).
   u2 = jnp.stack(ut, axis=-1)
   ref = _kron_stiffness(sem)(u2)
-  got = jnp.stack(apply_fast_nodal(ut), axis=-1)
+  try:
+    got = jnp.stack(apply_fast_nodal(ut), axis=-1)
+    jax.block_until_ready(got)
+  except Exception as e:  # pylint: disable=broad-except
+    # Escape hatch: if the component-batched Mosaic kernel fails to
+    # compile on this chip, fall back to per-component launches.
+    print(f'batched stiffness kernel failed ({type(e).__name__}); '
+          'falling back to per-component launches', file=sys.stderr)
+    sem = sem.replace(
+        fast_ops=sem.fast_ops.replace(batch_components=False))
+    got = jnp.stack(apply_fast_nodal(ut), axis=-1)
   err = float(jnp.abs(ref - got).max() / (jnp.abs(ref).max() + 1e-30))
   assert err < 1e-3, f'fast vs reference-algorithm mismatch: {err}'
 

@@ -154,6 +154,9 @@ class Sem2DOps:
   # Route the stiffness apply through the fused Pallas kernel
   # (ops.pallas_stiffness); requires a TPU backend.
   use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
+  # Component-batched stiffness launches (stiffness_el_multi); flip off to
+  # fall back to per-component launches without rebuilding the operators.
+  batch_components: bool = flax.struct.field(pytree_node=False, default=True)
 
   # -- 1D contractions (axis 0 = xi, axis 1 = eta; E last) ----------------
 
@@ -198,7 +201,7 @@ class Sem2DOps:
     once for all components (~30% less HBM traffic at 2 components in the
     bandwidth-bound regime) — see `stiffness_el_pallas_batched`.
     """
-    if self.use_pallas and len(us) > 1:
+    if self.use_pallas and self.batch_components and len(us) > 1:
       from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_batched
       return stiffness_el_pallas_batched(us, self.g11, self.g12, self.g22,
                                          self.dmat)
