@@ -83,6 +83,62 @@ def test_taylor_green_rollout(sem):
   assert div < 1e-8, div
 
 
+def test_taylor_green_3d_extruded_rollout():
+  """Quantitative 3D NSE validation: the 2D vortex extruded along z.
+
+  ``u = (TG2D(x, y), 0)`` with z-independent data solves the 3D equations
+  exactly (w = 0, nothing depends on z), so the full 3D pipeline —
+  3D operators, hex pressure solve, 3D dealiased convection — is checked
+  against the closed form, including that the spanwise velocity and
+  z-gradients stay at solver tolerance.
+  """
+  order, dt, nu, time_order = 5, 2e-3, 0.05, 2
+  pm = unit_cube_mesh(3, ndim=3, periodic_dims=(0, 1, 2))
+  sem3 = StokesSEM.create(pm, boundary_conditions={}, order=order)
+  vc = np.asarray(sem3.velocity.mesh.node_coords)
+  pc = np.asarray(sem3.pressure.pspace.mesh.node_coords)
+
+  def ana(t):
+    x, y = vc[:, 0], vc[:, 1]
+    decay = np.exp(-2 * nu * K**2 * t)
+    u = np.stack([np.cos(K * x) * np.sin(K * y),
+                  -np.sin(K * x) * np.cos(K * y),
+                  np.zeros_like(x)], axis=-1) * decay
+    xp, yp = pc[:, 0], pc[:, 1]
+    p = -0.25 * (np.cos(2 * K * xp) + np.cos(2 * K * yp)) * decay**2
+    return jnp.asarray(u), jnp.asarray(p)
+
+  states = [ana(i * dt) for i in range(time_order)]
+  us = tuple(s[0] for s in states)
+  ps = tuple(s[1] for s in states)
+  cus = tuple(sem3.C(u) for u in us)
+  ext = [float(c) for c in extk_coeffs(k=time_order - 1)]
+
+  @jax.jit
+  def step(us, ps, cus):
+    cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
+    u, p, _ = sem3.stokes_one_step(
+        list(us), list(ps), -cu, mu=nu, dt=dt, time_order=time_order,
+        tol=1e-11, atol=1e-11)
+    return us[1:] + (u,), ps[1:] + (p,), cus[1:] + (sem3.C(u),)
+
+  num_steps = 5
+  for _ in range(num_steps):
+    us, ps, cus = step(us, ps, cus)
+
+  t_end = (time_order - 1 + num_steps) * dt
+  u_exact, _ = ana(t_end)
+  err = float(jnp.abs(us[-1] - u_exact).max())
+  # Spatial (spectral) error dominates: measured 9.5e-3 / 3.0e-3 / 6.2e-4
+  # at orders 4/5/6 on the 3^3 mesh.
+  assert err < 5e-3, err
+  # The spanwise component stays at solver tolerance (exactly 0
+  # analytically; measured ~3e-11).
+  assert float(jnp.abs(us[-1][:, 2]).max()) < 1e-9
+  div = float(jnp.abs(sem3.D(us[-1])).max())
+  assert div < 1e-7, div
+
+
 def test_taylor_green_dt_convergence(sem):
   """Halving dt reduces the terminal error ~4x (second-order scheme)."""
   vc = sem.velocity.mesh.node_coords
