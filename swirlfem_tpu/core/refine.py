@@ -37,8 +37,22 @@ def refine_premesh(premesh: Premesh, gridpoints_1d: Nodes1D) -> Premesh:
   if premesh.order != 1:
     raise ValueError(f'expected an order-1 premesh, got order {premesh.order}')
   if premesh.box_info is not None and not premesh.is_partitioned():
+    from swirlfem_tpu.core.structured import _connectivity
     from swirlfem_tpu.core.structured import structured_refine
-    return structured_refine(premesh, gridpoints_1d)
+    from swirlfem_tpu.core.structured import StructuredInfo
+    # The structured path assumes the canonical box connectivity (cell-
+    # lexicographic elements, canonical corner ordering).  A premesh whose
+    # elements were replaced after creation (e.g. per-element corner
+    # relabeling) still carries box_info but violates that assumption —
+    # validate and fall back to the generic refiner, which handles
+    # arbitrary valid labelings (deformed coordinates alone are fine on
+    # the fast path).
+    n, periodic_dims = premesh.box_info
+    info1 = StructuredInfo(num_elements_per_dim=n, order=1,
+                           ndim=premesh.ndim, continuous=True)
+    expected, _, _ = _connectivity(info1, tuple(periodic_dims))
+    if np.array_equal(np.asarray(premesh.elements), expected):
+      return structured_refine(premesh, gridpoints_1d)
   return _Refiner(premesh, gridpoints_1d).refine()
 
 

@@ -160,6 +160,47 @@ class TestSchwarzSolves:
     assert float(jnp.abs(da).max() / jnp.abs(x0).max()) < 1e-5
     assert it1 < it0, (it1, it0)
 
+  def test_3d_overlap_mixed_orientations(self):
+    """Rotated per-element corner orderings: the face pairing and the
+    extended tables must be orientation-invariant (they pair conforming
+    faces by sorted corner uids and never assume aligned local axes)."""
+    import itertools
+    corners = np.array([[(i >> 2) & 1, (i >> 1) & 1, i & 1]
+                        for i in range(8)]) * 2 - 1    # axis 0 slowest
+    rots = []
+    for perm in itertools.permutations(range(3)):
+      for signs in itertools.product((1, -1), repeat=3):
+        m = np.zeros((3, 3))
+        for i, p in enumerate(perm):
+          m[i, p] = signs[i]
+        if np.linalg.det(m) > 0:                       # keep jacdet > 0
+          rc = corners @ m.T
+          rots.append(np.array(
+              [np.nonzero((corners == r).all(1))[0][0] for r in rc]))
+
+    premesh = unit_cube_mesh(3, ndim=3)
+    elements = np.array(premesh.elements)
+    rng = np.random.default_rng(7)
+    for e in range(len(elements)):
+      elements[e] = elements[e][rots[rng.integers(len(rots))]]
+    premesh = premesh.replace(elements=elements)
+
+    bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+    sem = StokesSEM.create(premesh, bcs, order=3)
+    npn = sem.pressure.pspace.mesh.num_nodes
+    rng2 = np.random.default_rng(8)
+    rhs = _project(sem, jnp.asarray(rng2.standard_normal(npn)))
+    matvec = lambda p: sem.E(p, dt=DT, time_order=TIME_ORDER)
+    m0 = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
+                                             overlap=0)
+    m1 = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
+                                             overlap=1)
+    x0, it0 = _pressure_iters(sem, matvec, rhs, M=m0)
+    x1, it1 = _pressure_iters(sem, matvec, rhs, M=m1)
+    da = _project(sem, x0 - x1)
+    assert float(jnp.abs(da).max() / jnp.abs(x0).max()) < 1e-5
+    assert it1 < it0, (it1, it0)
+
   def test_cylinder_step_matches_dense(self):
     """A full NSE step with Schwarz-PCG matches the dense-inverse step."""
     sem, premesh, bcs = _cylinder_sem(order=4)
