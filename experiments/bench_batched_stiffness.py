@@ -8,10 +8,11 @@ regime, plus one fewer launch -- see ops/pallas_stiffness.py.
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -253,31 +253,38 @@ def exchange_indices(
                   if c > 1 and idx != SENTINEL)
   rank = {idx: r for r, idx in enumerate(shared)}
   num_partitions = node_indices.shape[0]
-  # K = max copies of one shared dof within a single partition: 1 for plain
+  # Ragged multi-slot layout: shared dof r gets k_r consecutive slots,
+  # where k_r = max copies of r within any single partition (1 for plain
   # domain decomposition, >1 when periodic images land on the same
-  # partition (e.g. slab layouts of periodic boxes, where the unpartitioned
-  # axis wraps onto itself).  Slot (r, c) of the K-wide layout holds the
-  # c-th local copy of shared dof r; `unique_indices = repeat(arange(S), K)`
-  # is identical on every partition, so it stays a STATIC segment map and
-  # the psum payload stays S floats regardless of K.  The reference raises
-  # on this case (swirl_fem/core/gather_scatter.py:349-353).
+  # partition — e.g. slab layouts of periodic boxes, where the
+  # unpartitioned axis wraps onto itself).  Sizing per dof (rather than a
+  # rectangular S * max_r k_r table) keeps the gather width at
+  # S + #extra-copies instead of doubling it for every shared dof when one
+  # wrap line has k=2.  The segment map `repeat(arange(S), k)` is
+  # identical on every partition, so it stays STATIC and the psum payload
+  # stays S floats regardless of k.  The reference raises on this case
+  # (swirl_fem/core/gather_scatter.py:349-353).
   copies: list[list[list[int]]] = [
       [[] for _ in shared] for _ in range(num_partitions)]
   for p in range(num_partitions):
     for pos, idx in enumerate(node_indices[p].tolist()):
       if idx != SENTINEL and idx in rank:
         copies[p][rank[idx]].append(pos)
-  k_max = max((len(c) for row in copies for c in row), default=1)
-  gather_idx = np.full((num_partitions, len(shared) * k_max), SENTINEL,
-                       dtype=np.int32)
+  k_per = np.ones(len(shared), dtype=np.int64)
+  for row in copies:
+    for r, c in enumerate(row):
+      k_per[r] = max(k_per[r], len(c))
+  offsets = np.concatenate([[0], np.cumsum(k_per)])
+  total = int(offsets[-1])
+  gather_idx = np.full((num_partitions, total), SENTINEL, dtype=np.int32)
   for p in range(num_partitions):
     for r, poss in enumerate(copies[p]):
       for c, pos in enumerate(poss):
-        gather_idx[p, r * k_max + c] = pos
-  if k_max == 1:
+        gather_idx[p, offsets[r] + c] = pos
+  if total == len(shared):
     return gather_idx, None
   return gather_idx, np.repeat(
-      np.arange(len(shared), dtype=np.int32), k_max)
+      np.arange(len(shared), dtype=np.int32), k_per)
 
 
 def pad_ragged(rows: list[np.ndarray]) -> np.ndarray:

@@ -515,11 +515,8 @@ class StokesSEM:
 
   def _fast_stiffness(self, ut):
     ops = self.fast_ops
-    if hasattr(ops, 'stiffness_el_multi'):
-      a_el = ops.stiffness_el_multi(tuple(self._v_el(u) for u in ut))
-      return tuple(self._v_el_cov(a) for a in a_el)
-    return tuple(
-        self._v_el_cov(ops.stiffness_el(self._v_el(u))) for u in ut)
+    a_el = ops.stiffness_el_multi(tuple(self._v_el(u) for u in ut))
+    return tuple(self._v_el_cov(a) for a in a_el)
 
   def _fast_D(self, ut):
     comps = [self._v_el(u) for u in ut]
@@ -1348,9 +1345,6 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
   def unflat(w):
     return w.reshape((kk,) * d + eshape)
 
-  def stiff(w):
-    return unflat(ops.stiffness_el(flat(w)))
-
   def div_el(ut):
     return ops.divergence_el(*[flat(c) for c in ut]).reshape(
         (mm,) * d + eshape)
@@ -1370,11 +1364,9 @@ def stokes_step_el(mod, ops, us_el, ps_el, f_el, *, mu, dt, time_order,
   beta_hist, beta_k = coeffs[:-1], coeffs[-1]
 
   def H_t(ut):
-    if hasattr(ops, 'stiffness_el_multi'):
-      a_el = ops.stiffness_el_multi(tuple(flat(w) for w in ut))
-      return tuple((beta_k / dt) * wmass * w + mu * unflat(a)
-                   for w, a in zip(ut, a_el))
-    return tuple((beta_k / dt) * wmass * w + mu * stiff(w) for w in ut)
+    a_el = ops.stiffness_el_multi(tuple(flat(w) for w in ut))
+    return tuple((beta_k / dt) * wmass * w + mu * unflat(a)
+                 for w, a in zip(ut, a_el))
 
   hist = tmap(lambda *xs: sum(c * x for c, x in zip(beta_hist, xs)) / dt,
               *us_el)

@@ -142,26 +142,28 @@ def stiffness_el_pallas_kron(u: jax.Array, g11: jax.Array, g12: jax.Array,
   return out.reshape(n, n, num_e)
 
 
-def _kernel_rows_batched(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref,
-                         *, num_components: int):
-  """Component-batched `_kernel_rows`: u/out are ``(C * n^2, TE)`` tiles.
+def _kernel_rows_batched(d_ref, *refs, num_components: int):
+  """Component-batched `_kernel_rows`: one launch for all C components.
 
-  All velocity components ride one launch, so the three geometric-factor
+  Each component is its own ``(n^2, TE)`` input/output ref (NOT a
+  concatenated buffer: `pallas_call` operands must be materialized, so a
+  `jnp.concatenate` before the call would cost an extra ``2 C n^2 E`` of
+  HBM traffic — more than the fusion saves).  The three geometric-factor
   tiles are read from HBM ONCE instead of once per component: bytes per
   apply drop from ``C * (2 + 3) n^2 E`` to ``(2 C + 3) n^2 E`` (30% less
   at C=2 in the HBM-bound regime), plus C-1 fewer kernel launches.
   """
+  u_refs = refs[:num_components]
+  g11_ref, g12_ref, g22_ref = refs[num_components:num_components + 3]
+  out_refs = refs[num_components + 3:]
   d = d_ref[:]
   n = d.shape[0]
-
-  def blk(ref, c, a):  # rows of component c, local-xi index a: (n, TE)
-    return ref[(c * n + a) * n:(c * n + a + 1) * n]
 
   g11 = [g11_ref[a * n:(a + 1) * n] for a in range(n)]
   g12 = [g12_ref[a * n:(a + 1) * n] for a in range(n)]
   g22 = [g22_ref[a * n:(a + 1) * n] for a in range(n)]
-  for c in range(num_components):
-    ub = [blk(u_ref, c, a) for a in range(n)]
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    ub = [u_ref[a * n:(a + 1) * n] for a in range(n)]
     ur = [sum(d_ref[a, m] * ub[m] for m in range(n)) for a in range(n)]
     us = [jnp.dot(d, ub[a], precision=jax.lax.Precision.HIGHEST,
                   preferred_element_type=ub[a].dtype) for a in range(n)]
@@ -171,7 +173,7 @@ def _kernel_rows_batched(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref,
       t1 = sum(d_ref[a, m] * fa[a] for a in range(n))
       t2 = jnp.dot(d.T, fb[m], precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=t1.dtype)
-      out_ref[(c * n + m) * n:(c * n + m + 1) * n] = t1 + t2
+      out_ref[m * n:(m + 1) * n] = t1 + t2
 
 
 def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
@@ -192,24 +194,20 @@ def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
   d = jnp.asarray(dmat, dtype=us[0].dtype)
 
   grid = (num_e // tile_e,)
-  ublock = pl.BlockSpec((c * n * n, tile_e), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
-  gblock = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
+  block = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
   dspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
   flat = lambda x: x.reshape(n * n, num_e)
-  u_stack = jnp.concatenate([flat(u) for u in us], axis=0)
-  out = pl.pallas_call(
+  outs = pl.pallas_call(
       functools.partial(_kernel_rows_batched, num_components=c),
-      out_shape=jax.ShapeDtypeStruct((c * n * n, num_e), us[0].dtype),
+      out_shape=[jax.ShapeDtypeStruct((n * n, num_e), us[0].dtype)] * c,
       grid=grid,
-      in_specs=[dspec, ublock, gblock, gblock, gblock],
-      out_specs=ublock,
+      in_specs=[dspec] + [block] * (c + 3),
+      out_specs=[block] * c,
       interpret=interpret,
-  )(d, u_stack, flat(g11), flat(g12), flat(g22))
-  return tuple(out[i * n * n:(i + 1) * n * n].reshape(n, n, num_e)
-               for i in range(c))
+  )(d, *[flat(u) for u in us], flat(g11), flat(g12), flat(g22))
+  return tuple(o.reshape(n, n, num_e) for o in outs)
 
 
 def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,

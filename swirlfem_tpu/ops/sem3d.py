@@ -165,6 +165,11 @@ class Sem3DOps:
     c = self.g13 * ur + self.g23 * us + self.g33 * ut
     return self._ax0(d.T, a) + self._ax1(d.T, b) + self._ax2(d.T, c)
 
+  def stiffness_el_multi(self, us):
+    """A_local on a tuple of components (per-component in 3D; the
+    component-batched Pallas fusion exists for 2D only, `ops.sem2d`)."""
+    return tuple(self.stiffness_el(u) for u in us)
+
   def stiffness_diag_el(self) -> jax.Array:
     """Element-local diagonal of the stiffness operator (closed form)."""
     d = self._m(self.dmat)

@@ -162,8 +162,11 @@ class _BinReader:
     self._f8 = np.dtype(byteorder + 'f8')
 
   def line(self) -> str:
-    end = self._data.index(b'\n', self._pos)
-    out = self._data[self._pos:end].decode('ascii').strip()
+    end = self._data.find(b'\n', self._pos)
+    if end < 0:
+      raise ValueError('malformed binary MSH: unterminated line at byte '
+                       f'{self._pos}')
+    out = self._data[self._pos:end].decode('utf-8').strip()
     self._pos = end + 1
     return out
 
@@ -173,6 +176,10 @@ class _BinReader:
       self._pos += 1
 
   def _array(self, dtype, n):
+    if self._pos + n * dtype.itemsize > len(self._data):
+      raise ValueError(
+          f'malformed/truncated binary MSH: wanted {n} x {dtype} at byte '
+          f'{self._pos}, file has {len(self._data)} bytes')
     out = np.frombuffer(self._data, dtype=dtype, count=n, offset=self._pos)
     self._pos += n * dtype.itemsize
     return out
@@ -291,10 +298,16 @@ def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
     elif name.startswith('End'):
       continue
     else:
-      # Unknown section: skip to its end marker (these are rare and, per
-      # the spec, written by gmsh as ASCII).
+      # Unknown section ($NodeData etc. — binary payloads in binary
+      # files): skip to its end marker.  A payload could in principle
+      # contain marker-resembling bytes; supported sections are parsed by
+      # their self-describing counts and never hit this scan.
       marker = f'$End{name}'.encode('ascii')
-      r._pos = data.index(marker, r._pos) + len(marker)
+      end = data.find(marker, r._pos)
+      if end < 0:
+        raise ValueError(f'malformed binary MSH: unterminated ${name} '
+                         'section')
+      r._pos = end + len(marker)
       continue
     r.skip_newline()
     end_line = r.line()
@@ -339,7 +352,7 @@ def read(path, ndim: int) -> Premesh:
         f'only MSH format 4.x is supported, got {version[0].decode()}')
   file_type = int(version[1])
   if file_type == 0:
-    parsed = _parse_ascii(data.decode('ascii'))
+    parsed = _parse_ascii(data.decode('utf-8'))
   else:
     size_t_bytes = int(version[2])
     # The binary int 1 written right after the version line probes byte

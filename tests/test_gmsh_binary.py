@@ -121,6 +121,21 @@ def test_binary_matches_ascii(tmp_path, fname, ndim):
     np.testing.assert_array_equal(pm_b.periodic_links, pm_a.periodic_links)
 
 
+def test_non_ascii_physical_names(tmp_path):
+  """UTF-8 physical names parse in both encodings (regression: the byte-
+  mode reader briefly decoded with the strict ascii codec)."""
+  with open(f'{TESTDATA}/kovasznay.msh') as f:
+    text = f.read().replace('"left"', '"entrée"')
+  apath = tmp_path / 'utf8.msh'
+  apath.write_text(text, encoding='utf-8')
+  pm_a = G.read(str(apath), ndim=2)
+  assert 'entrée' in pm_a.physical_groups
+  bpath = tmp_path / 'utf8_bin.msh'
+  bpath.write_bytes(to_binary_msh(text))
+  pm_b = G.read(str(bpath), ndim=2)
+  assert 'entrée' in pm_b.physical_groups
+
+
 def test_binary_mesh_finalizes(tmp_path):
   """The binary-parsed periodic mesh survives refine + finalize."""
   with open(f'{TESTDATA}/kovasznay.msh') as f:
