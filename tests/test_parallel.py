@@ -195,6 +195,74 @@ def test_slab_periodic_partition_step(dmesh):
                              np.asarray(p_exp)[p_idx[valid_p]], atol=1e-7)
 
 
+def test_partitioned_step_gradient_matches_unpartitioned(dmesh):
+  """Training-path parity: d(loss)/d(forcing scale) through the partitioned
+  generic step equals the single-device gradient (and finite differences).
+
+  Exercises the custom_linear_solve TRANSPOSE solves of both CGs under
+  shard_map, including the floor-guard checkpoint logic."""
+  parts = np.array([[0, 1], [2, 3]])
+  pm = unit_cube_mesh(4, ndim=2, partitions=parts)
+  coords = np.asarray(pm.node_coords)
+  warped = np.stack([coords[:, 0] + 0.05 * np.sin(np.pi * coords[:, 1]),
+                     coords[:, 1]], axis=-1)
+  pm = pm.replace(node_coords=warped)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  mu, dt, k = 1.0, 1e-2, 2
+
+  sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=4)
+  sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                           device_mesh=dmesh)
+  vc = np.asarray(sem_u.velocity.mesh.node_coords)
+  mask = np.asarray(sem_u.velocity.interior_mask)
+  u0 = jnp.asarray(np.stack(
+      [np.sin(np.pi * vc[:, 1]) * vc[:, 0] * (1 - vc[:, 0]),
+       np.cos(np.pi * vc[:, 0]) * 0.1], axis=-1) * mask)
+  p0 = jnp.zeros(sem_u.pressure.pspace.mesh.num_nodes)
+
+  def loss_u(theta):
+    u, _, _ = sem_u.stokes_one_step(
+        [u0, 0.9 * u0], [p0, p0], theta * u0, mu=mu, dt=dt, time_order=k,
+        tol=1e-12, atol=1e-12)
+    return jnp.vdot(u, u)
+
+  v_idx = np.asarray(sem_p.velocity.mesh.node_indices)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  valid_v = (v_idx != -1)
+  shard_v = lambda u: jnp.asarray(np.asarray(u)[np.clip(v_idx, 0, None)]
+                                  * valid_v[..., None])
+  shard_p = lambda p: jnp.asarray(np.asarray(p)[np.clip(p_idx, 0, None)]
+                                  * (p_idx != -1))
+  u0_sh, p0_sh = shard_v(u0), shard_p(p0)
+  # Per-copy weights so the distributed loss counts each global dof once.
+  mult = np.zeros(sem_u.velocity.mesh.num_nodes)
+  np.add.at(mult, v_idx[valid_v], 1.0)
+  w_sh = jnp.asarray((valid_v / np.maximum(mult[np.clip(v_idx, 0, None)],
+                                           1.0))[..., None])
+  # The forcing is a COVECTOR: shared dofs must be split among copies
+  # (full values at every copy would double-count in the assembly).
+  f_base_sh = w_sh * u0_sh
+
+  def step_loss(sem, us, ps, f, w):
+    u, _, _ = sem.stokes_one_step(us, ps, f, mu=mu, dt=dt, time_order=k,
+                                  tol=1e-12, atol=1e-12)
+    return jax.lax.psum(jnp.vdot(jnp.sqrt(w) * u, jnp.sqrt(w) * u), 'part')
+
+  run = spmd_map(step_loss, dmesh, 'part')
+
+  def loss_p(theta):
+    return run(sem_p, [u0_sh, 0.9 * u0_sh], [p0_sh, p0_sh],
+               theta * f_base_sh, w_sh)[0]
+
+  theta = 0.2
+  g_u = float(jax.grad(loss_u)(theta))
+  g_p = float(jax.grad(loss_p)(theta))
+  eps = 1e-6
+  fd = float((loss_u(theta + eps) - loss_u(theta - eps)) / (2 * eps))
+  np.testing.assert_allclose(g_u, fd, rtol=1e-6)
+  np.testing.assert_allclose(g_p, g_u, rtol=1e-9)
+
+
 def test_spmd_map_psum():
   dmesh = device_mesh('x', 8)
   f = spmd_map(lambda v: jax.lax.psum(v, 'x'), dmesh, 'x')
