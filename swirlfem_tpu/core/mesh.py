@@ -178,3 +178,57 @@ class Mesh:
         unique_indices=self.exchange_unique_indices,
         axis_name=self.axis_name,
         scatter_slots=self.exchange_scatter_slots)
+
+  def shard_nodal(self, values: np.ndarray, kind: str = 'field'):
+    """Stacked per-partition shards of a GLOBAL nodal array (host-side).
+
+    Only meaningful on a partitioned mesh, whose `node_indices` is the
+    stacked ``(P, n_local)`` local->global map.  Two sharding conventions
+    exist and mixing them up silently corrupts distributed solves:
+
+    * ``kind='field'``: consistent fields (velocity/pressure STATES) —
+      every copy of a shared dof receives the full value.
+    * ``kind='covector'``: assembled quantities (FORCINGS, rhs) — shared
+      dofs are split among copies by multiplicity so the distributed
+      assembly (``exchange``) reproduces the global covector; passing a
+      full-value shard here double-counts shared dofs.
+
+    `values` has shape ``(num_global_nodes, ...)``; the result prepends
+    the partition axis, with SENTINEL-padded slots zeroed.  Pass the
+    result through ``spmd_map`` like every other partitioned array.
+    """
+    idx = np.asarray(self.node_indices)
+    if idx.ndim != 2:
+      raise ValueError('shard_nodal requires a partitioned mesh')
+    if kind not in ('field', 'covector'):
+      raise ValueError(f"kind must be 'field' or 'covector', got {kind!r}")
+    values = np.asarray(values)
+    valid = idx != topology.SENTINEL
+    out = values[np.clip(idx, 0, None)]
+    w = valid.astype(values.dtype)
+    if kind == 'covector':
+      mult = np.zeros(len(values))
+      np.add.at(mult, idx[valid], 1.0)
+      w = w / np.maximum(mult[np.clip(idx, 0, None)], 1.0)
+    return jnp.asarray(out * w.reshape(w.shape + (1,) * (values.ndim - 1)))
+
+  def unshard_nodal(self, shards) -> np.ndarray:
+    """Global nodal array from stacked per-partition shards (host-side).
+
+    Copies of a shared dof are averaged (they are equal for consistent
+    fields; averaging also tolerates padded-slot zeros being excluded).
+    """
+    idx = np.asarray(self.node_indices)
+    if idx.ndim != 2:
+      raise ValueError('unshard_nodal requires a partitioned mesh')
+    shards = np.asarray(shards)
+    valid = idx != topology.SENTINEL
+    num_global = int(idx.max()) + 1
+    total = np.zeros((num_global,) + shards.shape[2:], shards.dtype)
+    count = np.zeros(num_global)
+    np.add.at(total, idx[valid], shards[valid])
+    np.add.at(count, idx[valid], 1.0)
+    # The deduped global id space may have holes (periodic slave ids are
+    # folded into their masters and never appear): leave zeros there.
+    return total / np.maximum(count, 1.0).reshape(
+        (-1,) + (1,) * (shards.ndim - 2))

@@ -195,6 +195,37 @@ def test_slab_periodic_partition_step(dmesh):
                              np.asarray(p_exp)[p_idx[valid_p]], atol=1e-7)
 
 
+def test_shard_nodal_conventions(dmesh):
+  """mesh.shard_nodal/unshard_nodal: field roundtrip + covector assembly."""
+  parts = np.array([[0, 1], [2, 3]])
+  pm = unit_cube_mesh(4, ndim=2, periodic_dims=(1,), partitions=parts)
+  grid = Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)
+  refined = refine_premesh(pm, grid)
+  mesh_p = refined.finalize(axis_name='part', device_mesh=dmesh)
+  mesh_u = refined.replace(partitions=None).finalize()
+
+  # Global arrays live in the DEDUPED id space of the partitioned map
+  # (which has holes where periodic slave ids were folded away).
+  idx_p = np.asarray(mesh_p.node_indices)
+  num_global = int(idx_p.max()) + 1
+  present = np.zeros(num_global, dtype=bool)
+  present[idx_p[idx_p != -1]] = True
+  rng = np.random.default_rng(0)
+  g = rng.standard_normal((num_global, 2)) * present[:, None]
+
+  sh = mesh_p.shard_nodal(g, 'field')
+  np.testing.assert_allclose(mesh_p.unshard_nodal(np.asarray(sh)), g,
+                             atol=0)
+  # Covector split: exchanging the covector shard reassembles the full
+  # values at every copy (= the field shard).
+  cov = mesh_p.shard_nodal(g, 'covector')
+  ex = spmd_map(lambda m, x: jax.vmap(m.exchange, in_axes=-1, out_axes=-1)(x),
+                dmesh, 'part')(mesh_p, cov)
+  np.testing.assert_allclose(np.asarray(ex), np.asarray(sh), atol=1e-12)
+  with pytest.raises(ValueError):
+    mesh_u.shard_nodal(g)
+
+
 def test_partitioned_step_gradient_matches_unpartitioned(dmesh):
   """Training-path parity: d(loss)/d(forcing scale) through the partitioned
   generic step equals the single-device gradient (and finite differences).
