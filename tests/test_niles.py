@@ -162,3 +162,37 @@ def test_train_step_end_to_end(cfg, model_and_params):
   m1 = ev(state, batch, jax.random.PRNGKey(4))
   m2 = ev(new_state, batch, jax.random.PRNGKey(4))
   assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
+
+
+def test_training_reduces_loss(cfg, model_and_params):
+  """A dozen adamw steps on one batch reduce the solver-in-the-loop loss."""
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  model, _ = model_and_params
+  lr_fn = lambda step: 1e-2
+  kl_fn = niles_train.create_kl_penalty_fn(cfg, 100)
+  state = niles_train.create_train_state(jax.random.PRNGKey(0), model,
+                                         lr_fn, cfg)
+  sem = StokesSEM.create(
+      unit_cube_mesh(cfg.element_grid_size, periodic_dims=(0, 1)),
+      boundary_conditions={}, order=cfg.order)
+  sem = jax.tree.map(
+      lambda x: x.astype(jnp.float32)
+      if jnp.issubdtype(x.dtype, jnp.floating) else x, sem)
+  it = input_pipeline.create_split(cfg.batch_size, train=True, config=cfg,
+                                   prefetch=0)
+  batch = jax.tree.map(jnp.asarray, next(it))
+  step = jax.jit(functools.partial(
+      niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
+      sem=sem, config=cfg))
+  losses = []
+  key = jax.random.PRNGKey(0)  # fixed SDE key: deterministic overfit signal
+  for _ in range(15):
+    state, metrics = step(state, batch, key)
+    losses.append(float(metrics['mse']))
+  assert all(np.isfinite(losses)), losses
+  # Overfitting one batch: the tail must improve on the start.  The MSE
+  # floor is dominated by the un-closured solver error at this tiny scale,
+  # so the learnable margin is small (measured ~1.6% by step 15).
+  assert min(losses[-3:]) < 0.995 * losses[0], losses
