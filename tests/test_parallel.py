@@ -294,6 +294,63 @@ def test_partitioned_step_gradient_matches_unpartitioned(dmesh):
   np.testing.assert_allclose(g_p, g_u, rtol=1e-9)
 
 
+def test_partitioned_step_f32_below_floor(dmesh):
+  """f32 partitioned step at tol far below the f32 floor (TPU regime).
+
+  Exercises the full below-floor protection stack: bitwise-consistent
+  exchange (copies cannot wander in the redundant kernel), the CG
+  breakdown guard, and the true-residual checkpoint guard.  The result
+  must be floor-accurate against the f64 oracle, not garbage."""
+  parts = np.array([[0, 1], [2, 3]])
+  pm = unit_cube_mesh(4, ndim=2, partitions=parts)
+  coords = np.asarray(pm.node_coords)
+  warped = np.stack([coords[:, 0] + 0.05 * np.sin(np.pi * coords[:, 1]),
+                     coords[:, 1]], axis=-1)
+  pm = pm.replace(node_coords=warped)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  mu, dt, k = 1.0, 1e-2, 2
+
+  sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=4)
+  sem_p64 = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                             device_mesh=dmesh)
+  to32 = lambda t: jax.tree.map(
+      lambda x: x.astype(jnp.float32)
+      if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
+  sem_p = to32(sem_p64)
+
+  vc = np.asarray(sem_u.velocity.mesh.node_coords)
+  mask = np.asarray(sem_u.velocity.interior_mask)
+  u0 = jnp.asarray(np.stack(
+      [np.sin(np.pi * vc[:, 1]) * vc[:, 0] * (1 - vc[:, 0]),
+       np.cos(np.pi * vc[:, 0]) * 0.1], axis=-1) * mask)
+  p0 = jnp.zeros(sem_u.pressure.pspace.mesh.num_nodes)
+
+  u_exp, _, _ = sem_u.stokes_one_step(
+      [u0, 0.9 * u0], [p0, p0], 0.0 * u0, mu=mu, dt=dt, time_order=k,
+      tol=1e-13, atol=1e-13)
+
+  v_idx = np.asarray(sem_p.velocity.mesh.node_indices)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  u0_sh = sem_p64.velocity.mesh.shard_nodal(np.asarray(u0)).astype(
+      jnp.float32)
+  p0_sh = jnp.zeros(p_idx.shape, jnp.float32)
+
+  def step(sem, us, ps, f):
+    # tol 1e-12 is far below the attainable f32 floor: the solve must
+    # stop at the floor and return the best iterate.
+    return sem.stokes_one_step(us, ps, f, mu=mu, dt=dt, time_order=k,
+                               tol=1e-12, atol=1e-12)
+
+  run = spmd_map(step, dmesh, 'part')
+  u_got, _, _ = run(sem_p, [u0_sh, jnp.float32(0.9) * u0_sh],
+                    [p0_sh, p0_sh], jnp.zeros_like(u0_sh))
+  valid_v = v_idx != -1
+  err = np.abs(np.asarray(u_got)[valid_v]
+               - np.asarray(u_exp)[v_idx[valid_v]]).max()
+  scale = np.abs(np.asarray(u_exp)).max()
+  assert err < 2e-4 * max(scale, 1.0), (err, scale)
+
+
 def test_spmd_map_psum():
   dmesh = device_mesh('x', 8)
   f = spmd_map(lambda v: jax.lax.psum(v, 'x'), dmesh, 'x')
