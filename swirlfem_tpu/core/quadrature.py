@@ -186,21 +186,23 @@ def barycentric_weights(nodes: Nodes1D) -> np.ndarray:
   return 1.0 / np.prod(diffs, axis=1)
 
 
-def interpolation_matrix_1d(grid: Nodes1D, evalpoints: Nodes1D) -> np.ndarray:
-  """Matrix L with L[q, j] = lagrange_j(evalpoints[q]) on the `grid` nodes.
+def lagrange_eval_matrix(grid: Nodes1D, points: np.ndarray) -> np.ndarray:
+  """Matrix L with L[q, j] = lagrange_j(points[q]) on the `grid` nodes.
 
-  Uses the "true" barycentric formula (Berrut & Trefethen eq. 4.2).  When an
+  `points` is any float array of evaluation abscissae on [-1, 1].  Uses the
+  "true" barycentric formula (Berrut & Trefethen eq. 4.2).  When an
   evaluation point coincides exactly with a grid node the row is the
   corresponding unit vector (the IEEE cancellation argument of B&T section 7
   also applies, but we special-case for exactness).
   """
+  points = np.asarray(points, dtype=np.float64)
   if grid.num_points == 1:
     # Interpolation from a single sample is the constant extension.
-    return np.ones((evalpoints.num_points, 1), dtype=np.float64)
+    return np.ones((len(points), 1), dtype=np.float64)
   w = barycentric_weights(grid)
   xg = grid.points
-  out = np.zeros((evalpoints.num_points, grid.num_points), dtype=np.float64)
-  for q, xq in enumerate(evalpoints.points):
+  out = np.zeros((len(points), grid.num_points), dtype=np.float64)
+  for q, xq in enumerate(points):
     exact = np.nonzero(xq == xg)[0]
     if exact.size:
       out[q, exact[0]] = 1.0
@@ -208,6 +210,11 @@ def interpolation_matrix_1d(grid: Nodes1D, evalpoints: Nodes1D) -> np.ndarray:
     terms = w / (xq - xg)
     out[q] = terms / terms.sum()
   return out
+
+
+def interpolation_matrix_1d(grid: Nodes1D, evalpoints: Nodes1D) -> np.ndarray:
+  """Matrix L with L[q, j] = lagrange_j(evalpoints[q]) on the `grid` nodes."""
+  return lagrange_eval_matrix(grid, evalpoints.points)
 
 
 def differentiation_matrix_1d(grid: Nodes1D) -> np.ndarray:

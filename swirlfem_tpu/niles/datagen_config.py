@@ -17,7 +17,7 @@ def get_config() -> ml_collections.ConfigDict:
   config.num_cycles = 500
   config.num_steps_per_cycle = 500
   config.dt = 1e-4
-  config.drag_coeff = 0.1
+  config.drag_coeff = 0.05  # reference kolmogorov_re_1000.py:47
   config.forcing_wavenumber = 4.0
   config.snapshot_every = 10
   config.split = 'train'

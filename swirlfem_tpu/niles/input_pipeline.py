@@ -52,7 +52,9 @@ def get_num_examples(dataset_dir: str, train: bool, window_size: int,
                      window_stride: int, debug: bool = False) -> int:
   """Number of windows across all shards of the split."""
   if debug:
-    return 512
+    # Must match _WindowDataset's synthetic split (window_size + 64 frames)
+    # so steps_per_epoch is honest in debug runs.
+    return _windows_per_shard(window_size + 64, window_size, window_stride)
   total = 0
   for path in _list_shards(dataset_dir, train):
     with h5py.File(path, 'r') as f:
@@ -80,7 +82,7 @@ class _WindowDataset:
       frames = window_size + 64
       self._u, self._p = _synthetic_frames(config, frames,
                                            seed=0 if train else 1)
-      self._index = [(0, i) for i in range(
+      self._index = [(0, i * window_stride) for i in range(
           _windows_per_shard(frames, window_size, window_stride))]
       self._shards = None
     else:
@@ -115,12 +117,18 @@ class _WindowDataset:
 
 
 def create_split(batch_size: int, train: bool, config,
-                 prefetch: int = 2, seed: int = 0) -> Iterator[dict]:
+                 prefetch: int = 2, seed: int = 0,
+                 restrict_fn=None) -> Iterator[dict]:
   """Yields batches ``{'u': (B, W, nodes, ndim), 'p': (B, W, pnodes)}``.
 
   Batches are sharded per host: host k draws the k-th contiguous slice of
   each global shuffled epoch (reference parity: input_pipeline.py:137-143).
   Iterates forever (repeat), reshuffling each epoch for training.
+
+  `restrict_fn` (e.g. :func:`swirlfem_tpu.niles.coarsen.make_restriction`)
+  is applied to each window dict in the loader thread — the DNS -> LES
+  resolution bridge when shards were generated at a finer resolution than
+  the training solver.
   """
   window = config.train_window_size if train else config.eval_window_size
   stride = config.train_window_stride if train else config.eval_window_stride
@@ -128,6 +136,11 @@ def create_split(batch_size: int, train: bool, config,
   host_count = jax.process_count()
   host_id = jax.process_index()
   per_host = len(ds) // host_count
+  if per_host < batch_size:
+    raise ValueError(
+        f'per-host example count {per_host} (of {len(ds)} total over '
+        f'{host_count} hosts) is smaller than batch_size {batch_size}: '
+        'the loader would never yield a batch')
 
   def generate():
     rng = np.random.default_rng(seed)
@@ -139,6 +152,8 @@ def create_split(batch_size: int, train: bool, config,
       local = order[host_id * per_host:(host_id + 1) * per_host]
       for i in range(0, len(local) - batch_size + 1, batch_size):
         items = [ds.get(int(j)) for j in local[i:i + batch_size]]
+        if restrict_fn is not None:
+          items = [restrict_fn(it) for it in items]
         yield {k: np.stack([it[k] for it in items]) for k in items[0]}
       epoch += 1
 

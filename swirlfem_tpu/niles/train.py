@@ -51,7 +51,7 @@ from swirlfem_tpu.utils.box import unit_cube_mesh
 
 def kolmogorov_forcing(config, x, u):
   """Body force: sin(2 pi k y) in x plus linear drag (datagen parity)."""
-  k = 4.0
+  k = config.get('forcing_wavenumber', 4.0)
   f0 = jnp.sin(2 * jnp.pi * k * x[..., 1])
   f = jnp.stack([f0, jnp.zeros_like(f0)], axis=-1)
   return f - config.drag_coeff * u
@@ -393,13 +393,27 @@ def train_and_evaluate(config, workdir: str):
 
   rng = jax.random.PRNGKey(0)
   if config.batch_size % jax.device_count():
-    raise ValueError('batch size must divide the device count')
+    raise ValueError(
+        f'batch size {config.batch_size} must be divisible by the device '
+        f'count {jax.device_count()}')
   local_batch_size = config.batch_size // jax.process_count()
 
   # Data-parallel device mesh; batches are sharded on their leading axis.
   mesh = jax.sharding.Mesh(np.asarray(jax.devices()), ('batch',))
   batch_sharding = NamedSharding(mesh, P('batch'))
   replicated = NamedSharding(mesh, P())
+
+  def put_batch(local_batch):
+    # Each host loads its own local_batch_size rows; assemble the GLOBAL
+    # batch_size-row array from the per-process shards.  A bare
+    # device_put(local, batch_sharding) would instead treat every host's
+    # local rows as the whole global array (dropping 1 - 1/P of the data
+    # and shrinking the true batch by P).
+    if jax.process_count() == 1:
+      return jax.device_put(local_batch, batch_sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(batch_sharding, x),
+        local_batch)
 
   train_iter = input_pipeline.create_split(local_batch_size, True, config)
   eval_iter = input_pipeline.create_split(local_batch_size, False, config)
@@ -455,7 +469,7 @@ def train_and_evaluate(config, workdir: str):
   for step in range(step_offset, num_steps):
     if profile is not None:
       profile(step)
-    batch = jax.device_put(next(train_iter), batch_sharding)
+    batch = put_batch(next(train_iter))
     step_rng = jax.random.fold_in(train_rng, step)
     state, metrics = p_train_step(state, batch, step_rng)
 
@@ -475,7 +489,7 @@ def train_and_evaluate(config, workdir: str):
     if (step + 1) % eval_every_steps == 0:
       evals = []
       for _ in range(config.steps_per_eval):
-        eval_batch = jax.device_put(next(eval_iter), batch_sharding)
+        eval_batch = put_batch(next(eval_iter))
         evals.append(jax.device_get(
             p_eval_step(state, eval_batch,
                         jax.random.fold_in(eval_rng, step))))

@@ -102,13 +102,10 @@ def crystal_router_spmd(n, data, target, *, axis_name, out_capacity,
     # Dense fallback (XLA:CPU has no ragged-all-to-all): bucket entries by
     # destination into a (P, cap) buffer, dense all_to_all, then compact.
     # O(P * cap) buffer - fine for setup-scale traffic.
-    slot_in_bucket = jnp.arange(cap) - input_offsets[
-        jnp.clip(jnp.searchsorted(jnp.cumsum(send_sizes),
-                                  jnp.arange(cap), side='right'),
-                 0, num - 1)]
     dest_of_sorted = jnp.clip(
         jnp.searchsorted(jnp.cumsum(send_sizes), jnp.arange(cap),
                          side='right'), 0, num - 1)
+    slot_in_bucket = jnp.arange(cap) - input_offsets[dest_of_sorted]
     sorted_valid = jnp.arange(cap) < n
     # Validity of received rows: row r from src s is live iff
     # r < count_matrix[s, me].

@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 from typing import Any, Callable
 
+import jax
 import jax.numpy as jnp
 from flax.core.lift import CollectionFilter
 from flax.core.lift import pack
@@ -56,7 +57,11 @@ def core_sdeint(
 
     if all(map(initializing, scope)):
       drift, diffusion = fn(scope, y0, ts[0], dw[0], *rest)
-      out = jnp.stack([drift + diffusion] * (len(ts) - 1))
+      # Dummy output with the APPLY-path structure: a stacked pytree (one
+      # entry per step), leafwise — `drift + diffusion` on the raw pytrees
+      # would TypeError on dicts and concatenate tuples.
+      out = jax.tree_util.tree_map(
+          lambda d, g: jnp.stack([d + g] * (len(ts) - 1)), drift, diffusion)
       return out, repack_fn(scope)
 
     integrated = sdeint(deriv_fn, y0, ts, dw, variable_groups, rng_groups,

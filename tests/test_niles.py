@@ -111,6 +111,84 @@ def test_datagen_writes_readable_shards(tmp_path):
     assert np.isfinite(f['u'][:]).all()
 
 
+def test_dns_to_les_restriction_spectral_accuracy():
+  """coarsen.make_restriction: exact SEM point evaluation at LES nodes."""
+  import ml_collections as mlc
+  from swirlfem_tpu.core.quadrature import Nodes1D, NodeType
+  from swirlfem_tpu.core.refine import refine_premesh
+  from swirlfem_tpu.niles import coarsen
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  les = mlc.ConfigDict(dict(ndim=2, element_grid_size=4, order=3))
+  dns_grid, dns_order = 8, 6
+  restrict = coarsen.make_restriction(dns_grid, dns_order, les)
+
+  dns_v = refine_premesh(
+      unit_cube_mesh(dns_grid, ndim=2, periodic_dims=(0, 1)),
+      Nodes1D.create(dns_order + 1,
+                     NodeType.GAUSS_LOBATTO_LEGENDRE)).finalize()
+  les_v = refine_premesh(
+      unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+      Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)).finalize()
+  dns_p = refine_premesh(
+      unit_cube_mesh(dns_grid, ndim=2, periodic_dims=(0, 1)),
+      Nodes1D.create(dns_order - 1, NodeType.GAUSS_LEGENDRE)).finalize()
+  les_p = refine_premesh(
+      unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+      Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)).finalize()
+
+  f = lambda c: np.sin(2 * np.pi * c[:, 0]) * np.cos(2 * np.pi * c[:, 1])
+  cu = np.asarray(dns_v.node_coords)
+  u_dns = np.stack([f(cu), 2 * f(cu)], axis=-1).astype(np.float32)
+  p_dns = f(np.asarray(dns_p.node_coords)).astype(np.float32)
+  # Leading (window) axis passes through untouched.
+  window = {'u': np.stack([u_dns, 0.5 * u_dns]),
+            'p': np.stack([p_dns, 0.5 * p_dns])}
+  out = restrict(window)
+  assert out['u'].shape == (2, les_v.num_nodes, 2)
+  assert out['p'].shape == (2, les_p.num_nodes)
+  cl = np.asarray(les_v.node_coords)
+  exact = np.stack([f(cl), 2 * f(cl)], axis=-1)
+  # Order-6 DNS interpolation of sin/cos: ~1e-5 in f32.
+  assert np.abs(out['u'][0] - exact).max() < 1e-4
+  assert np.abs(out['u'][1] - 0.5 * exact).max() < 1e-4
+  exact_p = f(np.asarray(les_p.node_coords))
+  assert np.abs(out['p'][0] - exact_p).max() < 1e-4
+
+
+def test_pipeline_with_dns_restriction(cfg, tmp_path):
+  """datagen -> create_split(restrict_fn) -> training-resolution batches."""
+  import ml_collections as mlc
+  from swirlfem_tpu.niles import coarsen
+
+  dns_grid, dns_order = 8, 4
+  dg = datagen.DatagenConfig(
+      resolution=dns_grid, order=dns_order, time_order=2,
+      reynolds_number=1000.0, num_cycles=1, num_steps_per_cycle=8,
+      dt=1e-3, snapshot_every=1, split='train')
+  datagen.run_simulation(str(tmp_path), dg)
+
+  train_cfg = mlc.ConfigDict(tiny_config())
+  train_cfg.debug = False
+  train_cfg.dataset_dir = str(tmp_path)
+  train_cfg.train_window_size = 4
+  train_cfg = mlc.FrozenConfigDict(train_cfg)
+  restrict = coarsen.make_restriction(dns_grid, dns_order, train_cfg)
+  it = input_pipeline.create_split(2, train=True, config=train_cfg,
+                                   prefetch=0, restrict_fn=restrict)
+  batch = next(it)
+  assert batch['u'].shape == (2, 4, train_cfg.num_nodes, 2)
+  assert np.isfinite(batch['u']).all()
+  n_les_p = train_cfg.num_elements * (train_cfg.order - 1) ** 2
+  assert batch['p'].shape == (2, 4, n_les_p)
+
+
+def test_pipeline_rejects_tiny_split(cfg):
+  with pytest.raises(ValueError):
+    next(input_pipeline.create_split(10_000, train=True, config=cfg,
+                                     prefetch=0))
+
+
 def test_input_pipeline_debug_batches(cfg):
   it = input_pipeline.create_split(2, train=True, config=cfg, prefetch=0)
   batch = next(it)

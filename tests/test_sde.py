@@ -114,3 +114,31 @@ def test_nn_sdeint_lifted_transform():
   g = jax.grad(loss)(params)
   theta_grad = g['params']['theta']
   assert np.isfinite(float(theta_grad)) and abs(float(theta_grad)) > 1e-3
+
+
+class _DictDynamics(nn.Module):
+  @nn.compact
+  def __call__(self, y, t, dw):
+    theta = self.param('theta', nn.initializers.constant(-0.5), ())
+    drift = {'a': theta * y['a'], 'b': 2.0 * theta * y['b']}
+    diffusion = {'a': 0.1 * y['a'] * dw, 'b': 0.05 * y['b'] * dw}
+    return drift, diffusion
+
+
+def test_nn_sdeint_pytree_state():
+  """Init-path dummy output must match the apply-path pytree structure
+  (regression: `drift + diffusion` TypeError'd on dict states)."""
+  model = nn_sdeint(_DictDynamics)()
+  dw = brownian_path(jax.random.PRNGKey(5), 32, dtype=jnp.float64)
+  y0 = {'a': jnp.asarray(1.0), 'b': jnp.asarray(2.0)}
+  params = model.init(jax.random.PRNGKey(6), y0, (0.0, 1.0), dw)
+  out = model.apply(params, y0, (0.0, 1.0), dw)
+  assert set(out) == {'a', 'b'}
+  assert out['a'].shape == (1,) and out['b'].shape == (1,)
+
+  def loss(params):
+    o = model.apply(params, y0, (0.0, 1.0), dw)
+    return o['a'][-1] + o['b'][-1]
+
+  g = jax.grad(loss)(params)
+  assert np.isfinite(float(g['params']['theta']))
