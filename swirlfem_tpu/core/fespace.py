@@ -293,7 +293,11 @@ class FiniteElementSpace:
       w = f(self.quad_coords)
       if hasattr(w, 'shape') and w.shape[:2] == expected_lead:
         return w
-    except Exception:  # pylint: disable=broad-except
+    except (TypeError, IndexError):
+      # Pointwise closed-form callables typically fail on the batched
+      # coordinate array with a rank/indexing error; promote them below.
+      # Anything else (a genuine bug in a batch-style q-function) must
+      # surface, not be masked by an unrelated pointwise retry.
       pass
     return jax.vmap(jax.vmap(f))(self.quad_coords)
 

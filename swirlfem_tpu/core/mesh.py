@@ -94,9 +94,13 @@ class Mesh:
       node_indices = jnp.arange(num_nodes, dtype=jnp.int32)
 
     # Host-side transpose-gather tables: scatter as dense gather + sum
-    # instead of TPU scatter-adds.
+    # instead of TPU scatter-adds.  Structured meshes dispatch to the
+    # index-free grid scatter and never consult the table — skip building
+    # it (a (num_nodes, 2^d) device array plus a host argsort per build).
     elements_np = np.asarray(elements)
-    if elements_np.ndim == 2:
+    if structured is not None:
+      copies = None
+    elif elements_np.ndim == 2:
       copies = topology.scatter_copies(elements_np, num_nodes)
     else:  # stacked (P, E, nper)
       per_part = [topology.scatter_copies(e, num_nodes) for e in elements_np]
@@ -126,7 +130,7 @@ class Mesh:
                                  else jnp.asarray(exchange_gather_indices)),
         exchange_unique_indices=exchange_unique_indices,
         axis_name=axis_name,
-        scatter_copies=jnp.asarray(copies),
+        scatter_copies=None if copies is None else jnp.asarray(copies),
         exchange_scatter_slots=(None if slots is None
                                 else jnp.asarray(slots)),
         structured=structured,

@@ -26,9 +26,17 @@ from swirlfem_tpu.core.quadrature import Nodes1D
 from swirlfem_tpu.core.quadrature import NodeType
 
 
-def _group_mask(facets: np.ndarray, node_indices: np.ndarray) -> np.ndarray:
-  """Boolean mask over `node_indices` of membership in the facet node set."""
+def _group_mask(facets: np.ndarray, node_indices: np.ndarray,
+                periodic_links=None) -> np.ndarray:
+  """Boolean mask over `node_indices` of membership in the facet node set.
+
+  Facet ids are folded through the periodic dedup first: `node_indices`
+  holds POST-dedup ids, so a group node whose id was remapped to its
+  periodic master would otherwise silently drop out of the mask (and its
+  Dirichlet BC) whenever the master is not itself in the group.
+  """
   members = np.unique(np.asarray(facets).reshape(-1))
+  members = topology.unique_node_indices(members, periodic_links)
   return np.isin(node_indices, members)
 
 
@@ -122,7 +130,8 @@ class Premesh:
       node_indices = topology.unique_node_indices(
           np.arange(self.num_nodes, dtype=np.int32), self.periodic_links)
       gather_idx, uniq = topology.exchange_indices(node_indices)
-      masks = {name: _group_mask(facets, node_indices)
+      masks = {name: _group_mask(facets, node_indices,
+                                 self.periodic_links)
                for name, facets in self.physical_groups.items()}
       return Mesh.create(
           node_coords=self.node_coords,
@@ -150,7 +159,8 @@ class Premesh:
     node_indices = topology.unique_node_indices(raw_node_indices,
                                                 self.periodic_links)
     gather_idx, uniq = topology.exchange_indices(node_indices)
-    masks = {name: _group_mask(facets, node_indices)
+    masks = {name: _group_mask(facets, node_indices,
+                               self.periodic_links)
              for name, facets in self.physical_groups.items()}
     # Per-partition coordinates; SENTINEL-padded rows point at node 0 (their
     # values are never read because the padded ids do not occur in elements).

@@ -41,17 +41,51 @@ def refine_premesh(premesh: Premesh, gridpoints_1d: Nodes1D) -> Premesh:
     from swirlfem_tpu.core.structured import structured_refine
     from swirlfem_tpu.core.structured import StructuredInfo
     # The structured path assumes the canonical box connectivity (cell-
-    # lexicographic elements, canonical corner ordering).  A premesh whose
-    # elements were replaced after creation (e.g. per-element corner
-    # relabeling) still carries box_info but violates that assumption —
-    # validate and fall back to the generic refiner, which handles
-    # arbitrary valid labelings (deformed coordinates alone are fine on
-    # the fast path).
+    # lexicographic elements, canonical corner ordering) and REGENERATES
+    # physical groups / periodic links from box_info.  A premesh whose
+    # elements, groups, or links were replaced after creation (e.g.
+    # per-element corner relabeling, custom facet groups) still carries
+    # box_info but violates those assumptions — validate everything the
+    # fast path would regenerate and fall back to the generic refiner
+    # otherwise (deformed coordinates alone are fine on the fast path).
     n, periodic_dims = premesh.box_info
     info1 = StructuredInfo(num_elements_per_dim=n, order=1,
                            ndim=premesh.ndim, continuous=True)
-    expected, _, _ = _connectivity(info1, tuple(periodic_dims))
-    if np.array_equal(np.asarray(premesh.elements), expected):
+    exp_el, exp_groups, exp_links = _connectivity(info1,
+                                                  tuple(periodic_dims))
+
+    def _node_set(group):
+      # Facet granularity is free (the canonical box connectivity uses
+      # whole-side facets; unit_cube_mesh uses per-element edges): what
+      # the regenerated masks depend on is the node SET per group.
+      return set(np.unique(np.asarray(group)).tolist())
+
+    def _pair_map(links):
+      # Node-level correspondence of the link facets (pairing is what the
+      # refiner consumes; facet order and row layout are free).
+      out = {}
+      for slave, master in np.asarray(links):
+        for s, m in zip(slave.tolist(), master.tolist()):
+          out[s] = m
+      return out
+
+    def _canonical() -> bool:
+      if not np.array_equal(np.asarray(premesh.elements), exp_el):
+        return False
+      groups = premesh.physical_groups or {}
+      if set(groups) != set(exp_groups):
+        return False
+      for name, exp in exp_groups.items():
+        if _node_set(groups[name]) != _node_set(exp):
+          return False
+      links = premesh.periodic_links
+      have = links is not None and len(links)
+      want = exp_links is not None and len(exp_links)
+      if not want:
+        return not have
+      return bool(have) and _pair_map(links) == _pair_map(exp_links)
+
+    if _canonical():
       return structured_refine(premesh, gridpoints_1d)
   return _Refiner(premesh, gridpoints_1d).refine()
 

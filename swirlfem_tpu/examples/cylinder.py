@@ -158,6 +158,10 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   per-component nodal tuples; designed for f32 single-chip runs (~6
   ms/step at the order-5 reference mesh).
 
+  `num_steps` must be a multiple of `steps_per_dispatch` (a trailing
+  partial chunk would trigger a second full XLA compile for its
+  different static scan length).
+
   ``pressure_preconditioner``: override the default dense Schur inverse
   (e.g. ``sem.schwarz_pressure_preconditioner(...)`` for meshes beyond
   the dense range).
@@ -178,7 +182,11 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   assert cfl < 0.75, (
       f'CFL {cfl:.2f} too large: reduce dt below '
       f'{0.7 * dx / (2.2 * MEAN_VELOCITY):.1e}')
-  import numpy as _np
+  if num_steps % steps_per_dispatch:
+    raise ValueError(
+        f'num_steps={num_steps} is not a multiple of '
+        f'steps_per_dispatch={steps_per_dispatch}: the trailing '
+        f'{num_steps % steps_per_dispatch} steps would be silently dropped')
 
   nv = sem.velocity.mesh.num_nodes
   npn = sem.pressure.pspace.mesh.num_nodes

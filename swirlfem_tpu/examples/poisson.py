@@ -9,13 +9,16 @@ mass operators are `local_covector` transposes of the bilinear forms
 
 from __future__ import annotations
 
-import enum
 from collections.abc import Mapping
 from typing import Any, Callable, Union
 
 import jax.numpy as jnp
 import numpy as np
 
+# The canonical enum: a local redefinition would never compare equal to
+# core.bc.BCType, silently skipping Dirichlet masking for callers that
+# pass the solver-wide enum.
+from swirlfem_tpu.core.bc import BCType
 from swirlfem_tpu.core.fespace import FiniteElementSpace
 from swirlfem_tpu.core.fespace import grad
 from swirlfem_tpu.core.fespace import inner
@@ -27,10 +30,6 @@ from swirlfem_tpu.linalg.cg import cg
 BCValue = Union[float, Any, Callable]
 
 
-@enum.unique
-class BCType(enum.Enum):
-  DIRICHLET = 'dirichlet'
-  NEUMANN = 'neumann'
 
 
 def interior_mask(mesh: Mesh, boundary_conditions) -> np.ndarray:

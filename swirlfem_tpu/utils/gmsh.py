@@ -114,8 +114,6 @@ def _parse_elements(body):
   for _ in range(num_blocks):
     entity_dim, entity_tag, etype, count = tok.ints(4)
     if etype not in _ELEM_TYPES:
-      # Skip unsupported element types (triangles etc.).
-      _, guess_nodes = (None, None)
       raise NotImplementedError(
           f'unsupported Gmsh element type {etype}; only points, 2-node '
           'lines, 4-node quads and 8-node hexahedra are supported')
@@ -129,20 +127,28 @@ def _parse_elements(body):
 
 
 def _parse_periodic(body):
-  """slave node tag -> master node tag, per entity dimension."""
+  """Per-record ``(entity_dim, {slave tag: master tag})`` correspondences.
+
+  Records stay separate: a corner node on two slave surfaces of a multiply
+  periodic box appears in both surface tables with DIFFERENT images (one
+  per periodic direction); merging the tables would pair some facets with
+  a mix of transforms, producing "master facets" that are not element
+  facets at all.
+  """
   tok = _Tokens(body)
   num_links = tok.int()
-  mapping_by_dim: dict[int, dict[int, int]] = {}
+  records: list[tuple[int, dict[int, int]]] = []
   for _ in range(num_links):
     entity_dim, _, _ = tok.ints(3)
     num_affine = tok.int()
     tok.floats(num_affine)
     count = tok.int()
-    table = mapping_by_dim.setdefault(entity_dim, {})
+    table = {}
     for _ in range(count):
       slave, master = tok.ints(2)
       table[slave] = master
-  return mapping_by_dim
+    records.append((entity_dim, table))
+  return records
 
 
 # ---------------------------------------------------------------------------
@@ -243,18 +249,18 @@ def _bin_entities(r: _BinReader):
 
 
 def _bin_periodic(r: _BinReader):
+  """Binary twin of `_parse_periodic`: per-record tables, kept separate."""
   (num_links,) = r.size_t(1)
-  mapping_by_dim: dict[int, dict[int, int]] = {}
+  records: list[tuple[int, dict[int, int]]] = []
   for _ in range(num_links):
     entity_dim, _, _ = r.i4(3)
     (num_affine,) = r.size_t(1)
     r.f8(num_affine)
     (count,) = r.size_t(1)
     pairs = r.size_t(2 * count).reshape(count, 2)
-    table = mapping_by_dim.setdefault(int(entity_dim), {})
-    for slave, master in pairs:
-      table[int(slave)] = int(master)
-  return mapping_by_dim
+    records.append((int(entity_dim),
+                    {int(s): int(m) for s, m in pairs}))
+  return records
 
 
 def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
@@ -272,7 +278,7 @@ def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
   blocks = []
   names = {}
   entity_phys = {}
-  periodic_by_dim = {}
+  periodic_records = []
   while True:
     r.skip_newline()
     if r._pos >= len(data):
@@ -288,7 +294,7 @@ def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
     elif name == 'Entities':
       entity_phys = _bin_entities(r)
     elif name == 'Periodic':
-      periodic_by_dim = _bin_periodic(r)
+      periodic_records = _bin_periodic(r)
     elif name == 'PhysicalNames':
       num_names = int(r.line())
       for _ in range(num_names):
@@ -316,7 +322,7 @@ def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
                        f'got {end_line!r}')
   if tags is None:
     raise ValueError('binary MSH file has no $Nodes section')
-  return tags, coords3, blocks, names, entity_phys, periodic_by_dim
+  return tags, coords3, blocks, names, entity_phys, periodic_records
 
 
 def _parse_ascii(text: str):
@@ -325,16 +331,16 @@ def _parse_ascii(text: str):
   blocks = _parse_elements(sections['Elements'])
   names = {}
   if 'PhysicalNames' in sections:
-    tok = _Tokens(sections['PhysicalNames'])
-    num_names = tok.int()
-    for _ in range(num_names):
-      dim, tag = tok.ints(2)
-      names[(dim, tag)] = tok.take(1)[0].strip('"')
+    # Line-wise (like the binary path): quoted names may contain spaces.
+    lines = [l.strip() for l in sections['PhysicalNames'] if l.strip()]
+    for line in lines[1:1 + int(lines[0])]:
+      parts = line.split()
+      names[(int(parts[0]), int(parts[1]))] = ' '.join(parts[2:]).strip('"')
   entity_phys = (_parse_entities(sections['Entities'])
                  if 'Entities' in sections else {})
-  periodic_by_dim = (_parse_periodic(sections['Periodic'])
-                     if 'Periodic' in sections else {})
-  return tags, coords3, blocks, names, entity_phys, periodic_by_dim
+  periodic_records = (_parse_periodic(sections['Periodic'])
+                      if 'Periodic' in sections else [])
+  return tags, coords3, blocks, names, entity_phys, periodic_records
 
 
 def read(path, ndim: int) -> Premesh:
@@ -362,7 +368,7 @@ def read(path, ndim: int) -> Premesh:
     one = int.from_bytes(data[nl + 1:nl + 5], 'little', signed=True)
     byteorder = '<' if one == 1 else '>'
     parsed = _parse_binary(data, size_t_bytes, byteorder)
-  tags, coords3, blocks, names, entity_phys, periodic_by_dim = parsed
+  tags, coords3, blocks, names, entity_phys, periodic_records = parsed
 
   tag_to_idx = {int(t): i for i, t in enumerate(tags)}
   node_coords = coords3[:, :ndim]
@@ -398,24 +404,37 @@ def read(path, ndim: int) -> Premesh:
   # Periodic links: node correspondences on (ndim-1)-dim entities, turned
   # into facet pairs over the facet cells present in the file.
   periodic_links = None
-  if periodic_by_dim:
-    mapping = {}
-    for dim, table in periodic_by_dim.items():
-      if dim <= ndim - 1:
-        mapping.update(table)
-    mapping = {tag_to_idx[s]: tag_to_idx[m] for s, m in mapping.items()
-               if s in tag_to_idx and m in tag_to_idx}
+  if periodic_records:
+    # One mapping PER record (per periodic direction): a corner node on
+    # two slave surfaces of a multiply periodic box has a different image
+    # in each surface's table, and a merged dict would pair some facets
+    # with a mix of transforms — "master facets" that are not element
+    # facets.  Each (ndim-1)-dim record's table covers the closure of its
+    # surface, so every slave facet matches exactly one coherent table.
+    mappings = []
+    for dim, table in periodic_records:
+      if dim != ndim - 1:
+        continue
+      mappings.append({tag_to_idx[s]: tag_to_idx[m]
+                       for s, m in table.items()
+                       if s in tag_to_idx and m in tag_to_idx})
     facet_nper = {1: 1, 2: 2, 3: 4}[ndim]
     links = []
     for d, t, etype, rows in blocks:
       if _ELEM_TYPES[etype][0] != ndim - 1:
         continue
-      facets = np.vectorize(tag_to_idx.__getitem__)(rows).astype(np.int32)
+      # Same lexicographic corner reorder as elements/physical groups:
+      # without it 3D periodic links arrive in Gmsh cyclic order and the
+      # refiner's tensor-grid facet matching rejects them.
+      facets = (to_indices(rows, ndim - 1) if ndim - 1 >= 1 else
+                np.vectorize(tag_to_idx.__getitem__)(rows).astype(np.int32))
       for facet in facets:
-        if all(int(n) in mapping for n in facet):
-          target = np.asarray([mapping[int(n)] for n in facet],
-                              dtype=np.int32)
-          links.append(np.stack([facet, target]))
+        for mapping in mappings:
+          if all(int(n) in mapping for n in facet):
+            target = np.asarray([mapping[int(n)] for n in facet],
+                                dtype=np.int32)
+            links.append(np.stack([facet, target]))
+            break
     if links:
       periodic_links = np.stack(links).astype(np.int32)
       assert periodic_links.shape[1:] == (2, facet_nper), periodic_links.shape

@@ -111,6 +111,29 @@ def test_partition_non_power_of_two():
   np.testing.assert_array_equal(counts, [12, 12, 12])
 
 
+def test_3d_periodic_gmsh_refines():
+  """3D periodic links must be corner-reordered to lexicographic tensor
+  order (regression: cyclic Gmsh order broke the refiner's facet
+  matching on every 3D periodic mesh)."""
+  pm = gmsh.read(f'{TESTDATA}/periodic_cube.msh', ndim=3)
+  assert pm.periodic_links is not None and len(pm.periodic_links)
+  from swirlfem_tpu.core.quadrature import Nodes1D, NodeType
+  from swirlfem_tpu.core.refine import refine_premesh
+  mesh = refine_premesh(
+      pm, Nodes1D.create(3, NodeType.GAUSS_LOBATTO_LEGENDRE)).finalize()
+  # Periodic dedup happened: some node ids are folded.
+  idx = np.asarray(mesh.node_indices)
+  assert len(np.unique(idx)) < mesh.num_nodes
+  # Exchange is well-formed: owner-copy propagation closes.
+  import jax.numpy as jnp
+  rng = np.random.default_rng(0)
+  vals = rng.standard_normal(mesh.num_nodes)
+  out = np.asarray(mesh.exchange(jnp.asarray(vals)))
+  sums = np.zeros(idx.max() + 1)
+  np.add.at(sums, idx, vals)
+  np.testing.assert_allclose(out, sums[idx], atol=1e-12)
+
+
 def test_partitioned_gmsh_mesh_solves():
   """Partition a Gmsh mesh and run a finalize + exchange cycle."""
   pm = gmsh.read(f'{TESTDATA}/kovasznay.msh', ndim=2)

@@ -131,3 +131,42 @@ def test_refine_order1_mesh_required():
   refined = refine_premesh(pm, Nodes1D.create(3, NodeType.NEWTON_COTES))
   with pytest.raises(ValueError):
     refine_premesh(refined, Nodes1D.create(4, NodeType.NEWTON_COTES))
+
+
+def test_structured_path_preserves_custom_groups():
+  """A box premesh with CUSTOM physical groups must not take the
+  structured fast path (which regenerates groups from box_info and would
+  silently drop them)."""
+  pm = unit_cube_mesh(4, ndim=2)
+  boundary = np.asarray(pm.physical_groups['boundary'])
+  coords = np.asarray(pm.node_coords)
+  lid = np.array([f for f in boundary
+                  if np.allclose(coords[f][:, 1], 1.0)])
+  walls = np.array([f for f in boundary
+                    if not np.allclose(coords[f][:, 1], 1.0)])
+  pm2 = pm.replace(physical_groups={'lid': lid, 'walls': walls})
+  grid = Nodes1D.create(4, NodeType.GAUSS_LOBATTO_LEGENDRE)
+  mesh = refine_premesh(pm2, grid).finalize()
+  assert set(mesh.physical_masks) == {'lid', 'walls'}
+  mc = np.asarray(mesh.node_coords)
+  lid_mask = np.asarray(mesh.physical_masks['lid'])
+  assert lid_mask.any()
+  np.testing.assert_allclose(mc[lid_mask.astype(bool), 1], 1.0)
+  # Canonical groups still take the fast path (structured numbering).
+  assert refine_premesh(pm, grid).structured is not None
+  assert refine_premesh(pm2, grid).structured is None
+
+
+def test_group_mask_folds_periodic_ids():
+  """A group node whose id deduped onto its periodic master keeps its
+  mask (regression: the mask silently dropped such nodes)."""
+  coords = np.array([[0.0], [0.5], [1.0]])
+  elements = np.array([[0, 1], [1, 2]], dtype=np.int32)
+  links = np.array([[[2], [0]]], dtype=np.int32)  # node 2 ~ node 0
+  pm = Premesh.create(node_coords=coords, elements=elements,
+                      physical_groups={'right': np.array([[2]])},
+                      periodic_links=links)
+  mesh = pm.finalize()
+  mask = np.asarray(mesh.physical_masks['right']).astype(bool)
+  # Node 2's id folded onto node 0; both copies must carry the mask.
+  assert mask[2] and mask[0], mask
