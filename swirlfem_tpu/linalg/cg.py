@@ -141,13 +141,18 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
     def checkpoint(args):
       best_x, s_best, s = args
       st = true_s(x)
-      improved = st < s_best
+      # A NEGATIVE M-weighted true form is itself a floor signature (an
+      # f32 near-exact M is only PSD to rounding): never let it poison
+      # the best register — and force the exit below.
+      improved = (st >= 0) & (st < s_best)
       best_x = tree_map(lambda bx, xx: jnp.where(improved, xx, bx),
                         best_x, x)
       s_best = jnp.where(improved, st, s_best)
-      # Floor signature: the recurrence has drifted far below the truth.
-      # Zeroing s exits the loop; the final selection keeps best_x.
-      s = jnp.where(st > 1e6 * jnp.maximum(s, 0), jnp.zeros_like(s), s)
+      # Floor signatures: recurrence drifted far below truth, or the true
+      # form flipped sign.  Zeroing s exits the loop; the final selection
+      # keeps best_x.
+      at_floor = (st > 1e6 * jnp.maximum(s, 0)) | (st < 0)
+      s = jnp.where(at_floor, jnp.zeros_like(s), s)
       return best_x, s_best, s
 
     best_x, s_best, s = lax.cond(
@@ -163,7 +168,9 @@ def cg(A, b, x0=None, *, tol=1e-5, atol=0.0, maxiter=None, M=None,
     st = true_s(x)
     final_better = st <= s_best
     x = tree_map(lambda xx, bx: jnp.where(final_better, xx, bx), x, best_x)
-    return x, jnp.minimum(st, s_best)
+    # A negative true form means the winner sits at the rounding floor;
+    # report 0 rather than a (meaningless) negative residual.
+    return x, jnp.maximum(jnp.minimum(st, s_best), 0)
 
   x, s = lax.cond(iters >= checkpoint_every, final_select,
                   lambda args: (args[0], args[3]), (x, best_x, s_best, s))

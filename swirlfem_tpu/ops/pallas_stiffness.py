@@ -60,33 +60,6 @@ def _kernel(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref):
     out_ref[m] = t1 + t2
 
 
-def _kernel_rows(d_ref, u_ref, g11_ref, g12_ref, g22_ref, out_ref):
-  """Row-blocked variant: all tensors are (n*n, TE) 2D tiles.
-
-  The (n, n, TE) layout pads the middle (sublane) axis n ~ 9 up to 16 — a
-  1.78x bandwidth tax on every read.  Flattening the two local axes into
-  one (n^2 ~ 81 -> pad 88) keeps the same math with ~8% padding instead:
-  local row (a, b) lives at flat row a*n + b.
-  """
-  d = d_ref[:]
-  n = d.shape[0]
-
-  def blk(ref, a):  # rows of local-xi index a: (n, TE)
-    return ref[a * n:(a + 1) * n]
-
-  ub = [blk(u_ref, a) for a in range(n)]
-  ur = [sum(d_ref[a, m] * ub[m] for m in range(n)) for a in range(n)]
-  us = [jnp.dot(d, ub[a], precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=ub[a].dtype) for a in range(n)]
-  fa = [blk(g11_ref, a) * ur[a] + blk(g12_ref, a) * us[a] for a in range(n)]
-  fb = [blk(g12_ref, a) * ur[a] + blk(g22_ref, a) * us[a] for a in range(n)]
-  for m in range(n):
-    t1 = sum(d_ref[a, m] * fa[a] for a in range(n))
-    t2 = jnp.dot(d.T, fb[m], precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=t1.dtype)
-    out_ref[m * n:(m + 1) * n] = t1 + t2
-
-
 def _kernel_kron(dxi_ref, deta_ref, u_ref, g11_ref, g12_ref, g22_ref,
                  out_ref):
   """Kron-matmul variant: the whole apply as four (n^2, n^2) MXU matmuls.
@@ -143,15 +116,21 @@ def stiffness_el_pallas_kron(u: jax.Array, g11: jax.Array, g12: jax.Array,
 
 
 def _kernel_rows_batched(d_ref, *refs, num_components: int):
-  """Component-batched `_kernel_rows`: one launch for all C components.
+  """Row-blocked sum-factorized stiffness for C components in one launch.
 
-  Each component is its own ``(n^2, TE)`` input/output ref (NOT a
-  concatenated buffer: `pallas_call` operands must be materialized, so a
-  `jnp.concatenate` before the call would cost an extra ``2 C n^2 E`` of
-  HBM traffic — more than the fusion saves).  The three geometric-factor
-  tiles are read from HBM ONCE instead of once per component: bytes per
-  apply drop from ``C * (2 + 3) n^2 E`` to ``(2 C + 3) n^2 E`` (30% less
-  at C=2 in the HBM-bound regime), plus C-1 fewer kernel launches.
+  All tensors are ``(n^2, TE)`` 2D tiles: the (n, n, TE) layout would pad
+  the middle (sublane) axis n ~ 9 up to 16 — a 1.78x bandwidth tax —
+  whereas the flattened local row (a, b) at flat row ``a*n + b`` pads
+  n^2 ~ 81 -> 88 (~8%).
+
+  Each component is its own input/output ref (NOT a concatenated buffer:
+  `pallas_call` operands must be materialized, so a `jnp.concatenate`
+  before the call would cost an extra ``2 C n^2 E`` of HBM traffic —
+  more than the fusion saves).  The three geometric-factor tiles are
+  read from HBM ONCE for all components: bytes per apply drop from
+  ``C * (2 + 3) n^2 E`` to ``(2 C + 3) n^2 E`` (30% less at C=2 in the
+  HBM-bound regime), plus C-1 fewer kernel launches.  C=1 IS the
+  single-component kernel (`stiffness_el_pallas` delegates here).
   """
   u_refs = refs[:num_components]
   g11_ref, g12_ref, g22_ref = refs[num_components:num_components + 3]
@@ -213,26 +192,6 @@ def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
 def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,
                         g22: jax.Array, dmat, *, tile_e: int = 512,
                         interpret: bool = False) -> jax.Array:
-  """Fused stiffness apply on ``(n, n, E)``; E must be a multiple of tile_e
-  (the structured meshes used here have power-of-two element counts)."""
-  n = u.shape[0]
-  num_e = u.shape[2]
-  if num_e % tile_e:
-    tile_e = num_e  # small problems: single tile
-  d = jnp.asarray(dmat, dtype=u.dtype)
-
-  grid = (num_e // tile_e,)
-  block = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
-                       memory_space=pltpu.VMEM)
-  dspec = pl.BlockSpec((n, n), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-  flat = lambda x: x.reshape(n * n, num_e)
-  out = pl.pallas_call(
-      _kernel_rows,
-      out_shape=jax.ShapeDtypeStruct((n * n, num_e), u.dtype),
-      grid=grid,
-      in_specs=[dspec, block, block, block, block],
-      out_specs=block,
-      interpret=interpret,
-  )(d, flat(u), flat(g11), flat(g12), flat(g22))
-  return out.reshape(n, n, num_e)
+  """Fused stiffness apply on ``(n, n, E)``: the C=1 batched kernel."""
+  return stiffness_el_pallas_batched((u,), g11, g12, g22, dmat,
+                                     tile_e=tile_e, interpret=interpret)[0]

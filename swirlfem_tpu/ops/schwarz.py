@@ -470,6 +470,25 @@ def _coarse_element_stiffness(premesh) -> np.ndarray:
   return np.asarray(cols).transpose(1, 0, 2)  # (E, 2^d, 2^d)
 
 
+def _p1dg_coarse(matvec_batch, elements: np.ndarray, adj, colors2,
+                 pmesh, d: int, npn: int, has_nullspace: bool):
+  """(stencil, inv_c) of the per-element bilinear GL Galerkin coarse,
+  shared by the single-device and distributed builders."""
+  lo = Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)
+  jc1 = np.asarray(interpolation_matrix_1d(lo, pmesh.gridpoints_1d))
+  stencil = jc1
+  for _ in range(d - 1):
+    stencil = np.kron(stencil, jc1)            # (m^d, 2^d)
+  a_c = _probe_galerkin_coarse(matvec_batch, elements, adj, colors2,
+                               stencil, npn)
+  a_c = 0.5 * (a_c + a_c.T)
+  if has_nullspace:
+    inv_c, _ = _pinv_psd(a_c)
+  else:
+    inv_c = np.linalg.inv(a_c)
+  return stencil, inv_c
+
+
 def _vertex_stencil(pmesh, d: int) -> np.ndarray:
   """Q1 vertex -> order-(n-2) GL prolongation stencil ``(m^d, 2^d)``."""
   corner_grid = Nodes1D.create(2, NodeType.NEWTON_COTES)
@@ -609,19 +628,9 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
   has_nullspace = not _has_outflow(premesh, boundary_conditions, uid)
 
   if coarse == 'p1dg':
-    lo = Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)
-    jc1 = np.asarray(interpolation_matrix_1d(lo, pmesh.gridpoints_1d))
-    stencil = jc1
-    for _ in range(d - 1):
-      stencil = np.kron(stencil, jc1)        # (m^d, 2^d)
-    colors2 = _distance2_coloring(adj)
-    a_c = _probe_galerkin_coarse(matvec_batch, elements, adj, colors2,
-                                 stencil, npn)
-    a_c = 0.5 * (a_c + a_c.T)
-    if has_nullspace:
-      inv_c, _ = _pinv_psd(a_c)
-    else:
-      inv_c = np.linalg.inv(a_c)
+    stencil, inv_c = _p1dg_coarse(matvec_batch, elements, adj,
+                                  colors2_local, pmesh, d, npn,
+                                  has_nullspace)
     coarse_rows = None                       # per-element contiguous dofs
   elif coarse == 'vertex':
     if nv > max_coarse_dofs:

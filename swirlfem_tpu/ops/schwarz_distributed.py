@@ -240,18 +240,9 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
   if coarse == 'auto':
     coarse = 'p1dg' if (2 ** d) * num_e <= max_coarse_dofs else 'vertex'
   if coarse == 'p1dg':
-    lo = Nodes1D.create(2, NodeType.GAUSS_LEGENDRE)
-    jc1 = np.asarray(interpolation_matrix_1d(lo, pmesh.gridpoints_1d))
-    stencil = jc1
-    for _ in range(d - 1):
-      stencil = np.kron(stencil, jc1)                       # (m^d, 2^d)
-    a_c = _schwarz._probe_galerkin_coarse(matvec_batch, elements, adj,
-                                          colors2, stencil, npn)
-    a_c = 0.5 * (a_c + a_c.T)
-    if has_nullspace:
-      inv_c, _ = _schwarz._pinv_psd(a_c)
-    else:
-      inv_c = np.linalg.inv(a_c)
+    stencil, inv_c = _schwarz._p1dg_coarse(matvec_batch, elements, adj,
+                                           colors2, pmesh, d, npn,
+                                           has_nullspace)
   else:
     if nv > max_coarse_dofs:
       raise ValueError(
