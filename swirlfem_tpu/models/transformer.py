@@ -400,8 +400,13 @@ class VariationalDriftDiffusion(nn.Module):
     logqp = 0.5 * jnp.sum(
         jnp.square(_divide_no_nan(post - prior, sigma)))[None]
     aug_drift = jnp.concatenate([post, logqp], axis=-1)
-    aug_diffusion = jnp.concatenate(
-        [dw * sigma, jnp.zeros((1,), dtype=state.dtype)], axis=-1)
+    # Reference parity: the MLP variant integrates DETERMINISTICALLY —
+    # the reference zeroes its diffusion (transformer.py:700), so sigma
+    # enters only through the Girsanov KL integrand above.  (The
+    # transformer `TransformerDynamics` keeps the stochastic term,
+    # matching reference :773-778.)
+    del dw
+    aug_diffusion = jnp.zeros_like(aug_drift)
     return aug_drift, aug_diffusion
 
 
@@ -470,6 +475,10 @@ class LatentSDE(nn.Module):
     batch_size = inputs.shape[0]
     if cfg.use_transformer:
       # Sequence-valued latent state; z0 is the encoder output itself.
+      if inputs.shape[-1] != cfg.latent_size:
+        raise ValueError(
+            f'encoder output width {inputs.shape[-1]} != processor '
+            f'latent_size {cfg.latent_size} (reference transformer.py:946)')
       seq_len = inputs.shape[1]
       z0 = inputs.reshape((batch_size, -1))
       if cfg.num_samples > 1:
@@ -542,12 +551,12 @@ class LatentSDE(nn.Module):
   def _sample_ode_transformer(self, z0):
     cfg = self.cfg
     batch_size = z0.shape[0]
-    dw = jnp.zeros((batch_size, cfg.num_gridpoints, z0.shape[-1] + 1))
+    dw = jnp.zeros((batch_size, cfg.num_gridpoints, z0.shape[-1]))
     # Deterministic path: reuse the dynamics with zero noise, no KL.
     ts = jnp.broadcast_to(jnp.asarray([0.0, 1.0])[None, :], (batch_size, 2))
     aug0 = jnp.concatenate(
         [z0, jnp.zeros((batch_size, 1), dtype=z0.dtype)], axis=-1)
-    aug1 = jax.vmap(self._dynamics_net())(aug0, ts, dw[..., :-1], z0)
+    aug1 = jax.vmap(self._dynamics_net())(aug0, ts, dw, z0)
     return aug1[:, 0, :-1][:, None, :]
 
   def _sample_sde_transformer(self, z0, rng):
@@ -627,8 +636,18 @@ class Model(nn.Module):
 
       if self.processor_config.num_samples > 0:
         if not self.processor_config.use_transformer:
+          tok_shape = x.shape[1:]            # (seq, channels)
           x = x.reshape((inputs.shape[0], -1))
         x, aux = LatentSDE(model_config=self.processor_config)(x, z_rng)
+        if not self.processor_config.use_transformer:
+          # Back to token form for the decoder.  (Fixes the reference's
+          # dead end: its re-reshape is commented out at transformer.py
+          # :528, so its MLP-processor path crashes in the decoder.)
+          if x.shape[-1] != int(np.prod(tok_shape)):
+            raise ValueError(
+                f'processor latent_size {x.shape[-1]} must equal the '
+                f'flattened encoder output {tok_shape} to decode')
+          x = x.reshape(x.shape[:2] + tok_shape)
         if not self.mean_after_decoder:
           x = x.mean(axis=1)
 

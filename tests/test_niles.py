@@ -76,6 +76,40 @@ def test_model_forward_shapes(cfg, model_and_params):
   assert float(jnp.abs(out).max()) < 1e-4
 
 
+def test_model_mlp_processor_path(cfg):
+  """use_transformer=False: the MLP latent path decodes end-to-end.
+
+  The reference's MLP-processor path dead-ends in the decoder (its
+  re-reshape to token form is commented out, transformer.py:528); here
+  the latent is reshaped back, gated by a clear latent-size check."""
+  import re
+  base = tiny_config()
+  base.model.processor_config.use_transformer = False
+  x = jnp.ones((1, base.num_elements, base.num_channels), jnp.float32)
+
+  def build(c):
+    model = niles_train.create_model(c.model_name, c.model)
+    return model, jax.jit(model.init)(
+        {'params': jax.random.PRNGKey(0)}, x, jax.random.PRNGKey(1))
+
+  try:
+    model, variables = build(ml_collections.FrozenConfigDict(base))
+  except ValueError as e:
+    # Mismatched latent_size fails fast with the flattened size in the
+    # message; rebuild with the matching size.
+    m = re.search(r'latent_size (\d+) must equal the flattened encoder '
+                  r'output \((\d+), (\d+)\)', str(e))
+    assert m, e
+    flat = int(m.group(2)) * int(m.group(3))
+    base.model.processor_config.latent_size = flat
+    base.model.processor_config.data_size = flat
+    model, variables = build(ml_collections.FrozenConfigDict(base))
+  out, aux = model.apply(variables, x, jax.random.PRNGKey(2))
+  assert out.shape == x.shape
+  assert np.isfinite(np.asarray(out)).all()
+  assert np.isfinite(float(jnp.sum(aux['kl_path'])))
+
+
 def test_model_without_processor(cfg):
   raw = tiny_config()
   raw.model.processor_config.num_samples = 0
