@@ -351,6 +351,57 @@ def test_partitioned_step_f32_below_floor(dmesh):
   assert err < 2e-4 * max(scale, 1.0), (err, scale)
 
 
+def test_partitioned_3d_step_matches_unpartitioned(dmesh):
+  """Full 3D NSE step on a partitioned hex mesh vs the single-device
+  oracle (the 3D distributed generic path end-to-end)."""
+  n = 4
+  parts = np.zeros((n, n, n), dtype=np.int64)
+  parts[2:, :, :] += 2
+  parts[:, 2:, :] += 1
+  pm = unit_cube_mesh(n, ndim=3, partitions=parts)
+  bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+  order, dt, k = 3, 1e-2, 2
+
+  sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=order)
+  sem_p = StokesSEM.create(pm, bcs, order=order, axis_name='part',
+                           device_mesh=dmesh)
+  vc = np.asarray(sem_u.velocity.mesh.node_coords)
+  pc = np.asarray(sem_u.pressure.pspace.mesh.node_coords)
+  mask = np.asarray(sem_u.velocity.interior_mask)
+  u0 = jnp.asarray(np.stack(
+      [np.sin(np.pi * vc[:, 1]) * vc[:, 0] * (1 - vc[:, 0]),
+       np.cos(np.pi * vc[:, 2]) * 0.1,
+       np.sin(np.pi * vc[:, 0]) * vc[:, 2] * (1 - vc[:, 2]) * 0.2],
+      axis=-1) * mask)
+  p0 = jnp.asarray(np.sin(pc[:, 0]) * np.cos(pc[:, 1]) * pc[:, 2])
+  us, ps = [u0, 0.9 * u0], [p0, 0.9 * p0]
+
+  u_exp, p_exp, _ = sem_u.stokes_one_step(
+      us, ps, f=0, mu=1.0, dt=dt, time_order=k, tol=1e-11, atol=1e-11)
+
+  v_idx = np.asarray(sem_p.velocity.mesh.node_indices)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  shard_v = lambda u: sem_p.velocity.mesh.shard_nodal(np.asarray(u))
+  shard_p = lambda p: sem_p.pressure.pspace.mesh.shard_nodal(np.asarray(p))
+
+  def step(sem, us, ps, f):
+    return sem.stokes_one_step(us, ps, f, mu=1.0, dt=dt, time_order=k,
+                               tol=1e-11, atol=1e-11)
+
+  run = spmd_map(step, dmesh, 'part')
+  u_got, p_got, _ = run(sem_p, [shard_v(u) for u in us],
+                        [shard_p(p) for p in ps],
+                        jnp.zeros_like(shard_v(u0)))
+  valid_v = v_idx != -1
+  np.testing.assert_allclose(np.asarray(u_got)[valid_v],
+                             np.asarray(u_exp)[v_idx[valid_v]], atol=1e-7)
+  valid_p = p_idx != -1
+  got_p = np.asarray(p_got)[valid_p]
+  exp_p = np.asarray(p_exp)[p_idx[valid_p]]
+  np.testing.assert_allclose(got_p - got_p.mean(),
+                             exp_p - exp_p.mean(), atol=1e-6)
+
+
 def test_spmd_map_psum():
   dmesh = device_mesh('x', 8)
   f = spmd_map(lambda v: jax.lax.psum(v, 'x'), dmesh, 'x')
