@@ -1,0 +1,27 @@
+#!/bin/bash
+# Queued TPU measurements (run the moment the axon tunnel is back).
+# Writes logs under /tmp/tpu_measurements/.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p /tmp/tpu_measurements
+
+echo "=== 0. tunnel probe ==="
+timeout 600 python -c "import jax; print(jax.devices())" || {
+  echo "tunnel still down"; exit 1; }
+
+echo "=== 1. bench.py (driver metric; validates the batched Mosaic kernel"
+echo "        via the built-in correctness cross-check + escape hatch) ==="
+timeout 900 python -u bench.py 2>&1 | tee /tmp/tpu_measurements/bench.log
+
+echo "=== 2. component-batched stiffness A/B ==="
+timeout 900 python -u experiments/bench_batched_stiffness.py \
+  2>&1 | tee /tmp/tpu_measurements/batched_ab.log
+
+echo "=== 3. large cylinder: projection off vs on (roadmap r5 item 1) ==="
+timeout 3000 python -u experiments/profile_large_cylinder.py --steps 200 \
+  2>&1 | tee /tmp/tpu_measurements/cyl_base.log
+timeout 3000 python -u experiments/profile_large_cylinder.py --steps 200 \
+  --projection 2>&1 | tee /tmp/tpu_measurements/cyl_proj.log
+
+echo "=== done; order-7 campaign is a separate long run: ==="
+echo "  python experiments/large_cylinder_campaign.py --order 7 --num_steps 150000"
