@@ -16,6 +16,22 @@ O(N^{2d}) flops/element vs our O(N^{d+1})), in the reference's (E, nper, k)
 data layout.  The reference publishes no performance numbers (BASELINE.md),
 so its own algorithm at parity precision is the honest baseline.
 
+Roofline accounting (``details``): flop and byte counts come from XLA's
+post-optimization cost model (``compiled.cost_analysis()``), divided by the
+measured steady-state time and the chip's peak HBM bandwidth / f32 matmul
+throughput to give ``pct_hbm_peak`` and ``pct_mxu_peak`` for (a) the 2D
+order-8 headline apply (bandwidth-bound by design) and (b) a 3D order-7
+batched stiffness apply (the compute-leaning configuration aimed at the
+BASELINE.md ">50% MXU" north star).
+
+Tunnel robustness: the axon TPU is reached through a tunnel that can be
+down for hours; *initializing* the TPU backend then hangs or raises.  TPU
+availability is therefore probed in a SUBPROCESS with a timeout before the
+main process touches any backend; on failure the benchmark runs on the host
+CPU with reduced iteration counts and the JSON line carries
+``"error": "tpu_unavailable"`` (exit code stays 0 so the driver records a
+parsed metric either way).
+
 Timing methodology: K dependent applications chained inside one jitted
 fori_loop (measures steady-state device throughput; the ~10-20 ms
 host->device dispatch of a jitted call through the tunneled TPU is
@@ -24,24 +40,51 @@ loops batch whole cycles per dispatch).
 """
 
 import json
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-from swirlfem_tpu.core.fespace import PRECISION
-from swirlfem_tpu.nse.solver import StokesSEM
-from swirlfem_tpu.ops import sem2d
-from swirlfem_tpu.utils.box import unit_cube_mesh
-
 N_ELEMS = 64
 ORDER = 8
-DTYPE = jnp.float32
+
+# Approximate public per-chip peaks: device_kind substring ->
+# (HBM GB/s, f32 matmul TFLOP/s, bf16 matmul TFLOP/s).
+_PEAKS = {
+    'v6': (1640.0, 459.0, 918.0),
+    'v5p': (2765.0, 229.0, 459.0),
+    'v5': (819.0, 98.0, 197.0),   # v5e / "TPU v5 lite"
+    'v4': (1228.0, 137.0, 275.0),
+}
+
+
+def _probe_tpu(timeout=None):
+  """Returns the TPU device_kind, or None — probed in a subprocess so a
+  hung tunnel initialization cannot take down the benchmark process."""
+  import os
+  if timeout is None:
+    timeout = float(os.environ.get('GRAFT_TPU_PROBE_TIMEOUT', 150))
+  code = ("import jax; d = jax.devices(); "
+          "assert d[0].platform == 'tpu', d; print(d[0].device_kind)")
+  try:
+    r = subprocess.run([sys.executable, '-c', code], capture_output=True,
+                       text=True, timeout=timeout)
+    if r.returncode == 0 and r.stdout.strip():
+      return r.stdout.strip().splitlines()[-1]
+  except (subprocess.TimeoutExpired, OSError):
+    pass
+  return None
+
+
+def _peaks_for(device_kind):
+  kind = (device_kind or '').lower()
+  for key, peaks in _PEAKS.items():
+    if key in kind:
+      return peaks
+  return None
 
 
 def _timeit(fn, *args, iters=3, warmup=1):
+  import jax
   for _ in range(warmup):
     out = fn(*args)
   jax.block_until_ready(out)
@@ -52,23 +95,45 @@ def _timeit(fn, *args, iters=3, warmup=1):
   return (time.perf_counter() - start) / iters
 
 
-def _timeit_chained(apply_fn, u, chain=10, iters=3):
+def _chained(apply_fn, chain):
+  import jax
+
   @jax.jit
   def run(u):
     return jax.lax.fori_loop(0, chain, lambda i, v: apply_fn(v), u)
 
-  return _timeit(run, u, iters=iters) / chain
+  return run
 
 
-def _kron_stiffness(sem):
+def _timeit_chained(apply_fn, u, chain=10, iters=3):
+  return _timeit(_chained(apply_fn, chain), u, iters=iters) / chain
+
+
+def _cost_analysis(jitted, *args):
+  """(flops, bytes accessed) of one call from XLA's optimized-HLO cost
+  model; (None, None) if the backend doesn't expose it."""
+  try:
+    ca = jitted.lower(*args).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+      ca = ca[0]
+    return float(ca.get('flops', 0.0)), float(ca.get('bytes accessed', 0.0))
+  except Exception:  # pylint: disable=broad-except
+    return None, None
+
+
+def _kron_stiffness(sem, dtype):
   """Reference-algorithm baseline: full Kronecker einsum stiffness apply in
   the reference's (E, nodes, components) layout."""
+  import jax.numpy as jnp
+
+  from swirlfem_tpu.core.fespace import PRECISION
+
   vspace = sem.velocity.vspace
   grad_mats = jnp.asarray(
-      vspace.interpolator.interpolation_matrix_grad(), dtype=DTYPE)
+      vspace.interpolator.interpolation_matrix_grad(), dtype=dtype)
   invjacs = vspace.invjacs
   jacdets = vspace.jacdets
-  weights = jnp.asarray(vspace.quadrature.weights_nd(2), dtype=DTYPE)
+  weights = jnp.asarray(vspace.quadrature.weights_nd(2), dtype=dtype)
 
   def apply_a(u):
     u_local = sem.velocity.gather(u)
@@ -87,15 +152,78 @@ def _kron_stiffness(sem):
   return apply_a
 
 
-def main():
+def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
+  """Compute-leaning 3D order-7 batched stiffness apply (ops/sem3d.py):
+  GDOF/s plus roofline fractions, aimed at the ">50% MXU" north star."""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  n_el, order = (12, 7) if on_tpu else (6, 7)
+  with jax.default_device(jax.local_devices(backend='cpu')[0]):
+    premesh = unit_cube_mesh(n_el, ndim=3, periodic_dims=(0, 1, 2))
+    sem = StokesSEM.create(premesh, boundary_conditions={}, order=order,
+                           use_pallas_kernels=on_tpu)
+    sem = jax.tree.map(
+        lambda x: (x.astype(dtype)
+                   if jnp.issubdtype(x.dtype, jnp.floating) else x), sem)
+  sem = jax.tree.map(lambda x: jax.device_put(x, device), sem)
+  ops = sem.fast_ops
+  kk = order + 1
+  rng = np.random.default_rng(2)
+  us = tuple(
+      jax.device_put(
+          jnp.asarray(rng.standard_normal((kk,) * 3 + (n_el ** 3,)), dtype),
+          device) for _ in range(3))
+
+  def apply_fast(us):
+    return ops.stiffness_el_multi(us)
+
+  chain = 60 if on_tpu else 4
+  t = _timeit_chained(apply_fast, us, chain=chain,
+                      iters=3 if on_tpu else 1)
+  num_dofs = 3 * (kk ** 3) * (n_el ** 3)
+  flops, nbytes = _cost_analysis(_chained(apply_fast, chain), us)
+  out = {
+      'workload': f'3D {n_el}^3 elements, order {order} GLL, 3 components',
+      'num_dofs': num_dofs,
+      'gdofs': round(num_dofs / t / 1e9, 4),
+      'apply_ms': round(t * 1e3, 4),
+  }
+  if flops:
+    out['flops_per_apply'] = flops / chain
+    out['bytes_per_apply'] = nbytes / chain
+    if peaks:
+      hbm, f32_peak, _ = peaks
+      out['pct_hbm_peak'] = round(100 * nbytes / chain / t / (hbm * 1e9), 2)
+      out['pct_mxu_peak'] = round(
+          100 * flops / chain / t / (f32_peak * 1e12), 2)
+  return out
+
+
+def run_bench(on_tpu, device_kind):
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+
+  from swirlfem_tpu.nse.solver import StokesSEM
+  from swirlfem_tpu.ops import sem2d
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  dtype = jnp.float32
+  peaks = _peaks_for(device_kind) if on_tpu else None
+
   premesh = unit_cube_mesh(N_ELEMS, ndim=2, periodic_dims=(0, 1))
   # Build on the host CPU backend: eager per-op dispatch to a tunneled TPU
   # is latency-bound, and setup math wants f64 anyway.
   with jax.default_device(jax.local_devices(backend='cpu')[0]):
     sem = StokesSEM.create(premesh, boundary_conditions={}, order=ORDER,
-                           use_pallas_kernels=True)
+                           use_pallas_kernels=on_tpu)
     sem = jax.tree.map(
-        lambda x: (x.astype(DTYPE)
+        lambda x: (x.astype(dtype)
                    if jnp.issubdtype(x.dtype, jnp.floating) else x), sem)
   device = jax.devices()[0]
   sem = jax.tree.map(lambda x: jax.device_put(x, device), sem)
@@ -104,7 +232,7 @@ def main():
   num_dofs = mesh.num_nodes * mesh.ndim
   rng = np.random.default_rng(0)
   ut = tuple(
-      jax.device_put(jnp.asarray(rng.standard_normal(mesh.num_nodes), DTYPE),
+      jax.device_put(jnp.asarray(rng.standard_normal(mesh.num_nodes), dtype),
                      device) for _ in range(2))
 
   mask = jnp.squeeze(sem.velocity.interior_mask, -1)
@@ -114,7 +242,7 @@ def main():
 
   # Correctness cross-check against the reference-algorithm baseline (f32).
   u2 = jnp.stack(ut, axis=-1)
-  ref = _kron_stiffness(sem)(u2)
+  ref = _kron_stiffness(sem, dtype)(u2)
   try:
     got = jnp.stack(apply_fast_nodal(ut), axis=-1)
     jax.block_until_ready(got)
@@ -137,9 +265,30 @@ def main():
   def apply_fast(ut_el):
     return tuple(ops.stiffness_el(w) for w in ut_el)
 
-  t_fast = _timeit_chained(apply_fast, ut_el, chain=300)
-  t_kron = _timeit_chained(_kron_stiffness(sem), u2, chain=4)
+  chain_fast = 300 if on_tpu else 10
+  chain_kron = 4 if on_tpu else 2
+  iters = 3 if on_tpu else 1
+  t_fast = _timeit_chained(apply_fast, ut_el, chain=chain_fast, iters=iters)
+  t_kron = _timeit_chained(_kron_stiffness(sem, dtype), u2,
+                           chain=chain_kron, iters=iters)
   gdofs = num_dofs / t_fast / 1e9
+
+  # Roofline accounting for the headline apply (VERDICT r1 #3): XLA's
+  # optimized-HLO flop/byte counts over measured time vs chip peaks.
+  flops, nbytes = _cost_analysis(_chained(apply_fast, chain_fast), ut_el)
+  roofline = {}
+  if flops:
+    roofline['flops_per_apply'] = flops / chain_fast
+    roofline['bytes_per_apply'] = nbytes / chain_fast
+    roofline['arithmetic_intensity'] = round(flops / max(nbytes, 1.0), 3)
+    if peaks:
+      hbm, f32_peak, _ = peaks
+      roofline['pct_hbm_peak'] = round(
+          100 * nbytes / chain_fast / t_fast / (hbm * 1e9), 2)
+      roofline['pct_mxu_peak'] = round(
+          100 * flops / chain_fast / t_fast / (f32_peak * 1e12), 2)
+      roofline['peaks_assumed'] = {
+          'hbm_gbps': peaks[0], 'f32_tflops': peaks[1]}
 
   # Secondary: NSE wall-clock per step.  States stay in el (E-last) form
   # ACROSS steps and both solves use the el-native exact FDM inverses, so
@@ -147,51 +296,84 @@ def main():
   # kernel-launch overhead through the tunnel).
   vc = np.asarray(mesh.node_coords)
   u0 = tuple(
-      jax.device_put(jnp.asarray(np.sin(2 * np.pi * vc[:, 1 - j]), DTYPE),
+      jax.device_put(jnp.asarray(np.sin(2 * np.pi * vc[:, 1 - j]), dtype),
                      device) for j in range(2))
   with jax.default_device(jax.local_devices(backend='cpu')[0]):
     vprecond_el, pprecond_el = sem.fdm_el_preconditioners(
         1e-4, 1e-4, time_order=2)
   u0_el = jax.jit(sem.velocity_to_el)(u0)
   p0_el = jax.device_put(
-      jnp.zeros((ORDER - 1,) * 2 + (N_ELEMS,) * 2, DTYPE), device)
+      jnp.zeros((ORDER - 1,) * 2 + (N_ELEMS,) * 2, dtype), device)
   zero_f = tuple(jnp.zeros_like(c) for c in u0_el)
 
   # 100 steps per dispatch: the ~20 ms tunneled host->device dispatch
   # otherwise dominates a ~0.5 ms step (production runs batch whole cycles
   # per dispatch the same way, niles/datagen.py advance).
-  STEPS = 100
+  steps = 100 if on_tpu else 10
 
   @jax.jit
   def some_steps(us, ps):
     def body(carry, _):
       us, ps = carry
       u, p, _ = sem.stokes_one_step_el(
-          list(us), list(ps), zero_f, mu=DTYPE(1e-4), dt=DTYPE(1e-4),
+          list(us), list(ps), zero_f, mu=dtype(1e-4), dt=dtype(1e-4),
           time_order=2, tol=1e-5, atol=1e-6, maxiter=300,
           pressure_preconditioner_el=pprecond_el,
           viscous_preconditioner_el=vprecond_el, exact_solves=True)
       return ((us[1], u), (ps[1], p)), None
-    carry, _ = jax.lax.scan(body, (us, ps), None, length=STEPS)
+    carry, _ = jax.lax.scan(body, (us, ps), None, length=steps)
     return carry
 
   t_step = _timeit(some_steps, (u0_el, u0_el), (p0_el, p0_el),
-                   iters=2) / STEPS
+                   iters=2 if on_tpu else 1) / steps
 
+  details = {
+      'workload': f'2D {N_ELEMS}x{N_ELEMS} elements, order {ORDER} GLL',
+      'num_dofs': num_dofs,
+      'fast_ms': round(t_fast * 1e3, 4),
+      'kron_baseline_ms': round(t_kron * 1e3, 4),
+      'nse_step_ms': round(t_step * 1e3, 4),
+      'device': str(jax.devices()[0]),
+      'roofline': roofline,
+      'stiffness_3d_order7': _bench_3d_stiffness(
+          device, dtype, peaks, on_tpu),
+  }
   result = {
       'metric': 'stiffness_apply_throughput',
       'value': round(gdofs, 4),
       'unit': 'GDOF/s',
       'vs_baseline': round(t_kron / t_fast, 4),
-      'details': {
-          'workload': f'2D {N_ELEMS}x{N_ELEMS} elements, order {ORDER} GLL',
-          'num_dofs': num_dofs,
-          'fast_ms': round(t_fast * 1e3, 4),
-          'kron_baseline_ms': round(t_kron * 1e3, 4),
-          'nse_step_ms': round(t_step * 1e3, 4),
-          'device': str(jax.devices()[0]),
-      },
+      'details': details,
   }
+  if not on_tpu:
+    result['error'] = 'tpu_unavailable'
+    result['details']['measured_on'] = 'cpu_fallback'
+  return result
+
+
+def main():
+  device_kind = _probe_tpu()
+  on_tpu = device_kind is not None
+  import jax
+  if not on_tpu:
+    # Tunnel down / no TPU: force the host platform BEFORE any backend
+    # touch (initializing the tunneled plugin would hang).
+    jax.config.update('jax_platforms', 'cpu')
+    print('TPU unavailable (probe failed); CPU fallback numbers',
+          file=sys.stderr)
+  try:
+    result = run_bench(on_tpu, device_kind)
+  except Exception as e:  # pylint: disable=broad-except
+    # The driver must always get one parsed JSON metric line (rc=0).
+    import traceback
+    traceback.print_exc()
+    result = {
+        'metric': 'stiffness_apply_throughput',
+        'value': 0.0,
+        'unit': 'GDOF/s',
+        'vs_baseline': 0.0,
+        'error': f'{type(e).__name__}: {e}',
+    }
   print(json.dumps(result), flush=True)
 
 
