@@ -68,6 +68,9 @@ class Mesh:
   exchange_unique_indices: np.ndarray | None = flax.struct.field(
       pytree_node=False, default=None)
   axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
+  # Optional neighbor-limited exchange schedule (matched ppermute rounds
+  # instead of a full psum over all shared dofs; see core.topology).
+  exchange_neighbors: topology.NeighborExchange | None = None
   # Static transpose-gather tables (TPU fast paths; see core.topology).
   scatter_copies: jax.Array | None = None
   exchange_scatter_slots: jax.Array | None = None
@@ -80,7 +83,7 @@ class Mesh:
   def create(cls, node_coords, elements, node_indices=None, gridpoints_1d=None,
              physical_masks=None, exchange_gather_indices=None,
              exchange_unique_indices=None, axis_name=None,
-             structured=None) -> 'Mesh':
+             structured=None, exchange_neighbors=None) -> 'Mesh':
     node_coords = jnp.asarray(node_coords)
     ndim = node_coords.shape[-1]
     nper = np.shape(elements)[-1]
@@ -134,6 +137,7 @@ class Mesh:
         exchange_scatter_slots=(None if slots is None
                                 else jnp.asarray(slots)),
         structured=structured,
+        exchange_neighbors=exchange_neighbors,
     )
 
   @property
@@ -181,7 +185,8 @@ class Mesh:
         gather_indices=self.exchange_gather_indices,
         unique_indices=self.exchange_unique_indices,
         axis_name=self.axis_name,
-        scatter_slots=self.exchange_scatter_slots)
+        scatter_slots=self.exchange_scatter_slots,
+        neighbors=self.exchange_neighbors)
 
   def shard_nodal(self, values: np.ndarray, kind: str = 'field'):
     """Stacked per-partition shards of a GLOBAL nodal array (host-side).

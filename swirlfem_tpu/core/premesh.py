@@ -116,7 +116,8 @@ class Premesh:
     return dataclasses.replace(self, **kwargs)
 
   def finalize(self, axis_name: str | None = None,
-               device_mesh: jax.sharding.Mesh | None = None) -> Mesh:
+               device_mesh: jax.sharding.Mesh | None = None,
+               exchange_mode: str = 'auto') -> Mesh:
     """Builds exchange indices and returns a device `Mesh`.
 
     Args:
@@ -125,6 +126,12 @@ class Premesh:
         When given, the partitioned mesh arrays are placed with
         ``NamedSharding(P(axis_name))``; otherwise they remain replicated
         stacked arrays (still usable under ``shard_map`` in tests).
+      exchange_mode: cross-partition reduction strategy — ``'psum'`` (full
+        allreduce over all shared dofs, the reference's pattern),
+        ``'neighbors'`` (matched ppermute rounds among sharing partitions
+        only; see :class:`swirlfem_tpu.core.topology.NeighborExchange`),
+        or ``'auto'`` (neighbors when it at least halves the payload of a
+        large psum).
     """
     if not self.is_partitioned():
       node_indices = topology.unique_node_indices(
@@ -159,6 +166,16 @@ class Premesh:
     node_indices = topology.unique_node_indices(raw_node_indices,
                                                 self.periodic_links)
     gather_idx, uniq = topology.exchange_indices(node_indices)
+    if exchange_mode not in ('auto', 'psum', 'neighbors'):
+      raise ValueError(f'unknown exchange_mode: {exchange_mode!r}')
+    neighbors = None
+    if exchange_mode != 'psum':
+      nt = topology.build_neighbor_exchange(gather_idx, uniq)
+      if nt is not None and (
+          exchange_mode == 'neighbors'
+          or (nt.psum_payload >= 4096
+              and 2 * nt.neighbor_payload <= nt.psum_payload)):
+        neighbors = nt
     masks = {name: _group_mask(facets, node_indices,
                                self.periodic_links)
              for name, facets in self.physical_groups.items()}
@@ -174,7 +191,8 @@ class Premesh:
         physical_masks=masks,
         exchange_gather_indices=gather_idx,
         exchange_unique_indices=uniq,
-        axis_name=axis_name)
+        axis_name=axis_name,
+        exchange_neighbors=neighbors)
 
     if device_mesh is not None:
       spec = jax.sharding.PartitionSpec(axis_name)

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import collections
 
+import flax.struct
 import jax
 from jax import lax
 import jax.numpy as jnp
@@ -32,6 +33,178 @@ import numpy as np
 
 # Marks padded / absent entries in static index arrays.
 SENTINEL = -1
+
+
+@flax.struct.dataclass
+class NeighborExchange:
+  """Static schedule for neighbor-limited cross-partition exchange.
+
+  Replaces the full ``lax.psum`` over ALL shared dofs (the communication
+  pattern of the reference, ``swirl_fem/core/gather_scatter.py:241-248``)
+  with pairwise ``lax.ppermute`` rounds restricted to partitions that
+  actually share dofs: an edge-colored matching schedule where round ``c``
+  exchanges, for every neighbor pair in color ``c``, exactly the
+  contributions for the dofs that pair shares.
+
+  Bitwise copy-consistency (required by distributed CG — see the
+  replace-write note in :func:`exchange`): every copy of a shared dof must
+  compute the *bitwise identical* total.  Contributions are therefore
+  summed in a fixed order — ascending sharer partition id — on every
+  partition: ``total[r] = sum_k contrib_k[r]`` where ``contrib_k`` is the
+  (bit-exact, ppermute-transported) contribution of the k-th sharer of
+  ``r``.  Accumulating messages as they arrive would order the adds
+  differently per partition and reintroduce the kernel-wandering failure.
+
+  Attributes:
+    send_ranks: per round ``c``, ``(P, W_c)`` shared-dof ranks whose local
+      contributions this partition sends to (and receives from) its
+      color-``c`` partner; SENTINEL padded.  Both sides of a pair use the
+      same ascending rank list, so one table serves both directions.
+    own_ord: ``(P, S)`` ordinal of this partition among the sharers of
+      each rank (SENTINEL where absent).
+    src_of: ``(P, K, S)`` flat position into the concatenated receive
+      buffers holding the ordinal-``k`` contribution of each rank
+      (SENTINEL when ordinal ``k`` is this partition itself or absent).
+    perms: static per-round ppermute permutations (pairs both ways).
+    num_ordinals: static K = max number of sharers of any dof.
+    psum_payload: floats per exchange the replaced psum would carry.
+    neighbor_payload: floats per device per exchange this schedule sends.
+  """
+
+  send_ranks: tuple
+  own_ord: jax.Array
+  src_of: jax.Array
+  perms: tuple = flax.struct.field(pytree_node=False)
+  num_ordinals: int = flax.struct.field(pytree_node=False)
+  psum_payload: int = flax.struct.field(pytree_node=False)
+  neighbor_payload: int = flax.struct.field(pytree_node=False)
+
+
+def build_neighbor_exchange(
+    gather_indices: np.ndarray,
+    unique_indices: np.ndarray | None) -> NeighborExchange | None:
+  """Builds the static neighbor-exchange schedule (host-side numpy).
+
+  Args:
+    gather_indices: stacked ``(P, T)`` positions of shared local nodes
+      (SENTINEL where a global shared dof is absent from a partition).
+    unique_indices: ``(T,)`` map slot -> shared-dof rank (the K-slot ragged
+      layout), or None for the identity.
+
+  Returns:
+    A `NeighborExchange`, or None for unpartitioned inputs.
+  """
+  gather_indices = np.asarray(gather_indices)
+  if gather_indices.ndim != 2:
+    return None
+  num_parts, num_slots = gather_indices.shape
+  seg = (np.arange(num_slots, dtype=np.int64) if unique_indices is None
+         else np.asarray(unique_indices, dtype=np.int64))
+  num_shared = int(seg.max()) + 1 if num_slots else 0
+  if num_shared == 0 or num_parts < 2:
+    return None
+
+  present = np.zeros((num_parts, num_shared), dtype=bool)
+  valid = gather_indices != SENTINEL
+  for p in range(num_parts):
+    present[p, seg[valid[p]]] = True
+
+  ord_mat = np.cumsum(present, axis=0) - 1
+  own_ord = np.where(present, ord_mat, SENTINEL).astype(np.int32)
+  num_ordinals = max(int(present.sum(axis=0).max()), 1)
+
+  # Group ranks by identical sharer sets, then enumerate neighbor pairs.
+  sig, inv = np.unique(present.T, axis=0, return_inverse=True)
+  pair_ranks: dict[tuple[int, int], list[np.ndarray]] = (
+      collections.defaultdict(list))
+  for gi in range(sig.shape[0]):
+    sharers = np.nonzero(sig[gi])[0]
+    if len(sharers) < 2:
+      continue
+    ranks = np.nonzero(inv == gi)[0]
+    for i in range(len(sharers)):
+      for j in range(i + 1, len(sharers)):
+        pair_ranks[(int(sharers[i]), int(sharers[j]))].append(ranks)
+  pairs = {pq: np.sort(np.concatenate(rs)) for pq, rs in pair_ranks.items()}
+
+  # Greedy edge coloring (largest payload first): no partition appears
+  # twice in one round, so each round's pair list is a valid ppermute
+  # permutation.
+  order = sorted(pairs, key=lambda pq: (-len(pairs[pq]), pq))
+  colors: list[list[tuple[int, int]]] = []
+  busy: list[set[int]] = []
+  color_of = {}
+  for pq in order:
+    p, q = pq
+    for c, used in enumerate(busy):
+      if p not in used and q not in used:
+        break
+    else:
+      c = len(colors)
+      colors.append([])
+      busy.append(set())
+    colors[c].append(pq)
+    busy[c].update(pq)
+    color_of[pq] = c
+
+  widths = [max(len(pairs[pq]) for pq in colors[c])
+            for c in range(len(colors))]
+  offsets = np.concatenate([[0], np.cumsum(widths)]).astype(np.int64)
+
+  send_ranks = [np.full((num_parts, w), SENTINEL, dtype=np.int32)
+                for w in widths]
+  src_of = np.full((num_parts, num_ordinals, num_shared), SENTINEL,
+                   dtype=np.int32)
+  perms = []
+  for c, pair_list in enumerate(colors):
+    perm = []
+    for (p, q) in pair_list:
+      ranks = pairs[(p, q)]
+      length = len(ranks)
+      send_ranks[c][p, :length] = ranks
+      send_ranks[c][q, :length] = ranks
+      flat = offsets[c] + np.arange(length)
+      src_of[p, own_ord[q, ranks], ranks] = flat
+      src_of[q, own_ord[p, ranks], ranks] = flat
+      perm.extend([(p, q), (q, p)])
+    perms.append(tuple(perm))
+
+  return NeighborExchange(
+      send_ranks=tuple(jnp.asarray(s) for s in send_ranks),
+      own_ord=jnp.asarray(own_ord),
+      src_of=jnp.asarray(src_of),
+      perms=tuple(perms),
+      num_ordinals=num_ordinals,
+      psum_payload=num_shared,
+      neighbor_payload=int(sum(widths)))
+
+
+def _neighbor_reduce(summed: jax.Array, nt: NeighborExchange,
+                     axis_name: str) -> jax.Array:
+  """Sums contributions across sharing partitions via matched ppermutes.
+
+  `summed` is this partition's length-S local contribution vector; the
+  result holds, for every rank present here, the bitwise copy-consistent
+  total over all sharers (absent ranks come back 0 — their slots are
+  never written back).
+  """
+  recv = []
+  for c, perm in enumerate(nt.perms):
+    ranks = nt.send_ranks[c]
+    buf = jnp.where(ranks != SENTINEL,
+                    summed[jnp.clip(ranks, 0, None)],
+                    jnp.zeros((), dtype=summed.dtype))
+    recv.append(lax.ppermute(buf, axis_name, perm=perm))
+  recv_flat = (jnp.concatenate(recv) if recv
+               else jnp.zeros((0,), dtype=summed.dtype))
+  total = jnp.zeros_like(summed)
+  for k in range(nt.num_ordinals):
+    src = nt.src_of[k]
+    from_recv = jnp.where(src != SENTINEL,
+                          recv_flat[jnp.clip(src, 0, None)],
+                          jnp.zeros((), dtype=summed.dtype))
+    total = total + jnp.where(nt.own_ord == k, summed, from_recv)
+  return total
 
 
 def gather(u: jax.Array, indices, fill_value: float = SENTINEL) -> jax.Array:
@@ -104,6 +277,7 @@ def exchange(
     unique_indices: np.ndarray | None = None,
     axis_name: str | None = None,
     scatter_slots: jax.Array | None = None,
+    neighbors: NeighborExchange | None = None,
 ) -> jax.Array:
   """Applies Q Q^T to the local nodal values `u`.
 
@@ -117,6 +291,11 @@ def exchange(
       unique shared-dof slot; None when the map is injective (the partitioned
       builder guarantees this).
     axis_name: collective axis when running under pmap/shard_map.
+    neighbors: optional neighbor-limited schedule; when given, the
+      cross-partition reduction uses matched ppermute rounds among the
+      partitions that actually share dofs instead of a full `psum` over
+      all shared dofs (the reference's pattern,
+      ``swirl_fem/core/gather_scatter.py:241-248``).
 
   Returns:
     u with every shared dof replaced by the sum over all of its copies.
@@ -134,7 +313,10 @@ def exchange(
     summed = own
 
   if axis_name is not None:
-    summed = lax.psum(summed, axis_name=axis_name)
+    if neighbors is not None:
+      summed = _neighbor_reduce(summed, neighbors, axis_name)
+    else:
+      summed = lax.psum(summed, axis_name=axis_name)
 
   if unique_indices is not None:
     summed = summed[unique_indices]

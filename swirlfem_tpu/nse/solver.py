@@ -116,13 +116,15 @@ class StokesPressure:
   @classmethod
   def create(cls, premesh: Premesh, quadrature: Quadrature1D,
              order: int, axis_name: str | None = None,
-             device_mesh=None, coord_transform=None) -> 'StokesPressure':
+             device_mesh=None, coord_transform=None,
+             exchange_mode: str = 'auto') -> 'StokesPressure':
     gridpoints = Nodes1D.create(num_points=order - 1,
                                 node_type=NodeType.GAUSS_LEGENDRE)
     refined = refine_premesh(premesh, gridpoints_1d=gridpoints)
     if coord_transform is not None:
       refined = refined.replace(node_coords=coord_transform(refined))
-    pmesh = refined.finalize(axis_name=axis_name, device_mesh=device_mesh)
+    pmesh = refined.finalize(axis_name=axis_name, device_mesh=device_mesh,
+                             exchange_mode=exchange_mode)
     make = lambda m: FiniteElementSpace.create(m, quadrature)
     if premesh.is_partitioned():
       make = jax.vmap(make)
@@ -160,7 +162,8 @@ class StokesVelocity:
              num_convection_overint_nodes: int = 2,
              axis_name: str | None = None,
              device_mesh=None,
-             coord_transform=None) -> 'StokesVelocity':
+             coord_transform=None,
+             exchange_mode: str = 'auto') -> 'StokesVelocity':
     gridpoints = Nodes1D.create(num_points=order + 1,
                                 node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
     refined = refine_premesh(premesh, gridpoints_1d=gridpoints)
@@ -169,7 +172,8 @@ class StokesVelocity:
       # (utils.cylinder.snap_cylinder_boundary), fixing the polygonal
       # geometry left by corner-interpolating refinement.
       refined = refined.replace(node_coords=coord_transform(refined))
-    vmesh = refined.finalize(axis_name=axis_name, device_mesh=device_mesh)
+    vmesh = refined.finalize(axis_name=axis_name, device_mesh=device_mesh,
+                             exchange_mode=exchange_mode)
     overint_grid = Nodes1D.create(
         num_points=gridpoints.num_points + num_convection_overint_nodes,
         node_type=NodeType.GAUSS_LOBATTO_LEGENDRE)
@@ -265,7 +269,8 @@ class StokesSEM:
              use_pallas_kernels: bool = False,
              unstructured_el_ops: bool = False,
              use_assembled_ops: bool | str = 'auto',
-             coord_transform=None) -> 'StokesSEM':
+             coord_transform=None,
+             exchange_mode: str = 'auto') -> 'StokesSEM':
     if premesh.order != 1:
       raise ValueError(f'expected an order-1 premesh, got {premesh.order}')
     quadrature = Quadrature1D.create(
@@ -279,12 +284,14 @@ class StokesSEM:
     pressure = StokesPressure.create(premesh, quadrature, order,
                                      axis_name=axis_name,
                                      device_mesh=device_mesh,
-                                     coord_transform=coord_transform)
+                                     coord_transform=coord_transform,
+                                     exchange_mode=exchange_mode)
     velocity = StokesVelocity.create(premesh, order, boundary_conditions,
                                      num_convection_overint_nodes,
                                      axis_name=axis_name,
                                      device_mesh=device_mesh,
-                                     coord_transform=coord_transform)
+                                     coord_transform=coord_transform,
+                                     exchange_mode=exchange_mode)
 
     def mass_diag(vel: StokesVelocity):
       ones = jnp.ones(vel.local_shape, dtype=vel.mesh.node_coords.dtype)
