@@ -1,0 +1,180 @@
+"""NiLES convergence evidence on one host (VERDICT r1 #8).
+
+Runs the REAL pipeline end-to-end at small scale, entirely on the CPU
+backend: Kolmogorov DNS generation (``niles/datagen.py``), DNS->LES
+restriction (``niles/coarsen.py``), and a few-hundred-step
+``train_and_evaluate`` run (solver-in-the-loop loss, adamw, periodic eval
+with TKE/spectrum metrics, orbax checkpoints, 8-virtual-device data
+parallelism via NamedSharding).  Reference training regime:
+``swirl_fem/niles/config/niles.py:24-89`` scaled down to CPU feasibility.
+
+Writes ``experiments/niles_convergence_result.json`` with the train-loss
+curve and the eval metric history, and prints a one-line summary.
+
+Usage: python experiments/niles_convergence.py [--steps N] [--workdir DIR]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                           + ' --xla_force_host_platform_device_count=8')
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+
+import ml_collections  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def small_config(num_train_steps: int) -> ml_collections.ConfigDict:
+  """Downscaled NiLES config: 8x8 elements order 3, Re 1000, batch 8."""
+  from swirlfem_tpu.niles import config as niles_config
+
+  cfg = niles_config.get_config()
+  cfg.batch_size = 8
+  cfg.num_steps = 4
+  cfg.num_pushforward_steps = 3
+  cfg.eval_num_steps = 16
+  cfg.permute_elements = False
+
+  cfg.element_grid_size = 8
+  cfg.order = 3
+  cfg.resolution = cfg.element_grid_size * cfg.order
+  cfg.time_order = 2
+  cfg.reynolds_number = 1000
+  cfg.dt = 1e-3
+  cfg.num_nodes = (cfg.resolution + 1) ** 2
+  cfg.num_elements = cfg.element_grid_size ** 2
+  cfg.num_channels = (cfg.order + 1) ** 2 * cfg.ndim
+  cfg.drag_coeff = 0.05  # match the datagen below
+  cfg.train_window_size = cfg.num_steps + 3
+  cfg.eval_window_size = cfg.eval_num_steps + 3
+  cfg.eval_window_stride = 8
+
+  width = 16
+  cfg.model.width = width
+  cfg.model.dtype = 'float32'
+  cfg.model.depth = 4
+  cfg.model.pooling_layers = (1, 3)
+  cfg.model.num_heads = 4
+  # Two stride-4 poolings: 64 tokens -> 4; width doubles at each pooling.
+  cfg.model.processor_config.latent_size = width * 4
+  cfg.model.processor_config.data_size = width * 4 * 4
+  cfg.model.processor_config.num_samples = 2
+  cfg.model.processor_config.num_gridpoints = 8
+  cfg.model.processor_config.num_sde_layers = 2
+  cfg.model.processor_config.num_layers = 1
+  cfg.model.processor_config.context_size = 16
+  cfg.model.processor_config.hidden_size = 16
+
+  cfg.learning_rate = 0.05  # base lr = 0.05 * 8 / 256 ~ 1.6e-3
+  cfg.warmup_epochs = 0.25
+  cfg.num_train_steps = num_train_steps
+  cfg.log_every_steps = 10
+  cfg.eval_every_epochs = 0.5
+  cfg.steps_per_eval = 2
+  cfg.checkpoint_epochs = 100
+  return cfg
+
+
+def generate_dns(dataset_dir: str) -> None:
+  """Small Kolmogorov DNS: 16x16 elements order 4, Re 1000."""
+  from swirlfem_tpu.niles import datagen
+
+  os.makedirs(dataset_dir, exist_ok=True)
+  for split, cycles in (('train', 12), ('valid', 3)):
+    cfg = datagen.DatagenConfig(
+        resolution=16, order=4, time_order=2, reynolds_number=1000.0,
+        num_cycles=cycles, num_steps_per_cycle=500, dt=2e-4,
+        snapshot_every=5,  # LES dt = 5 * 2e-4 = 1e-3
+        split=split)
+    datagen.run_simulation(dataset_dir, cfg)
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--steps', type=int, default=300)
+  ap.add_argument('--workdir', default='/tmp/niles_convergence')
+  ap.add_argument('--dataset_dir', default='/tmp/niles_convergence/data')
+  args = ap.parse_args()
+
+  from swirlfem_tpu.niles import coarsen
+  from swirlfem_tpu.niles import input_pipeline
+  from swirlfem_tpu.niles import train as niles_train
+
+  t0 = time.time()
+  if not os.path.exists(os.path.join(args.dataset_dir, 'train_00000.h5')):
+    print('generating DNS data ...', flush=True)
+    generate_dns(args.dataset_dir)
+  t_dns = time.time() - t0
+
+  cfg = small_config(args.steps)
+  cfg.dataset_dir = args.dataset_dir
+  frozen = ml_collections.FrozenConfigDict(cfg)
+
+  # DNS (16x16, order 4) -> LES (8x8, order 3) restriction on load.
+  restrict = coarsen.make_restriction(16, 4, frozen)
+  orig_create_split = input_pipeline.create_split
+  input_pipeline.create_split = (
+      lambda *a, **kw: orig_create_split(*a, **kw, restrict_fn=restrict))
+
+  # Capture the metric history from the writer.
+  history = {'train': [], 'eval': []}
+  from clu import metric_writers
+  orig_writer = metric_writers.create_default_writer
+
+  class Recorder:
+    def write_hparams(self, *a, **kw):
+      pass
+
+    def write_scalars(self, step, scalars):
+      kind = 'eval' if any(k.startswith('eval') for k in scalars) else 'train'
+      history[kind].append({'step': int(step), **{
+          k: float(v) for k, v in scalars.items()}})
+
+    def flush(self):
+      pass
+
+  metric_writers.create_default_writer = lambda *a, **kw: Recorder()
+  try:
+    t1 = time.time()
+    niles_train.train_and_evaluate(frozen, args.workdir)
+    t_train = time.time() - t1
+  finally:
+    metric_writers.create_default_writer = orig_writer
+    input_pipeline.create_split = orig_create_split
+
+  losses = [h['train_mse'] for h in history['train'] if 'train_mse' in h]
+  evals = [h for h in history['eval'] if 'eval_mse' in h]
+  result = {
+      'config': {'element_grid_size': 8, 'order': 3, 'reynolds': 1000,
+                 'batch_size': 8, 'rollout_steps': 4,
+                 'train_steps': args.steps,
+                 'dns': '16x16 elements order 4, dt 2e-4, Re 1000'},
+      'dns_seconds': round(t_dns, 1),
+      'train_seconds': round(t_train, 1),
+      'devices': len(jax.devices()),
+      'train_mse_curve': [round(v, 8) for v in losses],
+      'eval_history': evals,
+      'first_train_mse': losses[0] if losses else None,
+      'last_train_mse': losses[-1] if losses else None,
+      'improvement': (1 - losses[-1] / losses[0]) if losses else None,
+  }
+  out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     'niles_convergence_result.json')
+  with open(out, 'w') as f:
+    json.dump(result, f, indent=1)
+  print(json.dumps({k: result[k] for k in
+                    ('first_train_mse', 'last_train_mse', 'improvement',
+                     'train_seconds')}))
+
+
+if __name__ == '__main__':
+  main()

@@ -375,6 +375,26 @@ def restore_checkpoint(manager, state):
 # ---------------------------------------------------------------------------
 
 
+def assemble_global_batch(local_batch, batch_sharding,
+                          force_multihost: bool = False):
+  """Places a per-process batch as the GLOBAL data-parallel sharded batch.
+
+  Each host loads its own local_batch_size rows; the global batch_size-row
+  array is assembled from the per-process shards with
+  ``jax.make_array_from_process_local_data``.  A bare
+  ``device_put(local, batch_sharding)`` would instead treat every host's
+  local rows as the whole global array (dropping 1 - 1/P of the data and
+  shrinking the true batch by P).  `force_multihost` exercises the
+  assembly path in single-process tests (reference pattern:
+  ``swirl_fem/niles/train.py:630-637`` per-host pmap sharding).
+  """
+  if jax.process_count() == 1 and not force_multihost:
+    return jax.device_put(local_batch, batch_sharding)
+  return jax.tree.map(
+      lambda x: jax.make_array_from_process_local_data(batch_sharding, x),
+      local_batch)
+
+
 def train_and_evaluate(config, workdir: str):
   """Runs training + periodic evaluation; returns the final TrainState."""
   import orbax.checkpoint as ocp
@@ -403,17 +423,8 @@ def train_and_evaluate(config, workdir: str):
   batch_sharding = NamedSharding(mesh, P('batch'))
   replicated = NamedSharding(mesh, P())
 
-  def put_batch(local_batch):
-    # Each host loads its own local_batch_size rows; assemble the GLOBAL
-    # batch_size-row array from the per-process shards.  A bare
-    # device_put(local, batch_sharding) would instead treat every host's
-    # local rows as the whole global array (dropping 1 - 1/P of the data
-    # and shrinking the true batch by P).
-    if jax.process_count() == 1:
-      return jax.device_put(local_batch, batch_sharding)
-    return jax.tree.map(
-        lambda x: jax.make_array_from_process_local_data(batch_sharding, x),
-        local_batch)
+  put_batch = functools.partial(assemble_global_batch,
+                                batch_sharding=batch_sharding)
 
   train_iter = input_pipeline.create_split(local_batch_size, True, config)
   eval_iter = input_pipeline.create_split(local_batch_size, False, config)

@@ -13,6 +13,8 @@ import pytest
 
 from swirlfem_tpu.linalg.cg import cg
 
+pytestmark = pytest.mark.smoke
+
 
 def _spd(n, cond, rng):
   q, _ = np.linalg.qr(rng.standard_normal((n, n)))

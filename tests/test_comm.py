@@ -11,6 +11,8 @@ from swirlfem_tpu.parallel.pscan import pscan, preduce
 from swirlfem_tpu.parallel.semi_traced import SemiTracedScalar
 from swirlfem_tpu.parallel.spmd import device_mesh, spmd_map
 
+pytestmark = pytest.mark.smoke
+
 P = 8
 
 

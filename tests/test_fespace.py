@@ -15,6 +15,8 @@ from swirlfem_tpu.core.quadrature import Nodes1D, NodeType, Quadrature1D
 from swirlfem_tpu.core.refine import refine_premesh
 from swirlfem_tpu.utils.box import unit_cube_mesh
 
+pytestmark = pytest.mark.smoke
+
 
 def _make_space(n=3, ndim=2, order=3, quad_points=None):
   pm = unit_cube_mesh(n, ndim=ndim)

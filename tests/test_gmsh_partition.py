@@ -12,6 +12,7 @@ from swirlfem_tpu.utils.partition import element_adjacency, partition
 TESTDATA = '/root/reference/swirl_fem/testdata'
 
 
+@pytest.mark.smoke
 def test_read_line1d():
   pm = gmsh.read(f'{TESTDATA}/line1d.msh', ndim=1)
   assert pm.ndim == 1
@@ -104,6 +105,7 @@ def test_partition_balance_and_adjacency():
     assert seen == members, f'partition {p} disconnected'
 
 
+@pytest.mark.smoke
 def test_partition_non_power_of_two():
   pm = unit_cube_mesh(6, ndim=2)
   parts = partition(pm, 3)

@@ -48,6 +48,7 @@ def test_refine_coords_and_node_count(ndim, n, order):
   assert len(np.unique(rounded, axis=0)) == refined.num_nodes
 
 
+@pytest.mark.smoke
 def test_refine_discontinuous_gl():
   pm = unit_cube_mesh(3, ndim=2)
   grid = Nodes1D.create(3, NodeType.GAUSS_LEGENDRE)
@@ -109,6 +110,7 @@ def test_refine_3d_shared_face_orientation():
   _check_refined_coords(pm, refined)
 
 
+@pytest.mark.smoke
 def test_finalize_exchange_periodic():
   pm = unit_cube_mesh(2, ndim=1, periodic_dims=(0,))
   mesh = pm.finalize()

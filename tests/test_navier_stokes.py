@@ -85,6 +85,7 @@ def test_mesh_sizes(sem):
   assert sem.pressure.pspace.mesh.num_nodes == 81 * (ORDER - 1) ** 2
 
 
+@pytest.mark.smoke
 def test_momentum_residual(sem):
   """B du/dt + A u - D^T p = 0 for the analytic eigenfunction."""
   (u,), (p,) = _states(sem, 1)

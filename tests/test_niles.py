@@ -124,6 +124,7 @@ def test_model_without_processor(cfg):
   np.testing.assert_allclose(np.asarray(aux['kl_path']), 0.0)
 
 
+@pytest.mark.smoke
 def test_multiscale_perm_roundtrip():
   perm = niles_train.make_multiscale_perm(size=12)
   assert sorted(perm.tolist()) == list(range(144))
@@ -223,6 +224,7 @@ def test_pipeline_rejects_tiny_split(cfg):
                                      prefetch=0))
 
 
+@pytest.mark.smoke
 def test_input_pipeline_debug_batches(cfg):
   it = input_pipeline.create_split(2, train=True, config=cfg, prefetch=0)
   batch = next(it)
@@ -232,14 +234,16 @@ def test_input_pipeline_debug_batches(cfg):
   assert not np.allclose(batch['u'], batch2['u'])
 
 
-def test_train_step_end_to_end(cfg, model_and_params):
-  """One full jitted train step: solver-in-the-loop loss + adamw update."""
+@pytest.fixture(scope='module')
+def train_setup(cfg, model_and_params):
+  """Shared (expensive) training harness: solver, batch, ONE compiled
+  train step reused by the end-to-end and convergence tests."""
   from swirlfem_tpu.nse.solver import StokesSEM
   from swirlfem_tpu.utils.box import unit_cube_mesh
 
   model, _ = model_and_params
-  lr_fn = lambda step: 1e-3  # constant: warmup would give lr=0 at step 0
-  kl_fn = niles_train.create_kl_penalty_fn(cfg, 10)
+  lr_fn = lambda step: 1e-2  # constant: warmup would give lr=0 at step 0
+  kl_fn = niles_train.create_kl_penalty_fn(cfg, 100)
   state = niles_train.create_train_state(jax.random.PRNGKey(0), model,
                                          lr_fn, cfg)
   sem = StokesSEM.create(
@@ -257,6 +261,15 @@ def test_train_step_end_to_end(cfg, model_and_params):
   step = jax.jit(functools.partial(
       niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
       sem=sem, config=cfg))
+  return dict(state=state, step=step, batch=batch, sem=sem, kl_fn=kl_fn,
+              lr_fn=lr_fn)
+
+
+def test_train_step_end_to_end(cfg, train_setup):
+  """One full jitted train step: solver-in-the-loop loss + adamw update."""
+  state, step, batch = (train_setup['state'], train_setup['step'],
+                        train_setup['batch'])
+  sem, kl_fn = train_setup['sem'], train_setup['kl_fn']
   new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
   assert int(new_state.step) == 1
   assert np.isfinite(float(metrics['loss']))
@@ -276,28 +289,10 @@ def test_train_step_end_to_end(cfg, model_and_params):
   assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
 
 
-def test_training_reduces_loss(cfg, model_and_params):
+def test_training_reduces_loss(cfg, train_setup):
   """A dozen adamw steps on one batch reduce the solver-in-the-loop loss."""
-  from swirlfem_tpu.nse.solver import StokesSEM
-  from swirlfem_tpu.utils.box import unit_cube_mesh
-
-  model, _ = model_and_params
-  lr_fn = lambda step: 1e-2
-  kl_fn = niles_train.create_kl_penalty_fn(cfg, 100)
-  state = niles_train.create_train_state(jax.random.PRNGKey(0), model,
-                                         lr_fn, cfg)
-  sem = StokesSEM.create(
-      unit_cube_mesh(cfg.element_grid_size, periodic_dims=(0, 1)),
-      boundary_conditions={}, order=cfg.order)
-  sem = jax.tree.map(
-      lambda x: x.astype(jnp.float32)
-      if jnp.issubdtype(x.dtype, jnp.floating) else x, sem)
-  it = input_pipeline.create_split(cfg.batch_size, train=True, config=cfg,
-                                   prefetch=0)
-  batch = jax.tree.map(jnp.asarray, next(it))
-  step = jax.jit(functools.partial(
-      niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
-      sem=sem, config=cfg))
+  state, step, batch = (train_setup['state'], train_setup['step'],
+                        train_setup['batch'])
   losses = []
   key = jax.random.PRNGKey(0)  # fixed SDE key: deterministic overfit signal
   for _ in range(15):
@@ -308,3 +303,28 @@ def test_training_reduces_loss(cfg, model_and_params):
   # floor is dominated by the un-closured solver error at this tiny scale,
   # so the learnable margin is small (measured ~1.6% by step 15).
   assert min(losses[-3:]) < 0.995 * losses[0], losses
+
+
+def test_assemble_global_batch_multihost_path():
+  """The multi-host batch-assembly branch
+  (jax.make_array_from_process_local_data) on the 8-virtual-device mesh:
+  the assembled global batch equals the local rows and is sharded over
+  the batch axis.  Reference per-host sharding pattern:
+  ``swirl_fem/niles/input_pipeline.py:137-143``."""
+  from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+  mesh = Mesh(np.asarray(jax.devices()[:8]), ('batch',))
+  sharding = NamedSharding(mesh, P('batch'))
+  local = {'u': np.arange(8 * 3 * 2, dtype=np.float32).reshape(8, 3, 2),
+           'p': np.ones((8, 5), np.float32)}
+  out = niles_train.assemble_global_batch(local, sharding,
+                                          force_multihost=True)
+  np.testing.assert_array_equal(np.asarray(out['u']), local['u'])
+  np.testing.assert_array_equal(np.asarray(out['p']), local['p'])
+  assert len(out['u'].sharding.device_set) == 8
+  # Sharded leading axis: each device holds one batch row.
+  shard = out['u'].addressable_shards[0]
+  assert shard.data.shape == (1, 3, 2)
+  # The default single-process path places the same values.
+  out2 = niles_train.assemble_global_batch(local, sharding)
+  np.testing.assert_array_equal(np.asarray(out2['u']), local['u'])

@@ -402,6 +402,7 @@ def test_partitioned_3d_step_matches_unpartitioned(dmesh):
                              exp_p - exp_p.mean(), atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_spmd_map_psum():
   dmesh = device_mesh('x', 8)
   f = spmd_map(lambda v: jax.lax.psum(v, 'x'), dmesh, 'x')

@@ -7,6 +7,7 @@ from swirlfem_tpu.core.quadrature import Nodes1D, NodeType
 from swirlfem_tpu.core.refine import refine_premesh
 from swirlfem_tpu.examples.poisson import BCType, solve_poisson
 from swirlfem_tpu.utils.box import unit_cube_mesh
+import pytest
 
 
 def _solve_unit_square(n, order, forcing_fn):
@@ -32,6 +33,7 @@ def test_poisson_1d_interval():
   np.testing.assert_allclose(np.asarray(u), np.sin(np.pi * x), atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_poisson_unit_square_sine():
   """-lap(u) = 2 pi^2 sin(pi x) sin(pi y) => u = sin(pi x) sin(pi y)."""
   def forcing(c):

@@ -11,6 +11,8 @@ import pytest
 
 from swirlfem_tpu.core import quadrature as q
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.parametrize('node_type', [q.NodeType.GAUSS_LEGENDRE,
                                        q.NodeType.GAUSS_LOBATTO_LEGENDRE])

@@ -23,6 +23,24 @@ DT = 1e-3
 TIME_ORDER = 2
 
 
+@pytest.fixture(scope='module')
+def cylinder5():
+  """Cylinder SEM at order 5 plus the (expensive, ~1250-iteration) plain-CG
+  baseline solve, shared by every preconditioner parametrization."""
+  sem, premesh, bcs = _cylinder_sem(order=5)
+  npn = sem.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(2)
+  rhs = jnp.asarray(rng.standard_normal(npn))
+  matvec = lambda p: sem.E(p, dt=DT, time_order=TIME_ORDER)
+  x_plain, iters_plain = _pressure_iters(sem, matvec, rhs, M=None, tol=1e-7)
+  return sem, premesh, bcs, rhs, matvec, x_plain, iters_plain
+
+
+@pytest.fixture(scope='module')
+def cylinder4():
+  return _cylinder_sem(order=4)
+
+
 def _cavity_sem(n=6, order=5):
   premesh = unit_cube_mesh(n, ndim=2)
   bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
@@ -70,8 +88,8 @@ class TestSchwarzStructure:
     assert scale > 0
     assert float(jnp.vdot(y, M(y))) > 0
 
-  def test_outflow_detection(self):
-    sem, premesh, bcs = _cylinder_sem(order=4)
+  def test_outflow_detection(self, cylinder4):
+    sem, premesh, bcs = cylinder4
     from swirlfem_tpu.ops.schwarz import build_schwarz_pressure_solver
     M = build_schwarz_pressure_solver(sem, premesh, bcs, DT, TIME_ORDER)
     # Do-nothing outflow present: E nonsingular, no nullspace.
@@ -102,17 +120,11 @@ class TestSchwarzSolves:
       ('p1dg', 'auto', 40),  # overlap-1 locals, measured ~23
       ('vertex', 'auto', 90),
   ])
-  def test_cylinder_iteration_reduction(self, coarse, overlap, bound):
-    sem, premesh, bcs = _cylinder_sem(order=5)
+  def test_cylinder_iteration_reduction(self, cylinder5, coarse, overlap,
+                                        bound):
+    sem, premesh, bcs, rhs, matvec, x_plain, iters_plain = cylinder5
     M = sem.schwarz_pressure_preconditioner(premesh, bcs, DT, TIME_ORDER,
                                             coarse=coarse, overlap=overlap)
-    npn = sem.pressure.pspace.mesh.num_nodes
-    rng = np.random.default_rng(2)
-    rhs = jnp.asarray(rng.standard_normal(npn))
-    matvec = lambda p: sem.E(p, dt=DT, time_order=TIME_ORDER)
-
-    x_plain, iters_plain = _pressure_iters(sem, matvec, rhs, M=None,
-                                           tol=1e-7)
     x_schwarz, iters_schwarz = _pressure_iters(sem, matvec, rhs, M=M,
                                                tol=1e-7)
     rel = float(jnp.abs(x_plain - x_schwarz).max() / jnp.abs(x_plain).max())
@@ -201,9 +213,9 @@ class TestSchwarzSolves:
     assert float(jnp.abs(da).max() / jnp.abs(x0).max()) < 1e-5
     assert it1 < it0, (it1, it0)
 
-  def test_cylinder_step_matches_dense(self):
+  def test_cylinder_step_matches_dense(self, cylinder4):
     """A full NSE step with Schwarz-PCG matches the dense-inverse step."""
-    sem, premesh, bcs = _cylinder_sem(order=4)
+    sem, premesh, bcs = cylinder4
     nv = sem.velocity.mesh.num_nodes
     npn = sem.pressure.pspace.mesh.num_nodes
     rng = np.random.default_rng(3)

@@ -8,8 +8,10 @@ import numpy as np
 
 from swirlfem_tpu.sde.flax_sde import nn_sdeint
 from swirlfem_tpu.sde.sdeint import brownian_path, sdeint
+import pytest
 
 
+@pytest.mark.smoke
 def test_deterministic_exponential_decay():
   """With zero noise, dy = -y dt gives y(1) = y0 e^-1."""
   n = 256
@@ -51,6 +53,7 @@ def test_geometric_bm_statistics():
   np.testing.assert_allclose(np.asarray(got), np.asarray(exact), rtol=0.05)
 
 
+@pytest.mark.smoke
 def test_adjoint_gradient_matches_finite_difference():
   n = 128
   dw = brownian_path(jax.random.PRNGKey(1), n, dtype=jnp.float64)

@@ -10,6 +10,8 @@ from swirlfem_tpu.nse.solver import StokesSEM
 from swirlfem_tpu.ops import sem2d
 from swirlfem_tpu.utils.box import unit_cube_mesh
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope='module')
 def setup():

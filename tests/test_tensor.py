@@ -7,6 +7,8 @@ import pytest
 from swirlfem_tpu.core import quadrature as q
 from swirlfem_tpu.core.tensor import BarycentricInterpolator
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.mark.parametrize('ndim', [1, 2, 3])
 def test_interpolate_matches_kron_oracle(ndim):

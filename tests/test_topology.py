@@ -7,6 +7,8 @@ import pytest
 
 from swirlfem_tpu.core import topology as topo
 
+pytestmark = pytest.mark.smoke
+
 
 def test_gather_scatter_roundtrip():
   u = jnp.asarray([1.0, 2.0, 3.0, 4.0])
