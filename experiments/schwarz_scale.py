@@ -59,6 +59,15 @@ def main():
 
   t0 = time.time()
   pm0 = unit_cube_mesh(n, ndim=2)
+  # Deformed geometry: no FDM-like structure for the preconditioner to
+  # hide behind, and the generic (element-contiguous DG) refine path.
+  coords = np.asarray(pm0.node_coords)
+  warped = np.stack(
+      [coords[:, 0] + 0.06 * np.sin(np.pi * coords[:, 1]),
+       coords[:, 1] + 0.04 * np.sin(2 * np.pi * coords[:, 0])], axis=-1)
+  # box_info=None: the Schwarz builders need the generic refine path's
+  # element-contiguous DG pressure numbering, not the structured grid's.
+  pm0 = pm0.replace(node_coords=warped, box_info=None)
   parts = partition(pm0, NUM_PARTS)
   pm = pm0.replace(partitions=parts)
   result['edge_cut'] = edge_cut(pm0, parts)
