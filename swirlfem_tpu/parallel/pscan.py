@@ -3,17 +3,21 @@
 Parity target: reference ``swirl_fem/communication/pscan.py`` (pscan :243,
 preduce :270, monoid unit table :42-50).
 
-TPU-first redesign: the reference builds a log2(P)-stage binary
-fan-in/fan-out tree out of ``lax.pshuffle`` rounds with a
-`SemiTracedScalar`-computed static schedule.  On TPU ICI, for the small
-payloads these scans carry (global id counters, buffer sizes), a single
-``all_gather`` followed by a local masked combine is both simpler and
-faster: one collective instead of 2 log2(P), and the O(P x payload) local
-reduction is negligible.  The tradeoff (transient P-times payload memory) is
-documented; for large payloads prefer `preduce`'s native collectives.
+TPU-first redesign, two strategies:
 
-Supported ops and their monoid units match the reference table; works for
-any axis size (no power-of-2 requirement).
+* ``method='all_gather'``: one ``all_gather`` + local masked combine.  For
+  the small payloads these scans usually carry (global id counters, buffer
+  sizes) this is simpler and faster than a tree — one collective instead
+  of ~log2(P) — at the cost of transient P-times payload memory.
+* ``method='tree'``: a Hillis–Steele distance-doubling scan out of
+  ceil(log2 P) + 1 ``ppermute`` rounds — O(payload) memory and
+  O(payload log P) traffic, the right shape when the scanned payload
+  grows with the problem (the reference's pshuffle fan-in/fan-out tree,
+  ``communication/pscan.py:53-223``, fills the same role).
+
+``method='auto'`` (default) picks the tree above 4096 scanned elements per
+leaf.  Supported ops and their monoid units match the reference table;
+works for any axis size (no power-of-2 requirement).
 """
 
 from __future__ import annotations
@@ -75,14 +79,64 @@ def _scan_leaf(leaf, op, axis_name, prefix_scan, reduction):
   return outs
 
 
-def pscan(x, op, axis_name, reduction: bool = False):
+_TREE_THRESHOLD = 4096
+
+
+def _tree_scan_leaf(leaf, op, axis_name, reduction):
+  """Exclusive Hillis–Steele scan: ceil(log2 P) + 1 ppermute rounds.
+
+  Round 0 shifts every value one rank up (rank 0 takes the unit), turning
+  the subsequent inclusive distance-doubling scan into the exclusive one.
+  Ranks below the doubling distance receive nothing from ppermute (zeros);
+  a `where` on the rank index restores the monoid unit there — zeros are
+  only correct for `add`.
+  """
+  num = lax.axis_size(axis_name)
+  idx = lax.axis_index(axis_name)
+  unit = jnp.broadcast_to(_unit(op, leaf.dtype), leaf.shape)
+
+  def from_lower(y, d):
+    got = lax.ppermute(y, axis_name,
+                       perm=[(i, i + d) for i in range(num - d)])
+    return jnp.where(idx >= d, got, unit)
+
+  scan = from_lower(leaf, 1)
+  d = 1
+  while d < num - 1:
+    scan = op(scan, from_lower(scan, d))
+    d *= 2
+  outs = [scan]
+  if reduction:
+    # Total = op(exclusive scan, own) on the last rank; pmax/psum can't
+    # broadcast arbitrary monoids, so close with the native reduce when
+    # available and an all_gather fold otherwise.
+    outs.append(_scan_leaf(leaf, op, axis_name, False, True)[0]
+                if op not in (jnp.add, jnp.maximum, jnp.minimum)
+                else {jnp.add: lax.psum, jnp.maximum: lax.pmax,
+                      jnp.minimum: lax.pmin}[op](leaf, axis_name))
+  return outs
+
+
+def pscan(x, op, axis_name, reduction: bool = False, method: str = 'auto'):
   """Exclusive prefix scan of `x` (a pytree) along the mapped axis.
 
   Device i receives ``op(x_0, ..., x_{i-1})`` (the monoid unit for i = 0).
-  With ``reduction=True`` additionally returns the all-reduce.
+  With ``reduction=True`` additionally returns the all-reduce.  `method`:
+  ``'all_gather'`` (one collective, P-times transient memory), ``'tree'``
+  (log-P ppermute rounds, O(payload) memory), or ``'auto'``.
   """
+  if method not in ('auto', 'all_gather', 'tree'):
+    raise ValueError(f'unknown pscan method: {method!r}')
   leaves, treedef = jax.tree_util.tree_flatten(x)
-  results = [_scan_leaf(l, op, axis_name, True, reduction) for l in leaves]
+
+  def scan_fn(leaf):
+    use_tree = (method == 'tree'
+                or (method == 'auto' and leaf.size > _TREE_THRESHOLD))
+    if use_tree:
+      return _tree_scan_leaf(leaf, op, axis_name, reduction)
+    return _scan_leaf(leaf, op, axis_name, True, reduction)
+
+  results = [scan_fn(l) for l in leaves]
   scan = jax.tree_util.tree_unflatten(treedef, [r[0] for r in results])
   if not reduction:
     return scan

@@ -145,3 +145,47 @@ def test_crystal_router_pytree_and_growth(dmesh):
   np.testing.assert_allclose(got_b, np.arange(P * cap) * 2)
   assert sorted(np.asarray(source)[0, :n_out[0]].tolist()) == sorted(
       list(range(P)) * cap)
+
+
+@pytest.mark.parametrize('op', [jnp.add, jnp.multiply, jnp.maximum,
+                                jnp.minimum])
+def test_tree_pscan_matches_all_gather(dmesh, op):
+  """Log-P ppermute tree scan == one-collective all_gather scan == numpy."""
+  rng = np.random.default_rng(5)
+  vals = rng.integers(1, 4, size=(P, 3)).astype(np.float64)
+  x = jnp.asarray(vals)
+  got_t = np.asarray(spmd_map(
+      lambda v: pscan(v, op, 'x', method='tree'), dmesh, 'x')(x))
+  got_g = np.asarray(spmd_map(
+      lambda v: pscan(v, op, 'x', method='all_gather'), dmesh, 'x')(x))
+  np_op = {jnp.add: np.add, jnp.multiply: np.multiply,
+           jnp.maximum: np.maximum, jnp.minimum: np.minimum}[op]
+  fi = np.finfo(np.float64)
+  unit = {jnp.add: 0.0, jnp.multiply: 1.0, jnp.maximum: fi.min,
+          jnp.minimum: fi.max}[op]
+  expect = np.empty_like(vals)
+  acc = np.full(vals.shape[1:], unit)
+  for i in range(P):
+    expect[i] = acc
+    acc = np_op(acc, vals[i])
+  np.testing.assert_allclose(got_t, expect, atol=0)
+  np.testing.assert_allclose(got_g, expect, atol=0)
+
+
+def test_tree_pscan_with_reduction_non_power_of_two():
+  """Tree scan on a 5-device (non-power-of-2) submesh + reduction."""
+  dm5 = device_mesh('x', 5)
+  x = jnp.arange(1.0, 6.0)
+  scan, red = spmd_map(
+      lambda v: pscan(v, jnp.add, 'x', reduction=True, method='tree'),
+      dm5, 'x')(x)
+  np.testing.assert_allclose(np.asarray(scan), [0, 1, 3, 6, 10])
+  np.testing.assert_allclose(np.asarray(red), np.full(5, 15.0))
+
+
+def test_pscan_auto_picks_tree_for_large_payloads(dmesh):
+  big = jnp.ones((P, 5000))
+  out = np.asarray(spmd_map(
+      lambda v: pscan(v, jnp.add, 'x'), dmesh, 'x')(big))
+  np.testing.assert_allclose(out, np.arange(P)[:, None]
+                             * np.ones((1, 5000)))
