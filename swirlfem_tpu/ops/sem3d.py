@@ -166,9 +166,31 @@ class Sem3DOps:
     return self._ax0(d.T, a) + self._ax1(d.T, b) + self._ax2(d.T, c)
 
   def stiffness_el_multi(self, us):
-    """A_local on a tuple of components (per-component in 3D; the
-    component-batched Pallas fusion exists for 2D only, `ops.sem2d`)."""
-    return tuple(self.stiffness_el(u) for u in us)
+    """A_local on all components in one component-batched pass.
+
+    Stacking the components guarantees the six geometric-factor fields
+    stream from HBM once per apply instead of once per component (the
+    per-component loop leaves that reuse to XLA fusion luck): at C=3,
+    order 7, that is 18 -> 6 factor-field reads — ~2x less HBM traffic
+    for this bandwidth-bound operator.  (The 2D analogue is the batched
+    Pallas kernel in `ops.pallas_stiffness`.)
+    """
+    if len(us) == 1:
+      return (self.stiffness_el(us[0]),)
+    d = self._m(self.dmat)
+    u = jnp.stack(us)  # (C, k, k, k, E)
+    ax0 = lambda m, w: jnp.einsum('qn,cnjke->cqjke', m, w,
+                                  precision=PRECISION)
+    ax1 = lambda m, w: jnp.einsum('qn,cinke->ciqke', m, w,
+                                  precision=PRECISION)
+    ax2 = lambda m, w: jnp.einsum('qn,cijne->cijqe', m, w,
+                                  precision=PRECISION)
+    ur, uss, ut = ax0(d, u), ax1(d, u), ax2(d, u)
+    a = self.g11 * ur + self.g12 * uss + self.g13 * ut
+    b = self.g12 * ur + self.g22 * uss + self.g23 * ut
+    c = self.g13 * ur + self.g23 * uss + self.g33 * ut
+    out = ax0(d.T, a) + ax1(d.T, b) + ax2(d.T, c)
+    return tuple(out[i] for i in range(len(us)))
 
   def stiffness_diag_el(self) -> jax.Array:
     """Element-local diagonal of the stiffness operator (closed form)."""

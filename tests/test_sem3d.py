@@ -131,3 +131,19 @@ def test_3d_step_el_path_matches_generic(sem, fields):
   np.testing.assert_allclose(np.asarray(u1), np.asarray(u2), atol=1e-8)
   np.testing.assert_allclose(np.asarray(p1 - jnp.mean(p1)),
                              np.asarray(p2 - jnp.mean(p2)), atol=1e-7)
+
+
+def test_stiffness_el_multi_matches_per_component():
+  """Component-batched stiffness == per-component applies exactly."""
+  pm = unit_cube_mesh(3, ndim=3, periodic_dims=(0, 1, 2))
+  sem = StokesSEM.create(pm, boundary_conditions={}, order=4)
+  ops = sem.fast_ops
+  k, E = ops.vinfo.order + 1, 27
+  rng = np.random.default_rng(9)
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, E)))
+             for _ in range(3))
+  batched = ops.stiffness_el_multi(us)
+  for got, u in zip(batched, us):
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(ops.stiffness_el(u)),
+                               rtol=1e-13, atol=1e-13)
