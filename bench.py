@@ -105,8 +105,8 @@ def _chained(apply_fn, chain):
   return run
 
 
-def _timeit_chained(apply_fn, u, chain=10, iters=3):
-  return _timeit(_chained(apply_fn, chain), u, iters=iters) / chain
+def _timeit_chained(apply_fn, u, chain=10, iters=3, jitted=None):
+  return _timeit(jitted or _chained(apply_fn, chain), u, iters=iters) / chain
 
 
 def _cost_analysis(jitted, *args):
@@ -183,10 +183,11 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
     return ops.stiffness_el_multi(us)
 
   chain = 60 if on_tpu else 4
+  run = _chained(apply_fast, chain)
   t = _timeit_chained(apply_fast, us, chain=chain,
-                      iters=3 if on_tpu else 1)
+                      iters=3 if on_tpu else 1, jitted=run)
   num_dofs = 3 * (kk ** 3) * (n_el ** 3)
-  flops, nbytes = _cost_analysis(_chained(apply_fast, chain), us)
+  flops, nbytes = _cost_analysis(run, us)
   out = {
       'workload': f'3D {n_el}^3 elements, order {order} GLL, 3 components',
       'num_dofs': num_dofs,
@@ -268,14 +269,16 @@ def run_bench(on_tpu, device_kind):
   chain_fast = 300 if on_tpu else 10
   chain_kron = 4 if on_tpu else 2
   iters = 3 if on_tpu else 1
-  t_fast = _timeit_chained(apply_fast, ut_el, chain=chain_fast, iters=iters)
+  run_fast = _chained(apply_fast, chain_fast)
+  t_fast = _timeit_chained(apply_fast, ut_el, chain=chain_fast, iters=iters,
+                           jitted=run_fast)
   t_kron = _timeit_chained(_kron_stiffness(sem, dtype), u2,
                            chain=chain_kron, iters=iters)
   gdofs = num_dofs / t_fast / 1e9
 
   # Roofline accounting for the headline apply (VERDICT r1 #3): XLA's
   # optimized-HLO flop/byte counts over measured time vs chip peaks.
-  flops, nbytes = _cost_analysis(_chained(apply_fast, chain_fast), ut_el)
+  flops, nbytes = _cost_analysis(run_fast, ut_el)
   roofline = {}
   if flops:
     roofline['flops_per_apply'] = flops / chain_fast

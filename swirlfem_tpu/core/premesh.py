@@ -133,6 +133,8 @@ class Premesh:
         or ``'auto'`` (neighbors when it at least halves the payload of a
         large psum).
     """
+    if exchange_mode not in ('auto', 'psum', 'neighbors'):
+      raise ValueError(f'unknown exchange_mode: {exchange_mode!r}')
     if not self.is_partitioned():
       node_indices = topology.unique_node_indices(
           np.arange(self.num_nodes, dtype=np.int32), self.periodic_links)
@@ -166,15 +168,17 @@ class Premesh:
     node_indices = topology.unique_node_indices(raw_node_indices,
                                                 self.periodic_links)
     gather_idx, uniq = topology.exchange_indices(node_indices)
-    if exchange_mode not in ('auto', 'psum', 'neighbors'):
-      raise ValueError(f'unknown exchange_mode: {exchange_mode!r}')
     neighbors = None
-    if exchange_mode != 'psum':
+    # psum payload is known before building the schedule: skip the whole
+    # host-side construction when 'auto' would keep psum anyway.
+    psum_payload = (int(uniq.max()) + 1 if uniq is not None
+                    else gather_idx.shape[-1])
+    if exchange_mode == 'neighbors' or (
+        exchange_mode == 'auto' and psum_payload >= 4096):
       nt = topology.build_neighbor_exchange(gather_idx, uniq)
       if nt is not None and (
           exchange_mode == 'neighbors'
-          or (nt.psum_payload >= 4096
-              and 2 * nt.neighbor_payload <= nt.psum_payload)):
+          or 2 * nt.neighbor_payload <= nt.psum_payload):
         neighbors = nt
     masks = {name: _group_mask(facets, node_indices,
                                self.periodic_links)

@@ -55,6 +55,15 @@ def forcing(cfg: DatagenConfig, x, u):
   return jnp.stack([f0, jnp.zeros_like(f0)], axis=-1) - cfg.drag_coeff * u
 
 
+def kolmogorov_el_forcing(cfg: DatagenConfig, wmass_el, fbody_el, u, cu):
+  """Mass-weighted el-form forcing covector: body force - drag, minus the
+  extrapolated convection.  Shared by the single-device and distributed
+  datagen step builders so the physics cannot drift between them."""
+  ux, uy = u
+  return (wmass_el * (fbody_el - cfg.drag_coeff * ux) - cu[0],
+          wmass_el * (-cfg.drag_coeff * uy) - cu[1])
+
+
 def min_node_spacing(mesh) -> float:
   """Minimum distance between nodes within any element (CFL scale)."""
   coords = np.asarray(mesh.element_coords())
@@ -102,9 +111,7 @@ def make_step_fn(sem, cfg: DatagenConfig):
     def one_step(us, ps, cus):
       cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
                 *cus)
-      ux, uy = us[-1]
-      f_el = (wmass_el * (fbody_el - cfg.drag_coeff * ux) - cu[0],
-              wmass_el * (-cfg.drag_coeff * uy) - cu[1])
+      f_el = kolmogorov_el_forcing(cfg, wmass_el, fbody_el, us[-1], cu)
       u, p, _ = sem.stokes_one_step_el(
           list(us), list(ps), f_el, mu=mu, dt=cfg.dt,
           time_order=cfg.time_order, tol=1e-5, atol=1e-4,

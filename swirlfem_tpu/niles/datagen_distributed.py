@@ -69,9 +69,8 @@ def make_distributed_step_fn(dist: DistributedStokesBox,
       us, ps, cus = carry
       cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
                 *cus)
-      ux, uy = us[-1]
-      f_el = (wmass_el * (fbody_el - cfg.drag_coeff * ux) - cu[0],
-              wmass_el * (-cfg.drag_coeff * uy) - cu[1])
+      f_el = datagen.kolmogorov_el_forcing(cfg, wmass_el, fbody_el,
+                                           us[-1], cu)
       u, p, _ = step(list(us), list(ps), f_el)
       return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (conv(u),)), None
 

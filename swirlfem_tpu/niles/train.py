@@ -515,6 +515,8 @@ def train_and_evaluate(config, workdir: str):
     if (step + 1) % steps_per_checkpoint == 0 or step + 1 == num_steps:
       save_checkpoint(manager, jax.device_get(state))
 
+  if profile is not None:
+    profile.close()
   manager.wait_until_finished()
   writer.flush()
   return state

@@ -107,7 +107,7 @@ def element_graph(premesh: Premesh) -> _Graph:
                          np.ones(num_elements, dtype=np.int64))
 
 
-def _heavy_edge_matching(g: _Graph, rng) -> np.ndarray:
+def _heavy_edge_matching(g: _Graph) -> np.ndarray:
   """match[v] = partner (or v itself); visits light vertices first."""
   match = np.full(g.nv, -1, dtype=np.int64)
   visit = np.argsort(g.vwts, kind='stable')
@@ -145,7 +145,6 @@ def _coarsen(g: _Graph, match: np.ndarray):
 
 def _region_growing_bisect(g: _Graph, target0: int, rng) -> np.ndarray:
   """Greedy graph growing from several seeds; returns the best 0/1 split."""
-  total = int(g.vwts.sum())
   best_side, best_cut = None, None
   deg = np.diff(g.indptr)
   seeds = {int(np.argmin(deg)), int(np.argmax(deg))}
@@ -185,7 +184,6 @@ def _region_growing_bisect(g: _Graph, target0: int, rng) -> np.ndarray:
     cut = _cut_value(g, side)
     if best_cut is None or cut < best_cut:
       best_side, best_cut = side, cut
-  del total
   return best_side
 
 
@@ -259,7 +257,7 @@ def _multilevel_bisect(g: _Graph, target0: int, rng,
   if g.nv <= coarsest:
     side = _region_growing_bisect(g, target0, rng)
     return _fm_refine(g, side, target0)
-  match = _heavy_edge_matching(g, rng)
+  match = _heavy_edge_matching(g)
   cg, cid = _coarsen(g, match)
   if cg.nv > 0.95 * g.nv:  # coarsening stalled
     side = _region_growing_bisect(g, target0, rng)
@@ -295,9 +293,10 @@ def _kway(g: _Graph, ids: np.ndarray, num_parts: int, out: np.ndarray,
 
 
 def partition_multilevel(premesh: Premesh, num_partitions: int,
-                         seed: int = 0) -> np.ndarray:
+                         seed: int = 0, graph: _Graph | None = None
+                         ) -> np.ndarray:
   """Multilevel KL/FM graph partitioning (METIS recipe, pure Python)."""
-  g = element_graph(premesh)
+  g = element_graph(premesh) if graph is None else graph
   out = np.empty(premesh.num_elements, dtype=np.int32)
   rng = np.random.default_rng(seed)
   _kway(g, np.arange(premesh.num_elements, dtype=np.int64),
@@ -336,10 +335,11 @@ def partition_rcb(premesh: Premesh, num_partitions: int) -> np.ndarray:
   return out
 
 
-def edge_cut(premesh: Premesh, parts: np.ndarray) -> int:
+def edge_cut(premesh: Premesh, parts: np.ndarray,
+             graph: _Graph | None = None) -> int:
   """Sum of shared-node edge weights crossing partitions (METIS objective;
   proportional to the distributed exchange payload)."""
-  g = element_graph(premesh)
+  g = element_graph(premesh) if graph is None else graph
   rows = np.repeat(np.arange(g.nv), np.diff(g.indptr))
   parts = np.asarray(parts)
   return int(g.ewts[parts[rows] != parts[g.indices]].sum()) // 2
@@ -383,11 +383,13 @@ def partition(premesh: Premesh, num_partitions: int,
         raise
   if method == 'rcb':
     return partition_rcb(premesh, num_partitions)
-  ml = partition_multilevel(premesh, num_partitions)
+  g = element_graph(premesh)  # built once: multilevel + both cut checks
+  ml = partition_multilevel(premesh, num_partitions, graph=g)
   if method == 'multilevel':
     return ml
   # auto: also try geometric RCB (optimal on structured boxes, where the
   # KL/FM local search can stop at a slightly worse local minimum) and
   # keep whichever cuts fewer interface dofs.
   rcb = partition_rcb(premesh, num_partitions)
-  return ml if edge_cut(premesh, ml) <= edge_cut(premesh, rcb) else rcb
+  return (ml if edge_cut(premesh, ml, graph=g)
+          <= edge_cut(premesh, rcb, graph=g) else rcb)

@@ -61,3 +61,11 @@ class PeriodicProfile:
       jax.profiler.start_trace(os.path.join(self.logdir, f'step_{step}'))
       self._active = True
       self._stop_at = step + self.num_steps
+
+  def close(self) -> None:
+    """Stops an in-flight window (call after the loop: a run whose last
+    step lands inside a window would otherwise leave the profiler
+    running and its trace unflushed)."""
+    if self._active:
+      jax.profiler.stop_trace()
+      self._active = False
