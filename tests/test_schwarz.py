@@ -239,3 +239,43 @@ class TestSchwarzSolves:
 
 if __name__ == '__main__':
   pytest.main([__file__, '-v'])
+
+
+def test_vertex_coarse_sparse_path_matches_dense_oracles():
+  """Above the dense threshold the vertex-coarse inverse switches to a
+  sparse-LU grounded solve; it must equal the eigh pseudo-inverse
+  (singular/enclosed) and the dense inverse (nonsingular/outflow) to
+  rounding.  Motivation: the O(nv^3) eigh dominated Schwarz setup at
+  scale (25 min at nv = 16,641)."""
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+  from swirlfem_tpu.ops import schwarz as _s
+  from swirlfem_tpu.utils.box import unit_cube_mesh
+
+  pm = unit_cube_mesh(50, ndim=2).replace(box_info=None)  # nv=2601 > 2048
+  uid = _s._vertex_unique_ids(pm)
+  el_uid = uid[pm.elements]
+  nv = int(uid.max()) + 1
+  s_el = _s._coarse_element_stiffness(pm)
+  a_c = np.zeros((nv, nv))
+  np.add.at(a_c, (el_uid[:, :, None], el_uid[:, None, :]), s_el)
+  scale = float(bdfk_coeffs(2)[-1]) / 1e-2
+
+  # Singular (enclosed flow): grounded solve == eigh pinv.
+  got = _s._vertex_coarse_inverse(
+      pm, {'boundary': (BCType.DIRICHLET, 0.0)}, uid, el_uid, nv,
+      1e-2, 2, True)
+  want, _ = _s._pinv_psd(a_c)
+  err = np.abs(got - scale * want).max() / (scale * np.abs(want).max())
+  assert err < 1e-9, err
+
+  # Nonsingular (all-outflow): sparse Dirichlet rows == dense inverse.
+  got2 = _s._vertex_coarse_inverse(pm, {}, uid, el_uid, nv, 1e-2, 2, False)
+  a2 = a_c.copy()
+  bdry = _s._boundary_vertices(pm.elements, uid, pm.ndim)
+  dref = float(np.mean(np.diag(a2)))
+  a2[bdry, :] = 0.0
+  a2[:, bdry] = 0.0
+  a2[bdry, bdry] = dref
+  want2 = scale * np.linalg.inv(a2)
+  err2 = np.abs(got2 - want2).max() / np.abs(want2).max()
+  assert err2 < 1e-9, err2
