@@ -784,6 +784,7 @@ class StokesSEM:
       pressure_preconditioner=None,
       viscous_preconditioner=None,
       viscous_matvec=None,
+      viscous_fdm=None,
       project_out_nullspace: bool = True,
       tol: float = 1e-8, atol: float = 0.0,
       maxiter: int | None = None,
@@ -806,6 +807,13 @@ class StokesSEM:
     matmul instead of the sum-factorized kernel chain); must equal H to
     rounding.  Generic (non-fast-ops) path only.
 
+    ``viscous_fdm``: optional :class:`ops.fdm_element.ElementFDM` (from
+    ``build_element_fdm(sem.velocity.mesh)``) enabling the element-local
+    FDM additive-Schwarz preconditioner for the viscous CG — the warped/
+    unstructured-mesh upgrade of the Jacobi projector.  A pytree: pass it
+    through ``spmd_map`` alongside the solver on partitioned meshes.
+    Generic path only.
+
     ``projection_state``: optional `StokesProjection` (see
     ``initial_projection_state``) enabling Fischer successive-rhs
     projection: both solves start from the A-optimal guess in the span of
@@ -820,6 +828,10 @@ class StokesSEM:
         raise NotImplementedError(
             'projection_state is for the generic path; the structured fast '
             'path uses exact FDM solves')
+      if viscous_fdm is not None:
+        raise NotImplementedError(
+            'viscous_fdm is for the generic path; the structured fast path '
+            'already uses exact FDM solves')
       return self._stokes_one_step_fast(
           us, ps, f, mu, dt, time_order, alpha, u_boundary,
           pressure_preconditioner, project_out_nullspace, tol, atol, maxiter,
@@ -853,8 +865,19 @@ class StokesSEM:
     # (assembled diagonal; constant across dof copies so M stays symmetric)
     # — same construction as the structured fast path, built here from the
     # generic geometric factors.  Cuts the viscous CG ~2-4x vs the plain
-    # exchange projector on unstructured meshes.
-    diag_h = self._viscous_jacobi_diag(mu, dt, time_order)
+    # exchange projector on unstructured meshes.  With `viscous_fdm`,
+    # upgrade to the element-local FDM additive Schwarz (ops/fdm_element):
+    # same exchange-projector role, but local solves are per-element
+    # separable spectral inverses — cuts the viscous CG a further ~2-3x on
+    # warped/unstructured meshes where no exact FDM structure exists.
+    if viscous_fdm is not None:
+      from swirlfem_tpu.ops.fdm_element import (
+          element_fdm_viscous_preconditioner)
+      m_viscous = element_fdm_viscous_preconditioner(
+          self, viscous_fdm, mu, dt, time_order)
+    else:
+      diag_h = self._viscous_jacobi_diag(mu, dt, time_order)
+      m_viscous = lambda r: self.velocity.exchange(r) / diag_h[:, None]
 
     def vsolve(matvec, rhs):
       if viscous_matvec is not None:
@@ -864,8 +887,7 @@ class StokesSEM:
       if viscous_preconditioner is not None:
         x0 = jnp.stack([viscous_preconditioner(rhs[..., j])
                         for j in range(rhs.shape[-1])], axis=-1)
-      return cg(matvec, rhs, x0=x0,
-                M=lambda r: self.velocity.exchange(r) / diag_h[:, None],
+      return cg(matvec, rhs, x0=x0, M=m_viscous,
                 tol=tol, atol=atol_v, dot_fn=self.dot, maxiter=maxiter)
 
     # Fischer successive-rhs projection: x = x0 + H^{-1}(b - H x0) with the
