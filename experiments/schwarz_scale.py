@@ -116,21 +116,28 @@ def main():
   p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
   p0_sh = jnp.zeros(p_idx.shape)
 
-  def step(sem, us, ps, f, m):
+  from swirlfem_tpu.ops.fdm_element import build_element_fdm
+  fdm_p = build_element_fdm(sem_p)
+
+  def step(sem, us, ps, f, m, fdm):
     return sem.stokes_one_step(us, ps, f, mu=mu, dt=dt, time_order=k,
                                tol=args.tol, atol=args.tol, maxiter=2000,
-                               pressure_preconditioner=m)
+                               pressure_preconditioner=m, viscous_fdm=fdm)
 
-  for label, m in (('schwarz_vertex', m_d), ('unpreconditioned', None)):
+  # Third variant: Schwarz pressure + element-FDM viscous (ops/fdm_element)
+  # — the viscous CG is what dominates once the pressure is preconditioned.
+  for label, m, fdm in (('schwarz_vertex_fdm', m_d, fdm_p),
+                        ('schwarz_vertex', m_d, None),
+                        ('unpreconditioned', None, None)):
     run = spmd_map(step, dmesh, 'part')
     t3 = time.time()
     u_got, _, aux = run(sem_p, [u0_sh, 0.9 * u0_sh], [p0_sh, p0_sh],
-                        jnp.zeros_like(u0_sh), m)
+                        jnp.zeros_like(u0_sh), m, fdm)
     jax.block_until_ready(u_got)
     t_first = time.time() - t3
     t4 = time.time()
     u_got, _, aux = run(sem_p, [u0_sh, 0.9 * u0_sh], [p0_sh, p0_sh],
-                        jnp.zeros_like(u0_sh), m)
+                        jnp.zeros_like(u0_sh), m, fdm)
     jax.block_until_ready(u_got)
     result[label] = {
         'pressure_iters': int(np.asarray(aux['dp_info']['num_iterations'])
