@@ -62,6 +62,9 @@ def main():
   ap.add_argument('--overlap', default='auto')
   ap.add_argument('--projection', action='store_true',
                   help='Fischer successive-rhs projection in the step')
+  ap.add_argument('--viscous-fdm', action='store_true',
+                  help='element-local FDM viscous preconditioner '
+                       '(ops/fdm_element.py) instead of Jacobi')
   args = ap.parse_args()
 
   from swirlfem_tpu.utils.cylinder import cylinder_channel_premesh
@@ -147,6 +150,10 @@ def main():
   imask = sem.velocity.interior_mask
 
   proj0 = sem.initial_projection_state() if args.projection else None
+  fdm = None
+  if args.viscous_fdm:
+    from swirlfem_tpu.ops.fdm_element import build_element_fdm
+    fdm = jax.device_put(build_element_fdm(sem_cpu), jax.devices()[0])
 
   @jax.jit
   def chunk(carry):
@@ -157,7 +164,7 @@ def main():
           list(us), list(ps), -imask * cu, mu=mu, dt=dt,
           time_order=time_order, u_boundary=u_boundary, tol=args.tol,
           atol=args.tol * 1e-2, pressure_preconditioner=precond,
-          viscous_matvec=hmv, project_out_nullspace=False,
+          viscous_matvec=hmv, viscous_fdm=fdm, project_out_nullspace=False,
           projection_state=proj)
       c = (us[1:] + (u - u_boundary,), ps[1:] + (pnew,),
            cus[1:] + (sem.velocity.scatter(

@@ -23,5 +23,9 @@ timeout 3000 python -u experiments/profile_large_cylinder.py --steps 200 \
 timeout 3000 python -u experiments/profile_large_cylinder.py --steps 200 \
   --projection 2>&1 | tee /tmp/tpu_measurements/cyl_proj.log
 
+echo "=== 4. large cylinder: element-FDM viscous preconditioner A/B ==="
+timeout 3000 python -u experiments/profile_large_cylinder.py --steps 200 \
+  --viscous-fdm 2>&1 | tee /tmp/tpu_measurements/cyl_vfdm.log
+
 echo "=== done; order-7 campaign is a separate long run: ==="
 echo "  python experiments/large_cylinder_campaign.py --order 7 --num_steps 150000"
