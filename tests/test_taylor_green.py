@@ -139,6 +139,45 @@ def test_taylor_green_3d_extruded_rollout():
   assert div < 1e-7, div
 
 
+def test_taylor_green_spectral_convergence():
+  """BASELINE.md row: spectral (exponential-in-order) spatial convergence.
+
+  Rolls the full nonlinear solver at orders 3 / 5 / 7 on the same 4x4
+  periodic mesh with a fixed small dt, so the terminal error is dominated
+  by the spatial discretization; each +2 in order must cut the error by
+  at least 8x (exponential, not low-order-polynomial, decay).
+  """
+  dt, num_steps = 2e-3, 4
+
+  def run(order):
+    pm = unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1))
+    semo = StokesSEM.create(pm, boundary_conditions={}, order=order)
+    vc = semo.velocity.mesh.node_coords
+    pc = semo.pressure.pspace.mesh.node_coords
+    states = [_analytic(vc, pc, i * dt) for i in range(TIME_ORDER)]
+    us = tuple(s[0] for s in states)
+    ps = tuple(s[1] for s in states)
+    cus = tuple(semo.C(u) for u in us)
+    ext = [float(c) for c in extk_coeffs(k=TIME_ORDER - 1)]
+
+    @jax.jit
+    def step(us, ps, cus):
+      cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
+      u, p, _ = semo.stokes_one_step(
+          list(us), list(ps), -cu, mu=NU, dt=dt, time_order=TIME_ORDER,
+          tol=1e-12, atol=1e-12)
+      return us[1:] + (u,), ps[1:] + (p,), cus[1:] + (semo.C(u),)
+
+    for _ in range(num_steps):
+      us, ps, cus = step(us, ps, cus)
+    t_end = (TIME_ORDER - 1 + num_steps) * dt
+    u_exact, _ = _analytic(vc, pc, t_end)
+    return float(jnp.abs(us[-1] - u_exact).max())
+
+  errs = [run(order) for order in (3, 5, 7)]
+  assert errs[0] > 8 * errs[1] > 64 * errs[2], errs
+
+
 def test_taylor_green_dt_convergence(sem):
   """Halving dt reduces the terminal error ~4x (second-order scheme)."""
   vc = sem.velocity.mesh.node_coords
