@@ -49,10 +49,13 @@ CPU with reduced iteration counts and the JSON line carries
 parsed metric either way).
 
 Timing methodology: K dependent applications chained inside one jitted
-fori_loop (measures steady-state device throughput; the ~10-20 ms
-host->device dispatch of a jitted call through the tunneled TPU is
-amortized over K=300 applies / 100 NSE steps, matching how production
-loops batch whole cycles per dispatch).
+fori_loop (measures steady-state device throughput, matching how
+production loops batch whole cycles per dispatch).  K must be LARGE:
+each dispatch through the tunneled TPU carries ~8 ms of fixed overhead
+that even pipelined dependent dispatches pay (measured by sweeping K:
+time/apply = T + 8 ms / K), so K=3000 applies / 500 NSE steps keeps the
+pollution below ~3%.  The round-1 K=300 understated the apply throughput
+by ~2.4x.
 """
 
 import json
@@ -126,7 +129,7 @@ def _timeit_chained(apply_fn, u, chain=10, iters=3, jitted=None):
 
 
 def _stiffness_counts(ndim, order, num_elems, num_components,
-                      batch_factors, dtype_bytes=4):
+                      batch_factors, affine=False, dtype_bytes=4):
   """Analytic (flops, bytes) of one sum-factorized stiffness apply.
 
   Per element and component: ``2 * ndim`` one-dimensional contractions of
@@ -138,16 +141,27 @@ def _stiffness_counts(ndim, order, num_elems, num_components,
   HBM traffic: read the input and write the output per component; the
   ``ndim * (ndim + 1) / 2`` symmetric geometric-factor fields are read once
   per apply when ``batch_factors`` (the component-batched kernels) else
-  once per component.
+  once per component.  With ``affine`` (rank-1 factors, see
+  `ops.pallas_stiffness.stiffness_el_pallas_affine`) the factors are one
+  scalar per element per field instead of full fields.
   """
   k = order + 1
   pts = k ** ndim * num_elems
-  contractions = 2 * ndim * 2 * k * pts
-  pointwise = (ndim * (2 * ndim - 1) + (ndim - 1)) * pts
-  flops = num_components * (contractions + pointwise)
   n_factors = ndim * (ndim + 1) // 2
+  if affine:
+    # The affine kernel deliberately trades flops for bytes: one stacked
+    # (n_factors * k^ndim, k^ndim) dense matmul per component plus the
+    # per-element scalar combination (see _kernel_affine_mm).
+    flops = num_components * (
+        2 * n_factors * k ** ndim * pts + 2 * n_factors * pts)
+  else:
+    contractions = 2 * ndim * 2 * k * pts
+    pointwise = (ndim * (2 * ndim - 1) + (ndim - 1)) * pts
+    flops = num_components * (contractions + pointwise)
   factor_reads = n_factors * (1 if batch_factors else num_components)
-  nbytes = (2 * num_components + factor_reads) * pts * dtype_bytes
+  factor_pts = num_elems if affine else pts
+  nbytes = (2 * num_components * pts
+            + factor_reads * factor_pts) * dtype_bytes
   return flops, nbytes
 
 
@@ -242,10 +256,10 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
   def apply_fast(us):
     return ops.stiffness_el_multi(us)
 
-  chain = 60 if on_tpu else 4
+  chain = 500 if on_tpu else 4
   run = _chained(apply_fast, chain)
   t = _timeit_chained(apply_fast, us, chain=chain,
-                      iters=3 if on_tpu else 1, jitted=run)
+                      iters=2 if on_tpu else 1, jitted=run)
   num_dofs = 3 * (kk ** 3) * (n_el ** 3)
   out = {
       'workload': f'3D {n_el}^3 elements, order {order} GLL, 3 components',
@@ -308,27 +322,30 @@ def run_bench(on_tpu, device_kind):
     got = jnp.stack(apply_fast_nodal(ut), axis=-1)
     jax.block_until_ready(got)
   except Exception as e:  # pylint: disable=broad-except
-    # Escape hatch: if the component-batched Mosaic kernel fails to
-    # compile on this chip, fall back to per-component launches.
+    # Escape hatch: if the component-batched / affine Mosaic kernel fails
+    # to compile on this chip, fall back to per-component general launches.
     print(f'batched stiffness kernel failed ({type(e).__name__}); '
           'falling back to per-component launches', file=sys.stderr)
     sem = sem.replace(
-        fast_ops=sem.fast_ops.replace(batch_components=False))
+        fast_ops=sem.fast_ops.replace(batch_components=False,
+                                      g_affine=None))
     got = jnp.stack(apply_fast_nodal(ut), axis=-1)
   err = float(jnp.abs(ref - got).max() / (jnp.abs(ref).max() + 1e-30))
   assert err < 1e-3, f'fast vs reference-algorithm mismatch: {err}'
 
   # Hot-loop form: element-local E-last states, as iterated inside CG
-  # (layout conversions happen once per solve, not per apply).
+  # (layout conversions happen once per solve, not per apply).  The
+  # component-batched apply (one launch, factor fields read once — and on
+  # this affine box, three scalar rows instead of fields).
   ops = sem.fast_ops
   ut_el = tuple(sem2d.nodal_to_el(u, ops.vinfo) for u in ut)
 
   def apply_fast(ut_el):
-    return tuple(ops.stiffness_el(w) for w in ut_el)
+    return ops.stiffness_el_multi(ut_el)
 
-  chain_fast = 300 if on_tpu else 10
-  chain_kron = 4 if on_tpu else 2
-  iters = 3 if on_tpu else 1
+  chain_fast = 3000 if on_tpu else 10
+  chain_kron = 32 if on_tpu else 2
+  iters = 2 if on_tpu else 1
   run_fast = _chained(apply_fast, chain_fast)
   t_fast = _timeit_chained(apply_fast, ut_el, chain=chain_fast, iters=iters,
                            jitted=run_fast)
@@ -344,7 +361,8 @@ def run_bench(on_tpu, device_kind):
   # once per component (batch_factors=False).
   el_pts = (ORDER + 1) ** 2 * N_ELEMS ** 2
   flops, nbytes = _stiffness_counts(2, ORDER, N_ELEMS ** 2, 2,
-                                    batch_factors=False)
+                                    batch_factors=True,
+                                    affine=ops.g_affine is not None)
   roofline = _roofline(flops, nbytes, t_fast, 2 * el_pts, peaks)
   xla_flops, xla_bytes = _cost_analysis(run_fast, ut_el)
   if xla_flops:
@@ -367,10 +385,10 @@ def run_bench(on_tpu, device_kind):
       jnp.zeros((ORDER - 1,) * 2 + (N_ELEMS,) * 2, dtype), device)
   zero_f = tuple(jnp.zeros_like(c) for c in u0_el)
 
-  # 100 steps per dispatch: the ~20 ms tunneled host->device dispatch
-  # otherwise dominates a ~0.5 ms step (production runs batch whole cycles
-  # per dispatch the same way, niles/datagen.py advance).
-  steps = 100 if on_tpu else 10
+  # 500 steps per dispatch: the ~8 ms fixed per-dispatch overhead through
+  # the tunnel otherwise pollutes a ~0.5 ms step (production runs batch
+  # whole cycles per dispatch the same way, niles/datagen.py advance).
+  steps = 500 if on_tpu else 10
 
   @jax.jit
   def some_steps(us, ps):

