@@ -236,7 +236,9 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
   from swirlfem_tpu.nse.solver import StokesSEM
   from swirlfem_tpu.utils.box import unit_cube_mesh
 
-  n_el, order = (12, 7) if on_tpu else (6, 7)
+  # 16^3 elements: the element count is then 2^12, so the fused 3D
+  # kernel's 128-lane element tiles divide it exactly.
+  n_el, order = (16, 7) if on_tpu else (6, 7)
   with jax.default_device(jax.local_devices(backend='cpu')[0]):
     premesh = unit_cube_mesh(n_el, ndim=3, periodic_dims=(0, 1, 2))
     sem = StokesSEM.create(premesh, boundary_conditions={}, order=order,

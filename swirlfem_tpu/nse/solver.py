@@ -336,6 +336,8 @@ class StokesSEM:
       elif premesh.ndim == 3 and structured:
         from swirlfem_tpu.ops.sem3d import build_sem3d_ops
         fast_ops = build_sem3d_ops(velocity, pressure)
+        if use_pallas_kernels:
+          fast_ops = fast_ops.replace(use_pallas=True)
     sem = cls(velocity=velocity, pressure=pressure,
               velocity_mass_diag=velocity_mass_diag, axis_name=axis_name,
               fast_ops=fast_ops)

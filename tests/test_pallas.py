@@ -124,6 +124,30 @@ def test_affine_detection_rejects_warped_mesh():
   assert sem.fast_ops.g_affine is None
 
 
+@pytest.mark.smoke
+@pytest.mark.parametrize('order', [3, 7])
+def test_pallas_stiffness3d_matches_einsum(order):
+  """Fused 3D kernel vs the XLA einsum oracle (interpret mode)."""
+  from swirlfem_tpu.ops.pallas_stiffness3d import stiffness3d_el_pallas
+  sem = StokesSEM.create(unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2)),
+                         {}, order=order)
+  ops = sem.fast_ops
+  rng = np.random.default_rng(order)
+  k = order + 1
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, 8)))
+             for _ in range(3))
+  ref = ops.stiffness_el_multi(us)
+  gs = (ops.g11, ops.g12, ops.g13, ops.g22, ops.g23, ops.g33)
+  got = stiffness3d_el_pallas(us, gs, ops.dmat, interpret=True)
+  for g, r in zip(got, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-11)
+  # Tiled grid agrees with single tile.
+  got_tiled = stiffness3d_el_pallas(us, gs, ops.dmat, tile_e=4,
+                                    interpret=True)
+  for g, r in zip(got_tiled, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-11)
+
+
 def test_exchange2d_pallas_interpret():
   from swirlfem_tpu.core.structured import StructuredInfo
   from swirlfem_tpu.ops import sem2d
