@@ -43,6 +43,12 @@ def main():
   ap.add_argument('--n', type=int, default=128)
   ap.add_argument('--order', type=int, default=4)
   ap.add_argument('--tol', type=float, default=1e-8)
+  ap.add_argument('--coarse', default='vertex',
+                  choices=['vertex', 'vertex-cheb'],
+                  help='dense Q1 inverse vs matrix-free Chebyshev '
+                       '(ops.coarse_cheb; O(nnz) setup/memory)')
+  ap.add_argument('--out', default='schwarz_scale_result.json')
+  ap.add_argument('--skip-unpreconditioned', action='store_true')
   args = ap.parse_args()
 
   from swirlfem_tpu.core.bc import BCType
@@ -78,12 +84,13 @@ def main():
 
   t1 = time.time()
   m_d = build_distributed_schwarz(
-      sem_u, pm, bcs, dt, k, axis_name='part', overlap=0, coarse='vertex',
+      sem_u, pm, bcs, dt, k, axis_name='part', overlap=0, coarse=args.coarse,
       max_coarse_dofs=(n + 1) ** 2 + 1)
   result['schwarz_setup_seconds'] = round(time.time() - t1, 1)
   result['coarse'] = {
       'kind': m_d.coarse_kind,
       'coarse_dofs': int(m_d.coarse_nv),
+      'cheb_degree': (None if m_d.cheb is None else int(m_d.cheb.degree)),
       # per-apply collective payloads (floats)
       'vertex_psum_floats': int(m_d.coarse_nv),
       'p1dg_all_gather_floats_hypothetical':
@@ -126,9 +133,12 @@ def main():
 
   # Third variant: Schwarz pressure + element-FDM viscous (ops/fdm_element)
   # — the viscous CG is what dominates once the pressure is preconditioned.
-  for label, m, fdm in (('schwarz_vertex_fdm', m_d, fdm_p),
-                        ('schwarz_vertex', m_d, None),
-                        ('unpreconditioned', None, None)):
+  base = ('schwarz_vertex_cheb' if args.coarse == 'vertex-cheb'
+          else 'schwarz_vertex')
+  variants = [(base + '_fdm', m_d, fdm_p), (base, m_d, None)]
+  if not args.skip_unpreconditioned:
+    variants.append(('unpreconditioned', None, None))
+  for label, m, fdm in variants:
     run = spmd_map(step, dmesh, 'part')
     t3 = time.time()
     u_got, _, aux = run(sem_p, [u0_sh, 0.9 * u0_sh], [p0_sh, p0_sh],
@@ -152,8 +162,7 @@ def main():
     }
     print(f'{label}: {result[label]}', flush=True)
 
-  out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     'schwarz_scale_result.json')
+  out = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
   with open(out, 'w') as f:
     json.dump(result, f, indent=1)
   print(json.dumps(result))

@@ -207,7 +207,8 @@ def stiffness_el_pallas(u: jax.Array, g11: jax.Array, g12: jax.Array,
                                      tile_e=tile_e, interpret=interpret)[0]
 
 
-def _kernel_affine_mm(mstack_ref, *refs, num_components: int):
+def _kernel_affine_mm(mstack_ref, *refs, num_components: int,
+                      precision=jax.lax.Precision.HIGHEST):
   """Affine-element stiffness as one stacked MXU matmul per component.
 
   On affine elements G_ab(q, e) = wq(q) * c_ab(e), so the whole
@@ -234,7 +235,7 @@ def _kernel_affine_mm(mstack_ref, *refs, num_components: int):
   c12 = c_ref[1:2]
   c22 = c_ref[2:3]
   for u_ref, out_ref in zip(u_refs, out_refs):
-    y = jnp.dot(mstack, u_ref[:], precision=jax.lax.Precision.HIGHEST,
+    y = jnp.dot(mstack, u_ref[:], precision=precision,
                 preferred_element_type=u_ref.dtype)   # (3n^2, TE)
     out_ref[:] = (c11 * y[:n2] + c12 * y[n2:2 * n2] + c22 * y[2 * n2:])
 
@@ -264,6 +265,7 @@ def _affine_mstack(wq_nd, dmat, dtype):
 
 def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
                                tile_e: int = 2048,
+                               precision=jax.lax.Precision.HIGHEST,
                                interpret: bool = False):
   """Component-batched affine-element stiffness apply (see
   `_kernel_affine_mm`).
@@ -274,6 +276,9 @@ def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
       with G_ab(q, e) == wq_nd(q) * c_aff[ab](e) (see
       `sem2d.build_sem2d_ops` affine detection).
     wq_nd: tensor-product quadrature weights, shape (n, n) (static).
+    precision: MXU matmul precision.  HIGHEST (default) is the
+      f32-accurate multi-pass mode; HIGH halves the MXU passes for
+      ~1e-7-relative extra rounding (A/B: experiments/bench_precision_ab.py).
 
   Returns a tuple of C outputs, each ``(n, n, E)``.
   """
@@ -293,7 +298,8 @@ def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
 
   flat = lambda x: x.reshape(n * n, num_e)
   outs = pl.pallas_call(
-      functools.partial(_kernel_affine_mm, num_components=c),
+      functools.partial(_kernel_affine_mm, num_components=c,
+                        precision=precision),
       out_shape=[jax.ShapeDtypeStruct((n * n, num_e), us[0].dtype)] * c,
       grid=grid,
       in_specs=[mspec] + [block] * c + [cblock],

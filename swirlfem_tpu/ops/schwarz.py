@@ -608,9 +608,12 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
       connectivity drives coloring and the vertex coarse space).
     boundary_conditions: the mapping given to ``StokesSEM.create``
       (detects do-nothing outflow => E nonsingular, no projection).
-    coarse: ``'p1dg'`` | ``'vertex'`` | ``'auto'`` (p1dg when its
-      dimension fits ``max_coarse_dofs``, else vertex).
-    max_coarse_dofs: cap on the dense coarse inverse.
+    coarse: ``'p1dg'`` | ``'vertex'`` | ``'vertex-cheb'`` | ``'auto'``
+      (p1dg when its dimension fits ``max_coarse_dofs``, else vertex).
+    max_coarse_dofs: cap on the dense coarse inverse.  A vertex coarse
+      space larger than this switches to the matrix-free Chebyshev solve
+      (`ops.coarse_cheb`) — O(nnz) setup/memory instead of O(nv^2) —
+      which ``coarse='vertex-cheb'`` also forces explicitly.
     overlap: 0 = element-diagonal blocks; 1 = true overlapping Schwarz
       — each local domain extends one GL layer into its face neighbors,
       with the exact extended blocks assembled from the probing pass and
@@ -678,27 +681,36 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
     coarse = 'p1dg' if (2 ** d) * num_e <= max_coarse_dofs else 'vertex'
   has_nullspace = not _has_outflow(premesh, boundary_conditions, uid)
 
+  cheb = None
   if coarse == 'p1dg':
     stencil, inv_c = _p1dg_coarse(matvec_batch, elements, adj,
                                   colors2_local, pmesh, d, npn,
                                   has_nullspace)
     coarse_rows = None                       # per-element contiguous dofs
-  elif coarse == 'vertex':
-    if nv > max_coarse_dofs:
-      raise ValueError(
-          f'vertex coarse space has {nv} > max_coarse_dofs={max_coarse_dofs}')
+  elif coarse in ('vertex', 'vertex-cheb'):
     stencil = _vertex_stencil(pmesh, d)
-    inv_c = _vertex_coarse_inverse(premesh, boundary_conditions, uid,
-                                   el_uid, nv, dt, time_order,
-                                   has_nullspace)
     coarse_rows = jnp.asarray(el_uid)
+    if coarse == 'vertex-cheb' or nv > max_coarse_dofs:
+      # Beyond the dense-inverse range: matrix-free Chebyshev coarse solve
+      # (O(nnz) setup/memory instead of O(nv^2); see ops.coarse_cheb).
+      from swirlfem_tpu.ops.coarse_cheb import build_cheb_vertex_coarse
+      cheb = build_cheb_vertex_coarse(
+          premesh, boundary_conditions, uid, el_uid, nv, dt, time_order,
+          has_nullspace, rdtype=rdtype)
+      inv_c = None
+      coarse = 'vertex-cheb'
+    else:
+      inv_c = _vertex_coarse_inverse(premesh, boundary_conditions, uid,
+                                     el_uid, nv, dt, time_order,
+                                     has_nullspace)
   else:
     raise ValueError(f'unknown coarse space {coarse!r}')
 
   # -- device constants ------------------------------------------------------
   hp = lax.Precision.HIGHEST
   binv_dev = jnp.asarray(np.ascontiguousarray(binv, dtype=rdtype))
-  inv_c_dev = jnp.asarray(np.ascontiguousarray(inv_c, dtype=rdtype))
+  inv_c_dev = (None if inv_c is None else
+               jnp.asarray(np.ascontiguousarray(inv_c, dtype=rdtype)))
   stencil_dev = jnp.asarray(np.ascontiguousarray(stencil, dtype=rdtype))
   elements_dev = jnp.asarray(elements)
   el_is_iota = bool(
@@ -714,7 +726,10 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
       rc = rc_el.reshape(-1)
     else:
       rc = jnp.zeros(nv, dtype=rc_el.dtype).at[coarse_rows].add(rc_el)
-    yc = jnp.matmul(inv_c_dev, rc, precision=hp)
+    if cheb is not None:
+      yc = cheb.solve(rc).astype(rc.dtype)
+    else:
+      yc = jnp.matmul(inv_c_dev, rc, precision=hp)
     if coarse_rows is None:
       yc_el = yc.reshape(num_e, -1)
     else:

@@ -81,6 +81,10 @@ class DistributedSchwarz:
   # -- vertex coarse only (None under p1dg) -----------------------------------
   cvid_scatter: Any = None  # (E, nc) global vertex id (nv = dead slot)
   cvid_gather: Any = None   # (E, nc) index into this partition's inv rows
+  # -- vertex-cheb coarse only: matrix-free Chebyshev solve (ops.coarse_cheb),
+  # leaves tiled over partitions; every partition runs the identical
+  # replicated solve after the one nv-sized psum (deterministic, tiny).
+  cheb: Any = None
   # -- static ---------------------------------------------------------------
   axis_name: str = flax.struct.field(pytree_node=False, default='part')
   overlap: int = flax.struct.field(pytree_node=False, default=1)
@@ -102,15 +106,20 @@ class DistributedSchwarz:
     rc_el = jnp.einsum('nc,en->ec', self.stencil,
                        r_el.astype(self.stencil.dtype), precision=hp)
     rc_el = rc_el * self.valid_el[:, None].astype(rc_el.dtype)
-    if self.coarse_kind == 'vertex':
+    if self.coarse_kind in ('vertex', 'vertex-cheb'):
       # Assembled Q1 restriction: scatter-add into the nv-sized vertex
       # vector, one psum (size nv, vs all_gather of P*E*nc for p1dg),
       # then this partition's inverse rows + gather-prolongation.
       rc = jnp.zeros(self.coarse_nv + 1, dtype=rc_el.dtype)
       rc = rc.at[self.cvid_scatter].add(rc_el)[:self.coarse_nv]
       rc = lax.psum(rc, self.axis_name)
-      yc_v = jnp.matmul(self.inv_c_rows, rc, precision=hp)  # (nv_max,)
-      yc_el = yc_v[self.cvid_gather]                        # (E, nc)
+      if self.coarse_kind == 'vertex-cheb':
+        yc_full = self.cheb.solve(rc).astype(rc.dtype)      # (nv,)
+        yc_pad = jnp.concatenate([yc_full, jnp.zeros(1, yc_full.dtype)])
+        yc_el = yc_pad[self.cvid_scatter]                   # (E, nc)
+      else:
+        yc_v = jnp.matmul(self.inv_c_rows, rc, precision=hp)  # (nv_max,)
+        yc_el = yc_v[self.cvid_gather]                      # (E, nc)
     else:
       all_rc = lax.all_gather(rc_el, self.axis_name)       # (P, E, nc)
       yc = jnp.matmul(self.inv_c_rows, all_rc.reshape(-1), precision=hp)
@@ -173,9 +182,12 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
       all_gather of ``P * E * nc`` floats per apply) | ``'vertex'``
       (continuous Q1 FEM coarse on the order-1 vertices; one psum of
       ``nv`` floats per apply — the very-large-mesh choice, as in
-      `ops.schwarz`) | ``'auto'`` (p1dg while its dimension fits
-      ``max_coarse_dofs``).
-    max_coarse_dofs: cap on the dense coarse inverse ('auto' switch).
+      `ops.schwarz`) | ``'vertex-cheb'`` (same Q1 coarse solved
+      matrix-free by fixed-degree Chebyshev, `ops.coarse_cheb` — O(nnz)
+      setup/memory; same nv-sized psum) | ``'auto'`` (p1dg while its
+      dimension fits ``max_coarse_dofs``).
+    max_coarse_dofs: cap on the dense coarse inverse ('auto' switch); a
+      vertex coarse larger than this switches to vertex-cheb.
     overlap: 0 | 1 | 'auto' (1 in 2D, 0 otherwise), as in `ops.schwarz`.
 
   Returns:
@@ -185,7 +197,7 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
   """
   if not premesh.is_partitioned():
     raise ValueError('premesh must be partitioned')
-  if coarse not in ('auto', 'p1dg', 'vertex'):
+  if coarse not in ('auto', 'p1dg', 'vertex', 'vertex-cheb'):
     raise ValueError(f'unknown coarse space {coarse!r}')
 
   pmesh = sem_u.pressure.pspace.mesh
@@ -239,18 +251,27 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
   nv = int(uid.max()) + 1
   if coarse == 'auto':
     coarse = 'p1dg' if (2 ** d) * num_e <= max_coarse_dofs else 'vertex'
+  cheb_u = None
   if coarse == 'p1dg':
     stencil, inv_c = _schwarz._p1dg_coarse(matvec_batch, elements, adj,
                                            colors2, pmesh, d, npn,
                                            has_nullspace)
   else:
-    if nv > max_coarse_dofs:
-      raise ValueError(
-          f'vertex coarse space has {nv} > max_coarse_dofs={max_coarse_dofs}')
     stencil = _schwarz._vertex_stencil(pmesh, d)
-    inv_c = _schwarz._vertex_coarse_inverse(
-        premesh.replace(partitions=None), boundary_conditions, uid, el_uid,
-        nv, dt, time_order, has_nullspace)
+    if coarse == 'vertex-cheb' or nv > max_coarse_dofs:
+      # Beyond the dense-inverse range: matrix-free Chebyshev coarse
+      # (O(nnz) setup/memory; see ops.coarse_cheb).  Same nv-sized psum
+      # per apply; the solve itself is replicated local work.
+      from swirlfem_tpu.ops.coarse_cheb import build_cheb_vertex_coarse
+      cheb_u = build_cheb_vertex_coarse(
+          premesh.replace(partitions=None), boundary_conditions, uid,
+          el_uid, nv, dt, time_order, has_nullspace, rdtype=rdtype)
+      inv_c = None
+      coarse = 'vertex-cheb'
+    else:
+      inv_c = _schwarz._vertex_coarse_inverse(
+          premesh.replace(partitions=None), boundary_conditions, uid,
+          el_uid, nv, dt, time_order, has_nullspace)
   nc = stencil.shape[1]
 
   # -- partition layout -------------------------------------------------------
@@ -362,6 +383,15 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
         block = inv_c[g * nc:(g + 1) * nc]                  # (nc, E*nc)
         inv_c_rows[p, l * nc:(l + 1) * nc][:, col_valid] = (
             block[:, perm_cols[col_valid]])
+  elif coarse == 'vertex-cheb':
+    # Matrix-free coarse: every partition runs the replicated Chebyshev
+    # solve on the psum-assembled rc, then gathers its elements' vertex
+    # values straight by global id (dead slot nv for padded elements).
+    inv_c_rows = np.zeros((num_p, 1, 1))
+    cvid_scatter = np.full((num_p, e_max, nc), nv, dtype=np.int64)
+    for p in range(num_p):
+      for l, g in enumerate(rows[p][valid_el[p]]):
+        cvid_scatter[p, l] = el_uid[g]
   else:
     # Vertex coarse: each partition keeps the inverse rows of the unique
     # vertices its elements touch; restriction scatters into the global
@@ -401,6 +431,8 @@ def build_distributed_schwarz(sem_u, premesh, boundary_conditions,
       valid_el=dev(valid_el_f, rdtype),
       cvid_scatter=None if cvid_scatter is None else dev(cvid_scatter),
       cvid_gather=None if cvid_gather is None else dev(cvid_gather),
+      cheb=None if cheb_u is None else jax.tree.map(
+          lambda x: jnp.broadcast_to(x, (num_p,) + x.shape), cheb_u),
       rb=dev(rb, rdtype),
       nbr_buf_idx=dev(nbr_buf_idx),
       axis_name=axis_name,

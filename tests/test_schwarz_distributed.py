@@ -98,6 +98,33 @@ def test_distributed_vertex_coarse_matches_unpartitioned(dmesh):
                              rtol=1e-10, atol=1e-12)
 
 
+def test_distributed_cheb_coarse_matches_unpartitioned(dmesh):
+  """'vertex-cheb' coarse (matrix-free Chebyshev, the beyond-dense path):
+  partitioned apply equals the unpartitioned twin built with the same
+  coarse; only the restriction's summation order differs."""
+  pm, bcs, sem_u, dt, k = _setup()
+  m_u = build_schwarz_pressure_solver(sem_u, pm.replace(partitions=None),
+                                      bcs, dt, k, coarse='vertex-cheb')
+  m_d = build_distributed_schwarz(sem_u, pm, bcs, dt, k, axis_name='part',
+                                  coarse='vertex-cheb')
+  assert m_u.coarse == 'vertex-cheb'
+  assert m_d.coarse_kind == 'vertex-cheb'
+
+  sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                           device_mesh=dmesh)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  npn = sem_u.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(5)
+  r = rng.standard_normal(npn)
+  r_sharded = jnp.asarray(r[np.clip(p_idx, 0, None)] * (p_idx != -1))
+  apply_d = spmd_map(lambda m, x: m(x), dmesh, 'part')
+  got = np.asarray(apply_d(m_d, r_sharded))
+  expected = np.asarray(m_u(jnp.asarray(r)))
+  valid = p_idx != -1
+  np.testing.assert_allclose(got[valid], expected[p_idx[valid]],
+                             rtol=1e-8, atol=1e-10)
+
+
 def test_distributed_vertex_coarse_uneven_partitions(dmesh):
   """Vertex coarse with SENTINEL-padded element slots."""
   n = 6
