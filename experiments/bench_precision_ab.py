@@ -66,10 +66,19 @@ def main():
   num_e = N_ELEMS * N_ELEMS
   num_dofs = mesh.num_nodes * 2
 
-  # Float64 host oracle: y = c11 (M11 u) + c12 (M12 u) + c22 (M22 u).
-  mstack64 = np.asarray(_affine_mstack(np.asarray(ops.wq2d, np.float64),
-                                       np.asarray(ops.dmat, np.float64),
-                                       jnp.float64))
+  # Float64 host oracle: y = c11 (M11 u) + c12 (M12 u) + c22 (M22 u),
+  # the same algebra as ops.pallas_stiffness._affine_mstack but kept in
+  # numpy f64 (jnp would truncate to f32 without x64).
+  wq = np.asarray(ops.wq2d, np.float64)
+  d_np = np.asarray(ops.dmat, np.float64)
+  w = wq[0] / np.sqrt(wq[0, 0])
+  wmat = np.diag(w)
+  a_mat = d_np.T @ wmat @ d_np
+  dtw = d_np.T @ wmat
+  wd = wmat @ d_np
+  mstack64 = np.concatenate(
+      [np.kron(a_mat, wmat), np.kron(dtw, wd) + np.kron(wd, dtw),
+       np.kron(wmat, a_mat)], axis=0)
   n2 = n * n
   c64 = np.asarray(ops.g_affine, np.float64)
   want = []
@@ -80,8 +89,12 @@ def main():
   wmax = max(np.abs(w).max() for w in want)
 
   results = []
-  for prec_name in ('DEFAULT', 'HIGH', 'HIGHEST'):
-    precision = getattr(jax.lax.Precision, prec_name)
+  # Mosaic supports DEFAULT (1 bf16 pass) and HIGHEST (f32 emulation);
+  # Precision.HIGH raises NotImplementedError.  'bf16x3' is this repo's
+  # manual 3-pass middle ground (_kernel_affine_mm3).
+  for prec_name in ('DEFAULT', 'bf16x3', 'HIGHEST'):
+    precision = (prec_name if prec_name == 'bf16x3'
+                 else getattr(jax.lax.Precision, prec_name))
     for tile_e in (1024, 2048, 4096):
       def apply_fn(ut_el, tile_e=tile_e, precision=precision):
         return stiffness_el_pallas_affine(

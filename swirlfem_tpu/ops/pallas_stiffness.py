@@ -240,6 +240,36 @@ def _kernel_affine_mm(mstack_ref, *refs, num_components: int,
     out_ref[:] = (c11 * y[:n2] + c12 * y[n2:2 * n2] + c22 * y[2 * n2:])
 
 
+def _kernel_affine_mm3(mhi_ref, mlo_ref, *refs, num_components: int):
+  """bf16x3 variant of `_kernel_affine_mm`: the f32 matmul emulated by
+  three single-pass bf16 MXU matmuls with f32 accumulation.
+
+  With a = a_hi + a_lo and b = b_hi + b_lo (bf16 splits, residual in the
+  next 8 mantissa bits), ``a b ~ a_hi b_hi + a_hi b_lo + a_lo b_hi`` — the
+  dropped ``a_lo b_lo`` term is O(2^-18) relative (~4e-6), between
+  DEFAULT's single-pass bf16 (~3e-3) and HIGHEST's full f32 emulation
+  (~1e-7) at half of HIGHEST's MXU passes.  The static operator stack is
+  pre-split on the host; only the field is split in-kernel.
+  """
+  u_refs = refs[:num_components]
+  c_ref = refs[num_components]
+  out_refs = refs[num_components + 1:]
+  n2 = u_refs[0].shape[0]
+  mhi = mhi_ref[:]
+  mlo = mlo_ref[:]
+  c11 = c_ref[0:1]
+  c12 = c_ref[1:2]
+  c22 = c_ref[2:3]
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    u = u_ref[:]
+    uhi = u.astype(jnp.bfloat16)
+    ulo = (u - uhi.astype(u.dtype)).astype(jnp.bfloat16)
+    y = (jnp.dot(mhi, uhi, preferred_element_type=u.dtype)
+         + jnp.dot(mhi, ulo, preferred_element_type=u.dtype)
+         + jnp.dot(mlo, uhi, preferred_element_type=u.dtype))
+    out_ref[:] = (c11 * y[:n2] + c12 * y[n2:2 * n2] + c22 * y[2 * n2:])
+
+
 def _affine_mstack(wq_nd, dmat, dtype):
   """[M11; M12; M22] with A_e = c11 M11 + c12 M12 + c22 M22 (affine).
 
@@ -276,9 +306,11 @@ def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
       with G_ab(q, e) == wq_nd(q) * c_aff[ab](e) (see
       `sem2d.build_sem2d_ops` affine detection).
     wq_nd: tensor-product quadrature weights, shape (n, n) (static).
-    precision: MXU matmul precision.  HIGHEST (default) is the
-      f32-accurate multi-pass mode; HIGH halves the MXU passes for
-      ~1e-7-relative extra rounding (A/B: experiments/bench_precision_ab.py).
+    precision: MXU matmul precision: a `jax.lax.Precision` (Mosaic
+      supports DEFAULT — single-pass bf16, ~3e-3 relative — and HIGHEST,
+      the f32-accurate multi-pass mode) or the string ``'bf16x3'`` (three
+      bf16 passes, ~4e-6 relative — half of HIGHEST's MXU work; see
+      `_kernel_affine_mm3`).  A/B: experiments/bench_precision_ab.py.
 
   Returns a tuple of C outputs, each ``(n, n, E)``.
   """
@@ -286,7 +318,6 @@ def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
   n = us[0].shape[0]
   num_e = us[0].shape[2]
   tile_e = _pick_tile(num_e, tile_e)
-  mstack = _affine_mstack(wq_nd, dmat, us[0].dtype)
 
   grid = (num_e // tile_e,)
   block = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
@@ -297,13 +328,24 @@ def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
                        memory_space=pltpu.VMEM)
 
   flat = lambda x: x.reshape(n * n, num_e)
+  if precision == 'bf16x3':
+    m32 = _affine_mstack(wq_nd, dmat, jnp.float32)
+    mhi = m32.astype(jnp.bfloat16)
+    mlo = (m32 - mhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kernel = functools.partial(_kernel_affine_mm3, num_components=c)
+    operands = [mhi, mlo]
+    in_specs = [mspec, mspec]
+  else:
+    kernel = functools.partial(_kernel_affine_mm, num_components=c,
+                               precision=precision)
+    operands = [_affine_mstack(wq_nd, dmat, us[0].dtype)]
+    in_specs = [mspec]
   outs = pl.pallas_call(
-      functools.partial(_kernel_affine_mm, num_components=c,
-                        precision=precision),
+      kernel,
       out_shape=[jax.ShapeDtypeStruct((n * n, num_e), us[0].dtype)] * c,
       grid=grid,
-      in_specs=[mspec] + [block] * c + [cblock],
+      in_specs=in_specs + [block] * c + [cblock],
       out_specs=[block] * c,
       interpret=interpret,
-  )(mstack, *[flat(u) for u in us], c_aff.astype(us[0].dtype))
+  )(*operands, *[flat(u) for u in us], c_aff.astype(us[0].dtype))
   return tuple(o.reshape(n, n, num_e) for o in outs)
