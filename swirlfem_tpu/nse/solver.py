@@ -267,6 +267,7 @@ class StokesSEM:
              axis_name: str | None = None,
              device_mesh=None,
              use_pallas_kernels: bool = False,
+             kernel_precision: str = 'highest',
              unstructured_el_ops: bool = False,
              use_assembled_ops: bool | str = 'auto',
              coord_transform=None,
@@ -332,7 +333,8 @@ class StokesSEM:
         from swirlfem_tpu.ops.sem2d import build_sem2d_ops
         fast_ops = build_sem2d_ops(
             velocity, pressure,
-            use_pallas=use_pallas_kernels and structured)
+            use_pallas=use_pallas_kernels and structured,
+            kernel_precision=kernel_precision)
       elif premesh.ndim == 3 and structured:
         from swirlfem_tpu.ops.sem3d import build_sem3d_ops
         fast_ops = build_sem3d_ops(velocity, pressure)

@@ -294,7 +294,7 @@ def _affine_mstack(wq_nd, dmat, dtype):
 
 
 def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
-                               tile_e: int = 2048,
+                               tile_e: int = 4096,
                                precision=jax.lax.Precision.HIGHEST,
                                interpret: bool = False):
   """Component-batched affine-element stiffness apply (see

@@ -165,6 +165,18 @@ class Sem2DOps:
   g_affine: jax.Array | None = None
   wq2d: np.ndarray | None = flax.struct.field(pytree_node=False,
                                               default=None)
+  # MXU precision of the affine Pallas kernel: 'highest' (default,
+  # f32-accurate, ~1.4e-7 rel), 'bf16x3' (three bf16 passes, ~6e-6 rel,
+  # measured 1.6x faster on v5e — for loose-tolerance production runs), or
+  # 'default' (single bf16 pass, ~3e-3 rel, 2.6x — preconditioner-grade
+  # only).  Measured: experiments/bench_precision_ab.py.
+  kernel_precision: str = flax.struct.field(pytree_node=False,
+                                            default='highest')
+
+  def _affine_precision(self):
+    import jax.lax as _lax
+    return {'highest': _lax.Precision.HIGHEST, 'bf16x3': 'bf16x3',
+            'default': _lax.Precision.DEFAULT}[self.kernel_precision]
 
   # -- 1D contractions (axis 0 = xi, axis 1 = eta; E last) ----------------
 
@@ -193,7 +205,8 @@ class Sem2DOps:
         from swirlfem_tpu.ops.pallas_stiffness import (
             stiffness_el_pallas_affine)
         return stiffness_el_pallas_affine(
-            (u,), self.g_affine, self.wq2d, self.dmat)[0]
+            (u,), self.g_affine, self.wq2d, self.dmat,
+            precision=self._affine_precision())[0]
       # The row-unrolled kernel.  `stiffness_el_pallas_kron` measures ~11%
       # faster standalone but blows up XLA compile time when traced inside
       # the NSE-step scan, so it stays opt-in.
@@ -220,7 +233,8 @@ class Sem2DOps:
         from swirlfem_tpu.ops.pallas_stiffness import (
             stiffness_el_pallas_affine)
         return stiffness_el_pallas_affine(us, self.g_affine, self.wq2d,
-                                          self.dmat)
+                                          self.dmat,
+                                          precision=self._affine_precision())
       from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_batched
       return stiffness_el_pallas_batched(us, self.g11, self.g12, self.g22,
                                          self.dmat)
@@ -288,7 +302,8 @@ class Sem2DOps:
     return tuple(outs)
 
 
-def build_sem2d_ops(velocity, pressure, use_pallas: bool = False) -> Sem2DOps:
+def build_sem2d_ops(velocity, pressure, use_pallas: bool = False,
+                    kernel_precision: str = 'highest') -> Sem2DOps:
   """Builds E-last factors from the generic spaces (host/setup time).
 
   Works for ANY 2D mesh — the element operators only consume per-element
@@ -390,4 +405,4 @@ def build_sem2d_ops(velocity, pressure, use_pallas: bool = False) -> Sem2DOps:
       interp_o=interpolation_matrix_1d(vgrid, ogrid),
       interp_o_grad=interpolation_grad_matrix_1d(vgrid, ogrid),
       vinfo=vinfo, pinfo=pinfo, use_pallas=use_pallas,
-      g_affine=g_affine, wq2d=wq2d)
+      g_affine=g_affine, wq2d=wq2d, kernel_precision=kernel_precision)

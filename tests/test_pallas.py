@@ -89,6 +89,30 @@ def test_pallas_stiffness_affine_matches_einsum(order):
 
 
 @pytest.mark.smoke
+def test_pallas_stiffness_affine_bf16x3():
+  """The 3-pass bf16 emulation ('bf16x3' precision, ~2x fewer MXU passes
+  than HIGHEST): agrees with the exact operator to the expected ~1e-5
+  split-truncation level — far below single-pass bf16's ~3e-3."""
+  from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_affine
+  sem = StokesSEM.create(unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+                         {}, order=8)
+  ops = sem.fast_ops
+  rng = np.random.default_rng(7)
+  us = tuple(jnp.asarray(rng.standard_normal((9, 9, 16))) for _ in range(2))
+  ref = [ops.stiffness_el(u) for u in us]
+  got = stiffness_el_pallas_affine(us, ops.g_affine, ops.wq2d, ops.dmat,
+                                   precision='bf16x3', interpret=True)
+  scale = max(float(jnp.abs(r).max()) for r in ref)
+  for g, r in zip(got, ref):
+    err = float(jnp.abs(g - r).max()) / scale
+    assert err < 1e-4, err
+    assert err > 1e-9, 'suspiciously exact: bf16 split not exercised'
+  # The knob routes through Sem2DOps.
+  ops3 = ops.replace(kernel_precision='bf16x3')
+  assert ops3._affine_precision() == 'bf16x3'
+
+
+@pytest.mark.smoke
 def test_pallas_stiffness_affine_anisotropic_shear():
   """Stretched + sheared (but affine) mesh: catches any xi-axis ordering
   or cross-term sign error in the affine metric scalars (invisible on a
