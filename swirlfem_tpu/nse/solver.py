@@ -1073,21 +1073,28 @@ class StokesSEM:
         viscous_preconditioner=viscous_preconditioner_el,
         exact_solves=exact_solves)
 
-  def fdm_el_preconditioners(self, mu, dt, time_order: int):
+  def fdm_el_preconditioners(self, mu, dt, time_order: int,
+                             precision=lax.Precision.HIGHEST):
     """El-native exact FDM inverses for `stokes_one_step_el`.
 
     Returns ``(viscous_el, pressure_el)`` callables on el-form states
     (component tuple / single array), or ``(None, None)`` off uniform
     boxes.  The duplicate-node fold is baked into the transform matrices
     (ops.fdm_pressure), so applications are pure dense contractions.
+    ``precision`` sets the transform-matmul MXU precision: HIGHEST
+    (default, f32-accurate) or HIGH (XLA bf16x3, ~6e-6 relative — the
+    solves stop being bit-exact direct inverses; acceptable for f32 DNS
+    datagen where the state already carries ~1e-6 rounding.  A/B:
+    experiments/bench_step_precision.py).
     """
     from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver_el
     from swirlfem_tpu.ops.fdm_pressure import build_fdm_pressure_solver_el
     from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
     if not is_uniform_box(self):
       return None, None
-    sv = build_fdm_helmholtz_solver_el(self, time_order)
-    sp = build_fdm_pressure_solver_el(self, dt, time_order)
+    sv = build_fdm_helmholtz_solver_el(self, time_order, precision=precision)
+    sp = build_fdm_pressure_solver_el(self, dt, time_order,
+                                      precision=precision)
 
     def viscous_el(rt):
       return tuple(sv(r, mu, dt) for r in rt)

@@ -131,7 +131,8 @@ def _assemble_1d(blocks: np.ndarray, n: int, periodic: bool) -> np.ndarray:
   return out
 
 
-def build_fdm_pressure_solver(sem, dt: float, time_order: int):
+def build_fdm_pressure_solver(sem, dt: float, time_order: int,
+                              precision=lax.Precision.HIGHEST):
   """Returns ``solve(rhs) ~= E^{-1} rhs`` on uniform boxes (2D/3D, any BCs).
 
   `rhs` and the result are nodal pressure arrays (DG grid numbering).
@@ -210,7 +211,7 @@ def build_fdm_pressure_solver(sem, dt: float, time_order: int):
         ma = ma.T
       x = jnp.moveaxis(
           jnp.tensordot(ma, x, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     return x
 
   def solve(rhs):
@@ -240,7 +241,8 @@ def _assemble_1d_square(blocks: np.ndarray, n: int,
   return out
 
 
-def build_fdm_helmholtz_solver(sem, time_order: int):
+def build_fdm_helmholtz_solver(sem, time_order: int,
+                               precision=lax.Precision.HIGHEST):
   """Exact FDM solver for the viscous operator H = (beta_k/dt) B + mu A.
 
   On a uniform box the assembled vector Helmholtz operator is separable
@@ -350,12 +352,12 @@ def build_fdm_helmholtz_solver(sem, time_order: int):
     for a, z in enumerate(zs):
       h = jnp.moveaxis(
           jnp.tensordot(jnp.asarray(z).T, h, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     h = h / (beta_k / dt + mu * jnp.asarray(lam_sum))
     for a, z in enumerate(zs):
       h = jnp.moveaxis(
           jnp.tensordot(jnp.asarray(z), h, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     for a in range(d):
       interior, nv = interiors[a]
       h = _embed(h, a, interior, nv)
@@ -443,7 +445,8 @@ def helmholtz_eig_el(sem, time_order: int):
   return zels, lam_sum, beta_k
 
 
-def build_fdm_helmholtz_solver_el(sem, time_order: int):
+def build_fdm_helmholtz_solver_el(sem, time_order: int,
+                                  precision=lax.Precision.HIGHEST):
   """El-form FDM viscous solve: (k,)*d + eshape covector -> same-shaped.
 
   Identical math to `build_fdm_helmholtz_solver` with the duplicate-node
@@ -472,12 +475,12 @@ def build_fdm_helmholtz_solver_el(sem, time_order: int):
     for a, z in enumerate(zels):
       x = jnp.moveaxis(
           jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     x = x / (beta_k / dt + mu * jnp.asarray(lam_sum))
     for a, z in enumerate(zels):
       x = jnp.moveaxis(
           jnp.tensordot(jnp.asarray(z), x, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     x = x.reshape(sum(((n, k) for _ in range(d)), ()))
     inv = []
     for a in range(d):
@@ -555,7 +558,8 @@ def pressure_eig_el(sem, dt: float, time_order: int):
   return zs, inv_lam, bool(null.any())
 
 
-def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
+def build_fdm_pressure_solver_el(sem, dt: float, time_order: int,
+                                 precision=lax.Precision.HIGHEST):
   """El-form FDM pressure solve: ``(m,)*d + eshape`` -> same-shaped.
 
   The DG pressure has no duplicate nodes, so the el fold is a pure row
@@ -579,12 +583,12 @@ def build_fdm_pressure_solver_el(sem, dt: float, time_order: int):
     for a, z in enumerate(zs):
       x = jnp.moveaxis(
           jnp.tensordot(jnp.asarray(z).T, x, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     x = x * jnp.asarray(inv_lam)
     for a, z in enumerate(zs):
       x = jnp.moveaxis(
           jnp.tensordot(jnp.asarray(z), x, axes=([1], [a]),
-                         precision=lax.Precision.HIGHEST), 0, a)
+                         precision=precision), 0, a)
     x = x.reshape(sum(((m, n) for _ in range(d)), ()))
     inv = []
     for a in range(d):
