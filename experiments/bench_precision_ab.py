@@ -39,7 +39,6 @@ def main():
   import numpy as np
   from swirlfem_tpu.nse.solver import StokesSEM
   from swirlfem_tpu.ops import sem2d
-  from swirlfem_tpu.ops.pallas_stiffness import _affine_mstack
   from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_affine
   from swirlfem_tpu.utils.box import unit_cube_mesh
 
@@ -67,18 +66,10 @@ def main():
   num_dofs = mesh.num_nodes * 2
 
   # Float64 host oracle: y = c11 (M11 u) + c12 (M12 u) + c22 (M22 u),
-  # the same algebra as ops.pallas_stiffness._affine_mstack but kept in
-  # numpy f64 (jnp would truncate to f32 without x64).
-  wq = np.asarray(ops.wq2d, np.float64)
-  d_np = np.asarray(ops.dmat, np.float64)
-  w = wq[0] / np.sqrt(wq[0, 0])
-  wmat = np.diag(w)
-  a_mat = d_np.T @ wmat @ d_np
-  dtw = d_np.T @ wmat
-  wd = wmat @ d_np
-  mstack64 = np.concatenate(
-      [np.kron(a_mat, wmat), np.kron(dtw, wd) + np.kron(wd, dtw),
-       np.kron(wmat, a_mat)], axis=0)
+  # built by the kernel's own stack constructor (numpy f64 — jnp would
+  # truncate to f32 without x64).
+  from swirlfem_tpu.ops.pallas_stiffness import _affine_mstack_np
+  mstack64 = _affine_mstack_np(ops.wq2d, ops.dmat)
   n2 = n * n
   c64 = np.asarray(ops.g_affine, np.float64)
   want = []

@@ -80,14 +80,16 @@ def main():
 
     return some_steps
 
+  n_chunks = max(1, round(args.steps / chunk))
+  steps_run = n_chunks * chunk
   result = {'workload': f'2D {N_ELEMS}x{N_ELEMS} order {ORDER}, '
-                        f'{args.steps} steps', 'device': device_kind}
+                        f'{steps_run} steps', 'device': device_kind}
   finals = {}
   for name in ('HIGHEST', 'HIGH'):
     stepper = make_stepper(getattr(jax.lax.Precision, name))
     t = _timeit(stepper, (u0_el, u0_el), (p0_el, p0_el), iters=2) / chunk
     us, ps = (u0_el, u0_el), (p0_el, p0_el)
-    for _ in range(max(1, args.steps // chunk)):
+    for _ in range(n_chunks):
       us, ps = stepper(us, ps)
     finals[name] = jax.device_get(us[1])
     result[name] = {'ms_per_step': round(t * 1e3, 4)}

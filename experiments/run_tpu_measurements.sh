@@ -27,5 +27,13 @@ echo "=== 4. large cylinder: element-FDM viscous preconditioner A/B ==="
 timeout 3000 python -u experiments/profile_large_cylinder.py --steps 200 \
   --viscous-fdm 2>&1 | tee /tmp/tpu_measurements/cyl_vfdm.log
 
+echo "=== 5. affine-kernel MXU precision x tile A/B ==="
+timeout 3000 python -u experiments/bench_precision_ab.py \
+  2>&1 | tee /tmp/tpu_measurements/precision_ab.log
+
+echo "=== 6. NSE-step FDM transform precision A/B ==="
+timeout 3000 python -u experiments/bench_step_precision.py --steps 2000 \
+  2>&1 | tee /tmp/tpu_measurements/step_precision_ab.log
+
 echo "=== done; order-7 campaign is a separate long run: ==="
 echo "  python experiments/large_cylinder_campaign.py --order 7 --num_steps 150000"

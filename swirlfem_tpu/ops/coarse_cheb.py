@@ -64,6 +64,10 @@ class ChebCoarse:
   degree: int = flax.struct.field(pytree_node=False)
   num_aggregates: int = flax.struct.field(pytree_node=False)
   has_nullspace: bool = flax.struct.field(pytree_node=False)
+  # Measured relative residual of one fixed-degree application on a random
+  # rhs at setup (the degree-verification loop's achieved contraction).
+  verified_rel_residual: float = flax.struct.field(pytree_node=False,
+                                                   default=0.0)
 
   def _matvec(self, x):
     return (self.ell_val * x[self.ell_idx]).sum(axis=1)
@@ -90,16 +94,19 @@ class ChebCoarse:
     z = self._precond(b)
     d = z / theta
     x = d
-    r = b - self._matvec(x)
     rho = 1.0 / sigma
+    # Residual maintained LAZILY: body subtracts the PREVIOUS step's A d
+    # at its top, so the final (unconsumed) residual update is never
+    # computed — degree-1 matvecs total, not degree.
+    r = b
 
     def body(carry, _):
       x, r, d, rho = carry
+      r = r - self._matvec(d)
       z = self._precond(r)
       rho_new = 1.0 / (2.0 * sigma - rho)
       d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
       x = x + d
-      r = r - self._matvec(d)
       return (x, r, d, rho_new), None
 
     if self.degree > 1:
@@ -108,6 +115,38 @@ class ChebCoarse:
     if self.has_nullspace:
       x = x - jnp.mean(x)
     return self.scale * x
+
+
+def _cheb_solve_np(matvec, precond, b, lam_min: float, lam_max: float,
+                   degree: int, project: bool):
+  """Numpy twin of `ChebCoarse.solve` (same lazy-residual recurrence).
+
+  Used by the setup-time degree verification; a test pins it against the
+  device implementation so the verified degree is the deployed one.
+  Returns ``(x, r_lazy)`` where ``r_lazy`` is the residual BEFORE the
+  final search-direction update (one matvec short of the true residual,
+  exactly as on device).
+  """
+  if project:
+    b = b - b.mean()
+  theta = 0.5 * (lam_max + lam_min)
+  delta = 0.5 * (lam_max - lam_min)
+  sigma = theta / delta
+  z = precond(b)
+  d = z / theta
+  x = d.copy()
+  rho = 1.0 / sigma
+  r = b.copy()
+  for _ in range(degree - 1):
+    r = r - matvec(d)
+    z = precond(r)
+    rho_new = 1.0 / (2.0 * sigma - rho)
+    d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
+    x = x + d
+    rho = rho_new
+  if project:
+    x = x - x.mean()
+  return x, r
 
 
 def _aggregate_vertices(indptr: np.ndarray, indices: np.ndarray, nv: int,
@@ -186,22 +225,26 @@ def _pcg_eig_bounds(matvec, precond, nv: int, has_nullspace: bool,
   z = precond(r)
   p = z.copy()
   rz = float(r @ z)
+  rz0 = rz
   alphas, betas = [], []
-  for _ in range(iters):
+  for _ in range(min(iters, nv)):
     ap = matvec(p)
     pap = float(p @ ap)
     if pap <= 0 or rz <= 0:
       break
     alpha = rz / pap
+    alphas.append(alpha)
     x += alpha * p
     r -= alpha * ap
     z = precond(r)
     rz_new = float(r @ z)
-    beta = rz_new / rz
-    alphas.append(alpha)
-    betas.append(beta)
-    if rz_new < 1e-28 * abs(rz):
+    # Stop on CONVERGENCE relative to the initial residual: once PCG has
+    # converged to rounding level, further Lanczos directions are noise
+    # and produce spurious (observed: 1e8x) Ritz values.
+    if not np.isfinite(rz_new) or rz_new <= 1e-24 * rz0:
       break
+    beta = rz_new / rz
+    betas.append(beta)
     rz = rz_new
     p = z + beta * p
   k = len(alphas)
@@ -210,7 +253,7 @@ def _pcg_eig_bounds(matvec, precond, nv: int, has_nullspace: bool,
   t = np.zeros((k, k))
   for j in range(k):
     t[j, j] = 1.0 / alphas[j] + (betas[j - 1] / alphas[j - 1] if j else 0.0)
-    if j + 1 < k:
+    if j + 1 < k and j < len(betas):
       off = math.sqrt(max(betas[j], 0.0)) / alphas[j]
       t[j, j + 1] = t[j + 1, j] = off
   ritz = np.linalg.eigvalsh(t)
@@ -245,33 +288,13 @@ def build_cheb_vertex_coarse(premesh, boundary_conditions, uid, el_uid,
   from swirlfem_tpu.ops import schwarz as _schwarz
 
   beta_k = float(bdfk_coeffs(time_order)[-1])
-  s_el = _schwarz._coarse_element_stiffness(premesh)  # (E, 2^d, 2^d)
-
-  nc = el_uid.shape[1]
-  rows = np.repeat(el_uid[:, :, None], nc, axis=2).reshape(-1)
-  cols = np.repeat(el_uid[:, None, :], nc, axis=1).reshape(-1)
-  data = s_el.reshape(-1).astype(np.float64)
-  diag_ref = float(data[rows == cols].sum() / nv) or 1.0
-
-  if not has_nullspace:
-    # Do-nothing outflow: Dirichlet rows on the non-Dirichlet boundary
-    # vertices, mirroring the dense path (symmetric row+col elimination).
-    boundary = _schwarz._boundary_vertices(premesh.elements, uid,
-                                           premesh.ndim)
-    dirichlet_vertices = set()
-    from swirlfem_tpu.core.bc import BCType
-    for name, bc in (boundary_conditions or {}).items():
-      bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
-      if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
-        dirichlet_vertices.update(
-            uid[np.unique(premesh.physical_groups[name].reshape(-1))]
-            .tolist())
-    pinned = np.asarray(
-        sorted(set(boundary.tolist()) - dirichlet_vertices), dtype=np.int64)
-    keep = ~(np.isin(rows, pinned) | np.isin(cols, pinned))
-    rows = np.concatenate([rows[keep], pinned])
-    cols = np.concatenate([cols[keep], pinned])
-    data = np.concatenate([data[keep], np.full(len(pinned), diag_ref)])
+  # Shared with the sparse-LU dense-inverse path so both coarse solves
+  # assemble the bit-identical operator (do-nothing-outflow pinning
+  # included).  The singular enclosed case is handled here by projection,
+  # not grounding, so vertex 0 stays live.
+  rows, cols, data, diag_ref = _schwarz._vertex_coarse_coo(
+      premesh, boundary_conditions, uid, el_uid, nv, has_nullspace,
+      ground_vertex0=False)
 
   a_csr = sp.coo_matrix((data, (rows, cols)), shape=(nv, nv)).tocsr()
   a_csr.sum_duplicates()
@@ -310,9 +333,10 @@ def build_cheb_vertex_coarse(premesh, boundary_conditions, uid, el_uid,
   lam_max *= 1.05
   degree = min(max_degree, _degree_for(tol, lam_min, lam_max))
 
-  # Verified contraction: run the actual fixed-degree recurrence on a
-  # random rhs in numpy; double the degree until the measured relative
-  # residual meets tol (theory can be off when the Ritz bounds are loose).
+  # Verified contraction: run the actual fixed-degree recurrence
+  # (`_cheb_solve_np`, the pinned numpy twin of `ChebCoarse.solve`) on a
+  # random rhs; double the degree until the measured relative residual
+  # meets tol (theory can be off when the Ritz bounds are loose).
   rng = np.random.default_rng(1)
   b = rng.standard_normal(nv)
   if has_nullspace:
@@ -320,25 +344,21 @@ def build_cheb_vertex_coarse(premesh, boundary_conditions, uid, el_uid,
   bnorm = float(np.linalg.norm(b))
 
   def run_cheb(deg):
-    theta = 0.5 * (lam_max + lam_min)
-    delta = 0.5 * (lam_max - lam_min)
-    sigma = theta / delta
-    z = precond_np(b)
-    d = z / theta
-    x = d.copy()
-    r = b - a_csr @ x
-    rho = 1.0 / sigma
-    for _ in range(deg - 1):
-      z = precond_np(r)
-      rho_new = 1.0 / (2.0 * sigma - rho)
-      d = (rho_new * rho) * d + (2.0 * rho_new / delta) * z
-      x = x + d
-      r = r - a_csr @ d
-      rho = rho_new
-    return float(np.linalg.norm(r)) / bnorm
+    x, _ = _cheb_solve_np(lambda v: a_csr @ v, precond_np, b,
+                          lam_min, lam_max, deg, has_nullspace)
+    return float(np.linalg.norm(b - a_csr @ x)) / bnorm
 
-  while degree < max_degree and run_cheb(degree) > tol:
+  rel = run_cheb(degree)
+  while degree < max_degree and rel > tol:
     degree = min(max_degree, 2 * degree)
+    rel = run_cheb(degree)
+  if rel > tol:
+    import warnings
+    warnings.warn(
+        f'cheb vertex coarse: measured contraction {rel:.2e} > tol {tol:.0e}'
+        f' at the degree cap {max_degree} — the coarse solve is weaker than'
+        ' requested; expect more outer CG iterations (raise max_degree or'
+        ' agg quality)', RuntimeWarning, stacklevel=2)
 
   ell_idx, ell_val = _csr_to_ell(a_csr)
   return ChebCoarse(
@@ -353,4 +373,5 @@ def build_cheb_vertex_coarse(premesh, boundary_conditions, uid, el_uid,
       degree=int(degree),
       num_aggregates=int(na),
       has_nullspace=bool(has_nullspace),
+      verified_rel_residual=float(rel),
   )

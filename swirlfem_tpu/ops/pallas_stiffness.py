@@ -179,6 +179,10 @@ def stiffness_el_pallas_batched(us, g11: jax.Array, g12: jax.Array,
   c = len(us)
   n = us[0].shape[0]
   num_e = us[0].shape[2]
+  # Same VMEM cap rationale as the affine kernel (measured-good at
+  # n^2 = 81, tile 2048 with the three factor fields resident).
+  while tile_e > 128 and n * n * tile_e > 81 * 2048:
+    tile_e //= 2
   tile_e = _pick_tile(num_e, tile_e)
   d = jnp.asarray(dmat, dtype=us[0].dtype)
 
@@ -270,8 +274,9 @@ def _kernel_affine_mm3(mhi_ref, mlo_ref, *refs, num_components: int):
     out_ref[:] = (c11 * y[:n2] + c12 * y[n2:2 * n2] + c22 * y[2 * n2:])
 
 
-def _affine_mstack(wq_nd, dmat, dtype):
-  """[M11; M12; M22] with A_e = c11 M11 + c12 M12 + c22 M22 (affine).
+def _affine_mstack_np(wq_nd, dmat):
+  """[M11; M12; M22] with A_e = c11 M11 + c12 M12 + c22 M22 (affine),
+  as a float64 numpy array (also the oracle for the precision A/B).
 
   With wq = w (x) w (tensor-product quadrature weights), W = diag(w):
       M11 = (D^T W D) (x) W           (the G11 Dxi->Dxi term)
@@ -280,7 +285,6 @@ def _affine_mstack(wq_nd, dmat, dtype):
   """
   import numpy as np
   wq = np.asarray(wq_nd, dtype=np.float64)
-  n = wq.shape[0]
   w = wq[0] / np.sqrt(wq[0, 0])        # wq[i, j] = w[i] w[j], w > 0
   d_np = np.asarray(dmat, dtype=np.float64)
   wmat = np.diag(w)
@@ -290,7 +294,12 @@ def _affine_mstack(wq_nd, dmat, dtype):
   m11 = np.kron(a_mat, wmat)
   m12 = np.kron(dtw, wd) + np.kron(wd, dtw)
   m22 = np.kron(wmat, a_mat)
-  return jnp.asarray(np.concatenate([m11, m12, m22], axis=0), dtype=dtype)
+  return np.concatenate([m11, m12, m22], axis=0)
+
+
+def _affine_mstack(wq_nd, dmat, dtype):
+  """Device-dtype stacked affine operator (see `_affine_mstack_np`)."""
+  return jnp.asarray(_affine_mstack_np(wq_nd, dmat), dtype=dtype)
 
 
 def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
@@ -317,6 +326,12 @@ def stiffness_el_pallas_affine(us, c_aff: jax.Array, wq_nd, dmat, *,
   c = len(us)
   n = us[0].shape[0]
   num_e = us[0].shape[2]
+  # VMEM cap (~16 MB/core): the measured-good configuration is
+  # (n^2 = 81, tile 4096); blocks, double buffering, and the (3n^2, TE)
+  # matmul intermediate all scale with n^2 * tile_e, so shrink the element
+  # tile at higher orders instead of failing Mosaic allocation.
+  while tile_e > 128 and n * n * tile_e > 81 * 4096:
+    tile_e //= 2
   tile_e = _pick_tile(num_e, tile_e)
 
   grid = (num_e // tile_e,)

@@ -499,6 +499,52 @@ def _vertex_stencil(pmesh, d: int) -> np.ndarray:
   return stencil
 
 
+def _outflow_vertices(premesh, boundary_conditions, uid) -> np.ndarray:
+  """Boundary vertices NOT covered by a Dirichlet physical group — the
+  do-nothing-outflow set that gets Dirichlet rows in the coarse operator."""
+  boundary = _boundary_vertices(premesh.elements, uid, premesh.ndim)
+  dirichlet_vertices = set()
+  for name, bc in (boundary_conditions or {}).items():
+    bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
+    if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
+      dirichlet_vertices.update(
+          uid[np.unique(
+              premesh.physical_groups[name].reshape(-1))].tolist())
+  return np.asarray(sorted(set(boundary.tolist()) - dirichlet_vertices),
+                    dtype=np.int64)
+
+
+def _vertex_coarse_coo(premesh, boundary_conditions, uid, el_uid, nv: int,
+                       has_nullspace: bool, *, ground_vertex0: bool):
+  """COO triplets of the Q1 vertex coarse operator, float64.
+
+  Shared by the sparse-LU dense inverse (`_vertex_coarse_inverse`) and the
+  matrix-free Chebyshev solve (`ops.coarse_cheb`) so both paths assemble
+  the bit-identical operator.  Pinned vertices (do-nothing outflow, plus
+  vertex 0 when ``ground_vertex0`` grounds a singular operator) get
+  symmetric row/col elimination with a ``diag_ref`` Dirichlet diagonal.
+
+  Returns ``(rows, cols, data, diag_ref)``.
+  """
+  s_el = _coarse_element_stiffness(premesh)
+  nc = el_uid.shape[1]
+  rows = np.repeat(el_uid[:, :, None], nc, axis=2).reshape(-1)
+  cols = np.repeat(el_uid[:, None, :], nc, axis=1).reshape(-1)
+  data = s_el.reshape(-1).astype(np.float64)
+  diag_ref = float(data[rows == cols].sum() / nv) or 1.0
+  if has_nullspace:
+    pinned = (np.array([0], dtype=np.int64) if ground_vertex0
+              else np.zeros(0, dtype=np.int64))
+  else:
+    pinned = _outflow_vertices(premesh, boundary_conditions, uid)
+  if len(pinned):
+    keep = ~(np.isin(rows, pinned) | np.isin(cols, pinned))
+    rows = np.concatenate([rows[keep], pinned])
+    cols = np.concatenate([cols[keep], pinned])
+    data = np.concatenate([data[keep], np.full(len(pinned), diag_ref)])
+  return rows, cols, data, diag_ref
+
+
 def _vertex_coarse_inverse(premesh, boundary_conditions, uid, el_uid,
                            nv: int, dt: float, time_order: int,
                            has_nullspace: bool) -> np.ndarray:
@@ -514,16 +560,7 @@ def _vertex_coarse_inverse(premesh, boundary_conditions, uid, el_uid,
   s_el = _coarse_element_stiffness(premesh)
 
   def outflow_vertices():
-    boundary = _boundary_vertices(premesh.elements, uid, premesh.ndim)
-    dirichlet_vertices = set()
-    for name, bc in (boundary_conditions or {}).items():
-      bc_type = bc[0] if isinstance(bc, (tuple, list)) else bc
-      if bc_type == BCType.DIRICHLET and name in premesh.physical_groups:
-        dirichlet_vertices.update(
-            uid[np.unique(
-                premesh.physical_groups[name].reshape(-1))].tolist())
-    return np.asarray(sorted(set(boundary.tolist()) - dirichlet_vertices),
-                      dtype=np.int64)
+    return _outflow_vertices(premesh, boundary_conditions, uid)
 
   if nv <= 2048:
     # Dense path (small coarse spaces; bit-identical to the original).
@@ -554,19 +591,9 @@ def _vertex_coarse_inverse(premesh, boundary_conditions, uid, el_uid,
   import scipy.sparse as sp
   import scipy.sparse.linalg as spla
 
-  nc = el_uid.shape[1]
-  rows = np.repeat(el_uid[:, :, None], nc, axis=2).reshape(-1)
-  cols = np.repeat(el_uid[:, None, :], nc, axis=1).reshape(-1)
-  data = s_el.reshape(-1)
-  diag_ref = float(data[rows == cols].sum() / nv) or 1.0
-  if has_nullspace:
-    pinned = np.array([0], dtype=np.int64)
-  else:
-    pinned = outflow_vertices()
-  keep = ~(np.isin(rows, pinned) | np.isin(cols, pinned))
-  rows = np.concatenate([rows[keep], pinned])
-  cols = np.concatenate([cols[keep], pinned])
-  data = np.concatenate([data[keep], np.full(len(pinned), diag_ref)])
+  rows, cols, data, _ = _vertex_coarse_coo(
+      premesh, boundary_conditions, uid, el_uid, nv, has_nullspace,
+      ground_vertex0=True)
   a_g = sp.coo_matrix((data, (rows, cols)), shape=(nv, nv)).tocsc()
   lu = spla.splu(a_g)
 

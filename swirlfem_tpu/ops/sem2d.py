@@ -317,6 +317,9 @@ def build_sem2d_ops(velocity, pressure, use_pallas: bool = False,
       vspace quad points == mesh gridpoints).
     pressure: `StokesPressure` with the matching GL pressure mesh.
   """
+  if kernel_precision not in ('highest', 'bf16x3', 'default'):
+    raise ValueError(f'unknown kernel_precision {kernel_precision!r}; '
+                     "expected 'highest' | 'bf16x3' | 'default'")
   vspace = velocity.vspace
   vinfo = vspace.mesh.structured
   pinfo = pressure.pspace.mesh.structured

@@ -115,6 +115,39 @@ class TestStructure:
     assert float(jnp.linalg.norm(yc)) <= 1e-8
 
   @pytest.mark.smoke
+  def test_device_solve_matches_numpy_twin(self):
+    """The setup-time degree verification runs `_cheb_solve_np`; this pins
+    it against the deployed device recurrence so a future edit to one
+    without the other is caught (they must stay the same polynomial)."""
+    import scipy.sparse as sp
+    from swirlfem_tpu.ops.coarse_cheb import _cheb_solve_np
+    premesh, bcs = _cavity(n=8)
+    cheb, _, nv, _ = _build_both(premesh, bcs, tol=1e-2)
+    ell_idx = np.asarray(cheb.ell_idx)
+    ell_val = np.asarray(cheb.ell_val)
+    a_csr = sp.coo_matrix(
+        (ell_val.reshape(-1),
+         (np.repeat(np.arange(nv), ell_idx.shape[1]), ell_idx.reshape(-1))),
+        shape=(nv, nv)).tocsr()
+    dinv = np.asarray(cheb.dinv)
+    acc_inv = np.asarray(cheb.acc_inv)
+    agg = np.asarray(cheb.agg_id)
+    p_mat = sp.coo_matrix((np.ones(nv), (np.arange(nv), agg)),
+                          shape=(nv, cheb.num_aggregates)).tocsr()
+
+    def precond_np(r):
+      z = dinv * r + p_mat @ (acc_inv @ (p_mat.T @ r))
+      return z - z.mean() if cheb.has_nullspace else z
+
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal(nv)
+    want, _ = _cheb_solve_np(lambda v: a_csr @ v, precond_np, b,
+                             float(cheb.lam_min), float(cheb.lam_max),
+                             cheb.degree, cheb.has_nullspace)
+    got = np.asarray(cheb.solve(jnp.asarray(b))) / float(cheb.scale)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+  @pytest.mark.smoke
   def test_degree_is_bounded(self):
     """The aggregation two-grid keeps the verified degree modest — the
     whole point vs bare-Jacobi Chebyshev (degree O(1/h))."""
@@ -129,8 +162,13 @@ class TestInsideSchwarz:
   def test_auto_switches_above_cap(self):
     premesh, bcs = _cavity(n=6)
     sem = StokesSEM.create(premesh, boundary_conditions=bcs, order=3)
-    M = build_schwarz_pressure_solver(sem, premesh, bcs, DT, TIME_ORDER,
-                                      coarse='vertex', max_coarse_dofs=10)
+    import warnings
+    with warnings.catch_warnings():
+      # A degree-cap warning here means the spectral bounds broke (the
+      # round-7 PCG-breakdown regression) — fail loudly, not silently.
+      warnings.simplefilter('error', RuntimeWarning)
+      M = build_schwarz_pressure_solver(sem, premesh, bcs, DT, TIME_ORDER,
+                                        coarse='vertex', max_coarse_dofs=10)
     assert M.coarse == 'vertex-cheb'
 
   def test_iterations_match_dense_vertex(self):
