@@ -11,7 +11,14 @@ parallelism via NamedSharding).  Reference training regime:
 Writes ``experiments/niles_convergence_result.json`` with the train-loss
 curve and the eval metric history, and prints a one-line summary.
 
+With ``--tpu`` the same pipeline runs on the attached TPU chip at the
+reference's training geometry (12x12 elements, order 4, batch 16, 8-step
+rollouts, the flagship width-48 latent-SDE transformer) against a
+24x24-order-6 Re-5000 DNS — the closest single-chip analogue of the
+reference's production regime (``swirl_fem/niles/config/niles.py:24-89``).
+
 Usage: python experiments/niles_convergence.py [--steps N] [--workdir DIR]
+       python experiments/niles_convergence.py --tpu [--steps N]
 """
 
 import argparse
@@ -22,12 +29,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
-                           + ' --xla_force_host_platform_device_count=8')
+_TPU = '--tpu' in sys.argv
+if not _TPU:
+  os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                             + ' --xla_force_host_platform_device_count=8')
 
 import jax  # noqa: E402
 
-jax.config.update('jax_platforms', 'cpu')
+if not _TPU:
+  jax.config.update('jax_platforms', 'cpu')
 
 import ml_collections  # noqa: E402
 import numpy as np  # noqa: E402
@@ -84,6 +94,42 @@ def small_config(num_train_steps: int) -> ml_collections.ConfigDict:
   return cfg
 
 
+def tpu_config(num_train_steps: int) -> ml_collections.ConfigDict:
+  """Reference-geometry config for the single-TPU run: 12x12 elements
+  order 4, batch 16, 8-step rollouts, flagship model defaults."""
+  from swirlfem_tpu.niles import config as niles_config
+
+  cfg = niles_config.get_config()
+  cfg.batch_size = 16
+  cfg.eval_num_steps = 16
+  cfg.eval_window_size = (cfg.eval_num_steps + 3) * cfg.window_step
+  cfg.eval_window_stride = 8
+  cfg.reynolds_number = 5000   # DNS below resolves this on one chip
+  cfg.drag_coeff = 0.05        # match the datagen
+  cfg.learning_rate = 0.05     # effective = 0.05 * 16 / 256 ~ 3e-3
+  cfg.warmup_epochs = 0.25
+  cfg.num_train_steps = num_train_steps
+  cfg.log_every_steps = 10
+  cfg.eval_every_epochs = 0.5
+  cfg.steps_per_eval = 2
+  cfg.checkpoint_epochs = 100
+  return cfg
+
+
+def generate_dns_tpu(dataset_dir: str) -> None:
+  """Mid-size Kolmogorov DNS for the TPU run: 24x24 elements order 6."""
+  from swirlfem_tpu.niles import datagen
+
+  os.makedirs(dataset_dir, exist_ok=True)
+  for split, cycles in (('train', 15), ('valid', 4)):
+    cfg = datagen.DatagenConfig(
+        resolution=24, order=6, time_order=2, reynolds_number=5000.0,
+        num_cycles=cycles, num_steps_per_cycle=500, dt=2e-4,
+        snapshot_every=5,  # LES dt = 5 * 2e-4 = 1e-3
+        split=split)
+    datagen.run_simulation(dataset_dir, cfg)
+
+
 def generate_dns(dataset_dir: str) -> None:
   """Small Kolmogorov DNS: 16x16 elements order 4, Re 1000."""
   from swirlfem_tpu.niles import datagen
@@ -101,9 +147,13 @@ def generate_dns(dataset_dir: str) -> None:
 def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--steps', type=int, default=300)
-  ap.add_argument('--workdir', default='/tmp/niles_convergence')
-  ap.add_argument('--dataset_dir', default='/tmp/niles_convergence/data')
+  ap.add_argument('--tpu', action='store_true')
+  ap.add_argument('--workdir', default=None)
+  ap.add_argument('--dataset_dir', default=None)
   args = ap.parse_args()
+  base = '/tmp/niles_convergence_tpu' if args.tpu else '/tmp/niles_convergence'
+  args.workdir = args.workdir or base
+  args.dataset_dir = args.dataset_dir or base + '/data'
 
   from swirlfem_tpu.niles import coarsen
   from swirlfem_tpu.niles import input_pipeline
@@ -112,15 +162,16 @@ def main():
   t0 = time.time()
   if not os.path.exists(os.path.join(args.dataset_dir, 'train_00000.h5')):
     print('generating DNS data ...', flush=True)
-    generate_dns(args.dataset_dir)
+    (generate_dns_tpu if args.tpu else generate_dns)(args.dataset_dir)
   t_dns = time.time() - t0
 
-  cfg = small_config(args.steps)
+  cfg = tpu_config(args.steps) if args.tpu else small_config(args.steps)
   cfg.dataset_dir = args.dataset_dir
   frozen = ml_collections.FrozenConfigDict(cfg)
 
-  # DNS (16x16, order 4) -> LES (8x8, order 3) restriction on load.
-  restrict = coarsen.make_restriction(16, 4, frozen)
+  # DNS -> LES restriction on load.
+  src_grid, src_order = (24, 6) if args.tpu else (16, 4)
+  restrict = coarsen.make_restriction(src_grid, src_order, frozen)
   orig_create_split = input_pipeline.create_split
   input_pipeline.create_split = (
       lambda *a, **kw: orig_create_split(*a, **kw, restrict_fn=restrict))
@@ -154,10 +205,15 @@ def main():
   losses = [h['train_mse'] for h in history['train'] if 'train_mse' in h]
   evals = [h for h in history['eval'] if 'eval_mse' in h]
   result = {
-      'config': {'element_grid_size': 8, 'order': 3, 'reynolds': 1000,
-                 'batch_size': 8, 'rollout_steps': 4,
+      'config': {'element_grid_size': frozen.element_grid_size,
+                 'order': frozen.order,
+                 'reynolds': float(frozen.reynolds_number),
+                 'batch_size': frozen.batch_size,
+                 'rollout_steps': frozen.num_steps,
                  'train_steps': args.steps,
-                 'dns': '16x16 elements order 4, dt 2e-4, Re 1000'},
+                 'dns': (f'{src_grid}x{src_grid} elements order {src_order},'
+                         ' dt 2e-4'),
+                 'platform': jax.devices()[0].platform},
       'dns_seconds': round(t_dns, 1),
       'train_seconds': round(t_train, 1),
       'devices': len(jax.devices()),
@@ -167,8 +223,10 @@ def main():
       'last_train_mse': losses[-1] if losses else None,
       'improvement': (1 - losses[-1] / losses[0]) if losses else None,
   }
-  out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     'niles_convergence_result.json')
+  out = os.path.join(
+      os.path.dirname(os.path.abspath(__file__)),
+      'niles_convergence_tpu_result.json' if args.tpu
+      else 'niles_convergence_result.json')
   with open(out, 'w') as f:
     json.dump(result, f, indent=1)
   print(json.dumps({k: result[k] for k in
