@@ -60,11 +60,15 @@ def main():
   print(f'schwarz setup {time.time() - t0:.0f} s', flush=True)
 
   t0 = time.time()
+  # Checkpointed: the tunneled TPU worker can crash mid-campaign; a
+  # relaunch resumes at the last saved chunk (the projection warm-start
+  # history rebuilds itself after a resume).
   u, p, trace, forces = cyl.run_cylinder_scan(
       sem, reynolds=100.0, dt=dt, num_steps=args.num_steps,
       steps_per_dispatch=1000, tol=args.tol, compute_forces=True,
       pressure_preconditioner=precond, kick_steps=30000,
-      log_every=10)
+      log_every=10,
+      checkpoint_path=args.out + '.ck.npz', checkpoint_every=10)
   wall = time.time() - t0
   np.savez(args.out, trace=trace, forces=forces, dt=dt)
   print(f'{args.num_steps} steps in {wall:.0f} s '

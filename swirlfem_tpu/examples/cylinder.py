@@ -17,6 +17,7 @@ reader for such meshes; no cylinder example exists upstream).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -144,7 +145,9 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
                       compute_forces: bool = False,
                       pressure_preconditioner=None,
                       use_assembled_viscous: bool = False,
-                      use_projection: bool = True):
+                      use_projection: bool = True,
+                      checkpoint_path: str | None = None,
+                      checkpoint_every: int = 20):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
@@ -274,17 +277,47 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   import time as _time
   trace, forces = [], []
   carry = (us, ps, cus, proj0)
+  start_chunk = 0
+  # Chunk-level checkpoint/resume: through the tunneled TPU the worker can
+  # crash mid-campaign (observed twice on 150k-step runs); with a
+  # checkpoint path a relaunched process resumes at the last saved chunk
+  # instead of restarting the whole run.
+  if checkpoint_path and os.path.exists(checkpoint_path):
+    ck = np.load(checkpoint_path)
+    start_chunk = int(ck['chunk'])
+    carry = (tuple(jnp.asarray(a) for a in ck['us']),
+             tuple(jnp.asarray(a) for a in ck['ps']),
+             tuple(jnp.asarray(a) for a in ck['cus']), proj0)
+    trace = [ck['trace']] if ck['trace'].size else []
+    forces = [ck['forces']] if ck['forces'].size else []
+    # The projection history is NOT checkpointed: it only warm-starts CG
+    # (stop_gradient'ed, never changes solutions), so a resume simply
+    # rebuilds it from scratch over the next few chunks.
+    print(f'resuming from checkpoint at chunk {start_chunk} '
+          f'({start_chunk * steps_per_dispatch} steps)', flush=True)
   t0 = _time.time()
-  for i in range(num_steps // steps_per_dispatch):
+  for i in range(start_chunk, num_steps // steps_per_dispatch):
     carry, tr = chunk(jnp.int32(i * steps_per_dispatch), *carry)
     if compute_forces:
       tr, fr = tr
       forces.append(np.asarray(fr))
     trace.append(np.asarray(tr))
     if log_every and (i + 1) % log_every == 0:
-      done = (i + 1) * steps_per_dispatch
-      print(f'step {done}: probe={trace[-1][-1]:+.4f} '
+      done = (i + 1 - start_chunk) * steps_per_dispatch
+      print(f'step {(i + 1) * steps_per_dispatch}: '
+            f'probe={trace[-1][-1]:+.4f} '
             f'({(_time.time() - t0) / done * 1e3:.1f} ms/step)', flush=True)
+    if checkpoint_path and (i + 1) % checkpoint_every == 0:
+      tmp = checkpoint_path + '.tmp.npz'
+      with open(tmp, 'wb') as fh:
+        np.savez(fh, chunk=i + 1,
+                 us=np.stack([np.asarray(a) for a in carry[0]]),
+                 ps=np.stack([np.asarray(a) for a in carry[1]]),
+                 cus=np.stack([np.asarray(a) for a in carry[2]]),
+                 trace=np.concatenate(trace),
+                 forces=(np.concatenate(forces) if forces
+                         else np.zeros((0, 2))))
+      os.replace(tmp, checkpoint_path)
   us, ps = carry[0], carry[1]
   out = (us[-1] + u_boundary, ps[-1], np.concatenate(trace))
   if compute_forces:

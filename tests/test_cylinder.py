@@ -191,6 +191,33 @@ def test_scan_force_trace():
   assert forces[-1, 0] > 0.0, forces[-1]  # drag points downstream
 
 
+def test_scan_checkpoint_resume(tmp_path):
+  """A scan interrupted after its first checkpoint resumes at the saved
+  chunk and reproduces the uninterrupted trajectory (the failure-recovery
+  path for long TPU campaigns where the tunneled worker can crash)."""
+  from swirlfem_tpu.examples.cylinder import run_cylinder_scan
+
+  sem = make_cylinder_sem(order=3, ns=4, nr=3, nx_down=10)
+  kw = dict(dt=5e-4, steps_per_dispatch=10, compute_forces=True,
+            kick_steps=5, use_projection=False, tol=1e-11,
+            checkpoint_every=1)
+  ck = str(tmp_path / 'scan.ck.npz')
+
+  # Uninterrupted 30-step oracle (no checkpoint file involved).
+  _, _, trace_full, forces_full = run_cylinder_scan(
+      sem, num_steps=30, **{k: v for k, v in kw.items()
+                            if k != 'checkpoint_every'})
+
+  # "Crash" after 10 steps (one chunk), then resume to 30.
+  run_cylinder_scan(sem, num_steps=10, checkpoint_path=ck, **kw)
+  assert np.load(ck)['chunk'] == 1
+  _, _, trace_res, forces_res = run_cylinder_scan(
+      sem, num_steps=30, checkpoint_path=ck, **kw)
+  assert trace_res.shape == (30,)
+  np.testing.assert_allclose(trace_res, trace_full, atol=1e-7)
+  np.testing.assert_allclose(forces_res, forces_full, atol=1e-6)
+
+
 def test_unstructured_fast_path_matches_generic_step():
   """The E-last unstructured fast path must reproduce the generic-operator
   step on the curved cylinder mesh to rounding."""
