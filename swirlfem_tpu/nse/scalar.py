@@ -54,10 +54,15 @@ class ScalarTransport:
   velocity: 'StokesVelocity'      # the StokesSEM.velocity it was built from
   interior_mask: jax.Array        # (num_nodes,) 1.0 interior / 0.0 Dirichlet
   mass_diag: jax.Array            # assembled scalar lumped mass (unmasked)
+  axis_name: str | None = flax.struct.field(pytree_node=False, default=None)
 
   @classmethod
   def create(cls, sem: StokesSEM, boundary_conditions) -> 'ScalarTransport':
     """Builds the scalar space on ``sem``'s velocity mesh.
+
+    On a partitioned sem the returned struct carries stacked per-partition
+    leaves — pass it through ``spmd_map`` alongside the solver, exactly
+    like the `StokesSEM` itself.
 
     Args:
       sem: the flow solver (its velocity space is reused).
@@ -67,25 +72,34 @@ class ScalarTransport:
     """
     vel = sem.velocity
     mesh = vel.mesh
-    if sem.axis_name is not None:
-      raise NotImplementedError(
-          'partitioned scalar transport: build per-partition masks like '
-          'StokesVelocity.create')
     mask = jnp.asarray(
         dirichlet_interior_mask(mesh, boundary_conditions or {}))
 
-    def l(t, v):
-      return lambda x: t(x) * v(x)
+    def md(vel):
+      def l(t, v):
+        return lambda x: t(x) * v(x)
+      ones = jnp.ones(vel.mesh.elements.shape,
+                      dtype=vel.mesh.node_coords.dtype)
+      t = vel.vspace.scalar_function(ones)
+      v = vel.vspace.scalar_function(None)
+      return vel.mesh.scatter(vel.vspace.local_covector(l, (t, v)))
 
-    ones = jnp.ones(mesh.elements.shape, dtype=mesh.node_coords.dtype)
-    t = vel.vspace.scalar_function(ones)
-    v = vel.vspace.scalar_function(None)
-    mass_diag = mesh.scatter(vel.vspace.local_covector(l, (t, v)))
-    return cls(velocity=vel, interior_mask=mask, mass_diag=mass_diag)
+    if sem.axis_name is not None:
+      mass_diag = jax.vmap(md)(vel)
+    else:
+      mass_diag = md(vel)
+    return cls(velocity=vel, interior_mask=mask, mass_diag=mass_diag,
+               axis_name=sem.axis_name)
 
   @property
   def mesh(self):
     return self.velocity.mesh
+
+  def _dot(self, a, b):
+    d = jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
+    if self.axis_name is not None:
+      d = lax.psum(d, axis_name=self.axis_name)
+    return d
 
   # -- operators (row-masked, matching the StokesSEM conventions) ----------
 
@@ -182,7 +196,7 @@ class ScalarTransport:
 
     def solve(matvec, b):
       return cg(matvec, self.interior_mask * b, M=m_op, tol=tol, atol=atol,
-                maxiter=maxiter)
+                dot_fn=self._dot, maxiter=maxiter)
 
     theta, info = lax.custom_linear_solve(h_op, rhs, solve=solve,
                                           symmetric=True, has_aux=True)

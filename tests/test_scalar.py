@@ -136,6 +136,41 @@ class TestAnalytic:
     # small but not zero, so conservation holds to that interpolation level.
     np.testing.assert_allclose(total, total0, rtol=1e-5)
 
+  def test_partitioned_step_matches_unpartitioned(self):
+    """4-partition scalar step under spmd_map vs the single-device oracle
+    (same pattern as tests/test_parallel.py's NSE step parity)."""
+    from swirlfem_tpu.parallel.spmd import device_mesh, spmd_map
+    assert jax.device_count() >= 4
+    dmesh = device_mesh('part', 4)
+    parts = np.array([[0, 1], [2, 3]])
+    pm = unit_cube_mesh(6, ndim=2, partitions=parts)
+    bcs = {'boundary': (BCType.DIRICHLET, 0.0)}
+    sem_u = StokesSEM.create(pm.replace(partitions=None), bcs, order=4)
+    sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                             device_mesh=dmesh)
+    st_u = ScalarTransport.create(sem_u, bcs)
+    st_p = ScalarTransport.create(sem_p, bcs)
+
+    vc = np.asarray(sem_u.velocity.mesh.node_coords)
+    mask_u = np.asarray(sem_u.velocity.interior_mask)[:, 0]
+    th0 = jnp.asarray(
+        np.sin(np.pi * vc[:, 0]) * np.sin(np.pi * vc[:, 1]))
+    u0 = jnp.asarray(np.stack(
+        [np.sin(np.pi * vc[:, 1]) * mask_u, 0.1 * mask_u], axis=-1))
+    kw = dict(kappa=1e-2, dt=1e-3, time_order=2, tol=1e-12)
+    th_exp, _ = st_u.one_step([th0, th0], [u0, u0], **kw)
+
+    v_idx = np.asarray(sem_p.velocity.mesh.node_indices)
+    shard = lambda x: jnp.asarray(np.asarray(x)[np.clip(v_idx, 0, None)]
+                                  * (v_idx != -1).astype(np.float64)
+                                  .reshape(v_idx.shape + (1,) * (x.ndim - 1)))
+    run = spmd_map(
+        lambda st, thetas, us: st.one_step(thetas, us, **kw), dmesh, 'part')
+    th_got, _ = run(st_p, [shard(th0), shard(th0)], [shard(u0), shard(u0)])
+    valid = v_idx != -1
+    np.testing.assert_allclose(np.asarray(th_got)[valid],
+                               np.asarray(th_exp)[v_idx[valid]], atol=1e-10)
+
   @pytest.mark.smoke
   def test_differentiable_through_step(self):
     """Gradients flow through the CG solve (custom_linear_solve)."""
