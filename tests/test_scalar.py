@@ -136,6 +136,26 @@ class TestAnalytic:
     # small but not zero, so conservation holds to that interpolation level.
     np.testing.assert_allclose(total, total0, rtol=1e-5)
 
+  def test_pure_diffusion_decay_3d(self):
+    """The module is dimension-generic: same eigenfunction decay in 3D."""
+    premesh = unit_cube_mesh(4, ndim=3, periodic_dims=(0, 1, 2))
+    sem = StokesSEM.create(premesh, boundary_conditions={}, order=5,
+                           use_assembled_ops=False)
+    st = ScalarTransport.create(sem, {})
+    c = np.asarray(st.mesh.node_coords)
+    kappa, dt, steps = 0.05, 2e-3, 10
+    lam = kappa * (2 * np.pi) ** 2
+    th0 = jnp.asarray(np.sin(2 * np.pi * c[:, 0]))
+    u0 = jnp.zeros((st.mesh.num_nodes, 3))
+    thetas = [th0 * np.exp(lam * dt), th0]
+    for _ in range(steps):
+      th, _ = st.one_step(thetas, [u0, u0], kappa=kappa, dt=dt,
+                          time_order=2, tol=1e-12)
+      thetas = [thetas[1], th]
+    want = np.asarray(th0) * np.exp(-lam * steps * dt)
+    err = np.abs(np.asarray(thetas[1]) - want).max()
+    assert err < 5 * dt ** 2, err
+
   def test_partitioned_step_matches_unpartitioned(self):
     """4-partition scalar step under spmd_map vs the single-device oracle
     (same pattern as tests/test_parallel.py's NSE step parity)."""
