@@ -33,6 +33,8 @@ def main():
   ap.add_argument('--num_steps', type=int, default=150000)
   ap.add_argument('--tol', type=float, default=1e-5)
   ap.add_argument('--out', default='/tmp/large_cylinder_forces.npz')
+  ap.add_argument('--steps_per_dispatch', type=int, default=1000)
+  ap.add_argument('--checkpoint_every', type=int, default=10)
   args = ap.parse_args()
 
   t0 = time.time()
@@ -65,10 +67,12 @@ def main():
   # history rebuilds itself after a resume).
   u, p, trace, forces = cyl.run_cylinder_scan(
       sem, reynolds=100.0, dt=dt, num_steps=args.num_steps,
-      steps_per_dispatch=1000, tol=args.tol, compute_forces=True,
+      steps_per_dispatch=args.steps_per_dispatch, tol=args.tol,
+      compute_forces=True,
       pressure_preconditioner=precond, kick_steps=30000,
-      log_every=10,
-      checkpoint_path=args.out + '.ck.npz', checkpoint_every=10)
+      log_every=max(1, 10000 // args.steps_per_dispatch),
+      checkpoint_path=args.out + '.ck.npz',
+      checkpoint_every=args.checkpoint_every)
   wall = time.time() - t0
   np.savez(args.out, trace=trace, forces=forces, dt=dt)
   print(f'{args.num_steps} steps in {wall:.0f} s '

@@ -284,6 +284,12 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
   # instead of restarting the whole run.
   if checkpoint_path and os.path.exists(checkpoint_path):
     ck = np.load(checkpoint_path)
+    if 'steps_per_dispatch' in ck and (
+        int(ck['steps_per_dispatch']) != steps_per_dispatch):
+      raise ValueError(
+          f'checkpoint was written with steps_per_dispatch='
+          f'{int(ck["steps_per_dispatch"])}, resume requested '
+          f'{steps_per_dispatch}; chunk indices would misalign')
     start_chunk = int(ck['chunk'])
     carry = (tuple(jnp.asarray(a) for a in ck['us']),
              tuple(jnp.asarray(a) for a in ck['ps']),
@@ -310,7 +316,7 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
     if checkpoint_path and (i + 1) % checkpoint_every == 0:
       tmp = checkpoint_path + '.tmp.npz'
       with open(tmp, 'wb') as fh:
-        np.savez(fh, chunk=i + 1,
+        np.savez(fh, chunk=i + 1, steps_per_dispatch=steps_per_dispatch,
                  us=np.stack([np.asarray(a) for a in carry[0]]),
                  ps=np.stack([np.asarray(a) for a in carry[1]]),
                  cus=np.stack([np.asarray(a) for a in carry[2]]),

@@ -149,13 +149,18 @@ class ScalarTransport:
     Args:
       thetas: the ``time_order`` most recent scalar fields, OLDEST first
         (a shorter history degrades the scheme order, BDF1 cold start —
-        same convention as ``stokes_one_step``).
+        same convention as ``stokes_one_step``).  These are the FULL
+        fields, including any non-homogeneous boundary values; the
+        returned field is full as well, so the output feeds straight
+        back into the history.
       us: velocity fields aligned with ``thetas`` (us[-1] = current).
       kappa: diffusivity.
       forcing: nodal source ``q`` (applied through the mass matrix).
-      theta_boundary: non-homogeneous Dirichlet lift — a nodal field
-        carrying the boundary values (zero outside is fine); the solve
-        runs on the homogeneous remainder and the lift is added back.
+      theta_boundary: non-homogeneous Dirichlet lift — a static nodal
+        field carrying the boundary values (its interior extension is
+        arbitrary).  Internally the solve runs on the homogeneous
+        remainder ``theta - theta_boundary`` and the lift is added back
+        before returning.
 
     Returns:
       ``(theta, info)`` with the CG diagnostics dict.
@@ -173,19 +178,26 @@ class ScalarTransport:
       rhs = rhs + self.B(forcing)
 
     # EXTk extrapolated dealiased convection (trailing-aligned history,
-    # as in examples/cylinder.py and niles/datagen.py).
+    # as in examples/cylinder.py and niles/datagen.py).  The history is
+    # already full (boundary values included), so it feeds the trilinear
+    # form directly.
     n_ext = min(k, len(us))
     if n_ext > 1:
       ext = [float(c) for c in extk_coeffs(k=n_ext - 1)]
     else:
       ext = [1.0]
-    full = [th + (theta_boundary if theta_boundary is not None else 0.0)
-            for th in thetas]
-    conv = sum(ext[-i] * self.C(full[-i], us[-i])
+    conv = sum(ext[-i] * self.C(thetas[-i], us[-i])
                for i in range(1, len(ext) + 1))
     rhs = rhs - conv
 
     if theta_boundary is not None:
+      # Lift correction for the homogeneous solve.  The BDF sum already
+      # carries the full history, so with a STATIC lift the mass parts of
+      # the correction cancel exactly (all BDF coefficients sum to zero:
+      # the scheme annihilates constants-in-time); subtracting the full
+      # ``h_op(theta_boundary)`` keeps that cancellation explicit while
+      # also removing the ``kappa A theta_b`` stiffness term the
+      # homogeneous operator cannot see.
       rhs = rhs - h_op(theta_boundary)
     rhs = self.interior_mask * rhs
 

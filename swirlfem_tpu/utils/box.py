@@ -48,6 +48,7 @@ def unit_cube_mesh(
     b: float = 1.0,
     periodic_dims: Sequence[int] = (),
     partitions: np.ndarray | None = None,
+    face_groups: bool = False,
 ) -> Premesh:
   """Uniform order-1 premesh of ``[a, b]^ndim``.
 
@@ -60,6 +61,11 @@ def unit_cube_mesh(
     partitions: optional ndim-dimensional block layout of partition ids,
       e.g. ``[[0, 1], [2, 3]]`` splits the square into four quadrants; each
       block dimension must divide `num_elements_per_dim`.
+    face_groups: additionally emit one physical group per non-periodic
+      face, named ``{x,y,z}{lo,hi}`` by axis — e.g. ``'xlo'`` is the
+      ``x = a`` face.  Lets different walls carry different boundary
+      conditions (e.g. heated/adiabatic walls in natural convection)
+      while ``'boundary'`` still covers all of them.
   """
   n = num_elements_per_dim
   shape = (n + 1,) * ndim
@@ -78,6 +84,7 @@ def unit_cube_mesh(
 
   boundary = []
   links = []
+  faces = {}
   for axis in range(ndim):
     first = _boundary_facets(n, ndim, axis, last=False)
     last = _boundary_facets(n, ndim, axis, last=True)
@@ -86,8 +93,12 @@ def unit_cube_mesh(
     else:
       boundary.append(first)
       boundary.append(last)
+      if face_groups:
+        name = 'xyz'[axis]
+        faces[name + 'lo'] = first
+        faces[name + 'hi'] = last
 
-  physical_groups = {}
+  physical_groups = dict(faces)
   if boundary:
     physical_groups['boundary'] = np.concatenate(boundary, axis=0)
   periodic_links = np.concatenate(links, axis=0) if links else None
