@@ -144,7 +144,16 @@ def run_cavity(ra: float, pr: float = 0.71, n_el: int = 8, order: int = 6,
   Returns a dict with ``u``, ``theta`` (full field), ``p``,
   ``nu_volume``, ``nu_hot``, ``nu_cold``, ``u_max``, ``steps``.
   """
-  sem, st, th_b = create_cavity(n_el, order, dtype, grading=grading)
+  device = jax.devices()[0]
+  if device.platform != 'cpu':
+    # Build host-side (eager dispatch to a tunneled TPU is latency-bound),
+    # then move everything in one pytree-level transfer — the same
+    # pattern as niles.datagen.run_simulation.
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+      sem, st, th_b = create_cavity(n_el, order, dtype, grading=grading)
+    sem, st, th_b = jax.device_put((sem, st, th_b), device)
+  else:
+    sem, st, th_b = create_cavity(n_el, order, dtype, grading=grading)
   if dt is None:
     dt = default_dt(sem, ra)
   nv = sem.velocity.mesh.num_nodes

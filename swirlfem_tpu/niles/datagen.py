@@ -197,7 +197,8 @@ def one_cycle(sem, cfg: DatagenConfig, advance, start_step, us, ps, cus,
   start_time = time.time()
   (us, ps, cus), (u_frames, p_frames) = advance(us, ps, cus)
   jax.block_until_ready(p_frames)
-  logging.info('one cycle walltime %f seconds', time.time() - start_time)
+  wall = time.time() - start_time
+  logging.info('one cycle walltime %f seconds', wall)
   num_frames = cfg.num_steps_per_cycle // cfg.snapshot_every
   frames = {'t': [t], 'u': [u_np(us_init_u)], 'p': [p_np(ps_init_p)]}
   for i in range(num_frames):
@@ -215,11 +216,14 @@ def one_cycle(sem, cfg: DatagenConfig, advance, start_step, us, ps, cus,
     for key, val in frames.items():
       f[key] = np.stack(val)
   logging.info('wrote %s', path)
-  return us, ps, cus
+  return us, ps, cus, wall
 
 
 def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
-  """Full DNS run: `num_cycles` cycles of `num_steps_per_cycle` steps."""
+  """Full DNS run: `num_cycles` cycles of `num_steps_per_cycle` steps.
+
+  Returns the list of per-cycle device walltimes (seconds, excluding the
+  host-side HDF5 write), for throughput reporting."""
   cfg = cfg or DatagenConfig()
   premesh = unit_cube_mesh(cfg.resolution, ndim=2, periodic_dims=(0, 1))
   # Build host-side (eager dispatch to a tunneled TPU is latency-bound),
@@ -264,10 +268,12 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
   cus = tuple(c0 for _ in range(cfg.time_order))
 
   os.makedirs(workdir, exist_ok=True)
+  cycle_walls = []
   for cycle in range(cfg.num_cycles):
-    us, ps, cus = one_cycle(sem, cfg, advance,
-                            cycle * cfg.num_steps_per_cycle, us, ps, cus,
-                            workdir)
+    us, ps, cus, wall = one_cycle(sem, cfg, advance,
+                                  cycle * cfg.num_steps_per_cycle, us, ps,
+                                  cus, workdir)
+    cycle_walls.append(wall)
     u_last = (sem.velocity_from_el(us[-1]) if advance.el_mode
               else us[-1])
     cfl = float(max(np.abs(np.asarray(c)).max() for c in u_last)
@@ -275,6 +281,7 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
                 else np.abs(np.asarray(u_last)).max()) * cfg.dt / dx
     logging.info('cycle %d: CFL %f', cycle, cfl)
   logging.info('datagen complete')
+  return cycle_walls
 
 
 def main(argv=None):
