@@ -62,6 +62,7 @@ def main():
                       verbose=True, **cfg)
     wall = time.time() - t0
     nu_bench = nc.BENCHMARK_NU.get(ra)
+    nu_acc = nc.ACCURATE_NU.get(ra)
     case = {
         'ra': ra, **cfg, 'steps': r['steps'], 'dt': r['dt'],
         'wall_s': round(wall, 1),
@@ -69,9 +70,10 @@ def main():
         'nu_volume': r['nu_volume'], 'nu_hot': r['nu_hot'],
         'nu_cold': r['nu_cold'], 'u_max': r['u_max'],
         'steady_rate': r['steady_rate'], 'nu_benchmark': nu_bench,
+        'nu_accurate': nu_acc,
     }
-    if nu_bench:
-      case['nu_rel_err'] = abs(r['nu_volume'] - nu_bench) / nu_bench
+    if nu_acc:
+      case['nu_rel_err'] = abs(r['nu_volume'] - nu_acc) / nu_acc
     results['cases'].append(case)
     print(f"Ra {ra:.0e}: Nu {r['nu_volume']:.4f} "
           f"(bench {nu_bench}), hot {r['nu_hot']:.4f} "

@@ -51,6 +51,11 @@ from swirlfem_tpu.utils.box import unit_cube_mesh
 # commonly quoted bench-mark solution column).
 BENCHMARK_NU = {1e3: 1.118, 1e4: 2.243, 1e5: 4.519, 1e6: 8.800}
 
+# Modern high-accuracy values (Le Quere 1991 pseudo-spectral for 1e5/1e6;
+# grid-converged consensus for 1e3/1e4) — the de Vahl Davis 1983 numbers
+# carry ~0.1-1% extrapolation error at the higher Ra.
+ACCURATE_NU = {1e3: 1.1178, 1e4: 2.2448, 1e5: 4.5216, 1e6: 8.8252}
+
 
 def create_cavity(n_el: int = 8, order: int = 6, dtype=jnp.float64,
                   grading: float = 0.0):
@@ -132,7 +137,7 @@ def default_dt(sem: StokesSEM, ra: float) -> float:
 
 def run_cavity(ra: float, pr: float = 0.71, n_el: int = 8, order: int = 6,
                *, dt: float | None = None, max_steps: int = 200_000,
-               steps_per_dispatch: int = 200, steady_tol: float = 1e-5,
+               steps_per_dispatch: int = 200, steady_tol: float = 1e-6,
                tol: float = 1e-9, dtype=jnp.float64, grading: float = 0.0,
                verbose: bool = False):
   """Marches the heated cavity to steady state; returns fields + Nusselt.
@@ -166,8 +171,12 @@ def run_cavity(ra: float, pr: float = 0.71, n_el: int = 8, order: int = 6,
     def body(carry, _):
       us, ps, thetas = carry
       f = sem.B((ra * pr) * thetas[-1][:, None] * ey)
+      # alpha=0: the modal stabilization filter is artificial dissipation
+      # — harmless for turbulent statistics but a measurable Nu bias on
+      # this steady laminar benchmark (Ra 1e4: 2.275 filtered vs the
+      # grid-converged 2.2448).
       u, p, _ = sem.stokes_one_step(
-          list(us), list(ps), f, mu=pr, dt=dt, time_order=2,
+          list(us), list(ps), f, mu=pr, dt=dt, time_order=2, alpha=0.0,
           tol=tol, atol=tol)
       th, _ = st.one_step(list(thetas), [us[-1], u], kappa=1.0, dt=dt,
                           time_order=2, theta_boundary=th_b, tol=tol)

@@ -96,6 +96,9 @@ class TestDeVahlDavis:
     r = nc.run_cavity(1e3, n_el=6, order=5, verbose=False)
     nu_bench = nc.BENCHMARK_NU[1e3]
     assert abs(r['nu_volume'] - nu_bench) / nu_bench < 5e-3, r['nu_volume']
+    # ... and the modern grid-converged value far more tightly.
+    nu_acc = nc.ACCURATE_NU[1e3]
+    assert abs(r['nu_volume'] - nu_acc) / nu_acc < 1e-3, r['nu_volume']
     # Steady-state consistency of the three estimators.
     np.testing.assert_allclose(r['nu_hot'], r['nu_volume'], rtol=1e-6)
     np.testing.assert_allclose(r['nu_cold'], r['nu_volume'], rtol=1e-6)
