@@ -1,0 +1,93 @@
+"""3D Taylor-Green vortex Re-1600 DNS campaign on one TPU chip.
+
+The canonical transitional-turbulence validation case (High-Order CFD
+Workshop C3.5).  Community reference: 512^3 dealiased pseudo-spectral,
+peak kinetic-energy dissipation rate ~0.0122 at t ~ 8.2-9.0.
+
+Runs a resolution ladder (default 16^3 and 32^3 elements at order 7 =
+128^3 / 256^3 effective GLL resolution) through the el-form fast path
+with exact FDM solves and the fused 3D Pallas stiffness kernel, and
+records per-step kinetic energy + both dissipation measures (resolved
+eps and -dE/dt).  Writes a JSON artifact with the curves (subsampled)
+and the peaks.
+
+Run (TPU):  python experiments/taylor_green_3d_campaign.py
+Run (CPU smoke):  python experiments/taylor_green_3d_campaign.py --cpu \
+    --cases 8:4 --t_end 1.0 --re 400
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+  ap = argparse.ArgumentParser()
+  ap.add_argument('--cpu', action='store_true')
+  ap.add_argument('--re', type=float, default=1600.0)
+  ap.add_argument('--t_end', type=float, default=20.0)
+  ap.add_argument('--cases', nargs='*', default=['16:7', '32:7'],
+                  help='n_el:order pairs')
+  ap.add_argument('--alpha', type=float, default=0.0,
+                  help='modal filter strength (0 = none; DNS default)')
+  ap.add_argument('--time_order', type=int, default=2)
+  ap.add_argument('--subsample', type=int, default=4,
+                  help='keep every k-th point of the recorded curves')
+  ap.add_argument('--out',
+                  default='experiments/taylor_green_3d_result.json')
+  args = ap.parse_args()
+
+  import jax
+  if args.cpu:
+    jax.config.update('jax_platforms', 'cpu')
+  import jax.numpy as jnp
+  from swirlfem_tpu.examples import taylor_green_3d as tg
+
+  on_tpu = jax.devices()[0].platform != 'cpu'
+  dtype = jnp.float32
+  results = {'re': args.re, 't_end': args.t_end, 'alpha': args.alpha,
+             'time_order': args.time_order,
+             'device': str(jax.devices()[0]), 'cases': []}
+  for case in args.cases:
+    n_el, order = (int(v) for v in case.split(':'))
+    t0 = time.time()
+    r = tg.run_tgv(re=args.re, n_el=n_el, order=order, t_end=args.t_end,
+                   time_order=args.time_order, alpha=args.alpha,
+                   dtype=dtype, use_pallas=on_tpu,
+                   steps_per_chunk=250 if on_tpu else 25, verbose=True)
+    wall = time.time() - t0
+    s = slice(None, None, args.subsample)
+    num_dofs = 3 * ((order + 1) * n_el) ** 3  # el-form dof count
+    case_out = {
+        'n_el': n_el, 'order': order,
+        'effective_resolution': (order + 1) * n_el,
+        'num_dofs': num_dofs,
+        'dt': r['dt'], 'steps': r['steps'],
+        'wall_s': round(wall, 1),
+        'ms_per_step': round(1e3 * r['wall_s'] / r['steps'], 3),
+        'peak_dissipation': r['peak_dissipation'],
+        'peak_dissipation_time': r['peak_dissipation_time'],
+        'peak_dedt': r['peak_dedt'],
+        'peak_dedt_time': r['peak_dedt_time'],
+        'ke_final': float(r['ke'][-1]),
+        't': r['t'][s].tolist(),
+        'ke': r['ke'][s].tolist(),
+        'dissipation': r['dissipation'][s].tolist(),
+        'dedt': r['dedt'][s].tolist(),
+    }
+    results['cases'].append(case_out)
+    print(f"n {n_el} order {order}: peak eps {r['peak_dissipation']:.5f} "
+          f"at t {r['peak_dissipation_time']:.2f} "
+          f"(-dE/dt peak {r['peak_dedt']:.5f} at {r['peak_dedt_time']:.2f}), "
+          f"{r['steps']} steps in {wall:.0f} s", flush=True)
+    with open(args.out, 'w') as fh:
+      json.dump(results, fh, indent=2)
+  print(f'wrote {args.out}')
+
+
+if __name__ == '__main__':
+  main()

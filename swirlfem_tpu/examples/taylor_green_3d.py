@@ -1,0 +1,223 @@
+"""3D Taylor-Green vortex at Re 1600: the canonical transitional-DNS case.
+
+The initial field
+
+    u = ( sin(x) cos(y) cos(z), -cos(x) sin(y) cos(z), 0 )
+
+on the triply periodic cube [0, 2pi]^3 transitions to turbulence, peaks
+in dissipation near t ~ 9, and decays.  The community reference solution
+(1st International Workshop on High-Order CFD Methods, case C3.5;
+512^3 dealiased pseudo-spectral) puts the peak kinetic-energy
+dissipation rate at about 0.0122 near t ~ 8.2-9.0 for Re = 1600.
+
+This example runs the full nonlinear solver on the structured el-form
+fast path (``StokesSEM.stokes_one_step_el`` + exact FDM solves +
+``ops.sem3d`` / fused Pallas stiffness kernels) and records two
+independent dissipation measures every step:
+
+  * resolved dissipation  eps = 2 mu <S:S> = mu/|O| sum_c u_c . A u_c
+    (exact for periodic incompressible fields: the stiffness quadratic
+    form integrates |grad u|^2 and <|grad u|^2> = <|omega|^2> = 2<S:S>);
+  * total dissipation  -dE/dt from the per-step kinetic-energy series
+    (computed on the host by central differences).
+
+Their gap measures what the discretization dissipates beyond the viscous
+term (time-integration error + any modal filtering) — the standard
+resolution diagnostic for this benchmark.
+
+The reference framework has no 3D flow example and its O(N^{2d}) Kronecker
+operator algebra (``swirl_fem/core/interpolation.py:246-292``) makes 3D
+DNS at this scale impractical; this module is beyond-parity capability
+evidence built on the same variational layer (parity map:
+``swirl_fem/navier_stokes/navier_stokes.py:350-458`` for the step
+algorithm, generalized by ``nse/solver.py`` to 3D).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from swirlfem_tpu.nse.solver import extk_coeffs, StokesSEM
+from swirlfem_tpu.utils.box import unit_cube_mesh
+
+TWO_PI = 2.0 * np.pi
+
+
+def create_tgv(n_el: int = 16, order: int = 7, dtype=jnp.float32,
+               use_pallas: bool = False) -> StokesSEM:
+  """Triply periodic [0, 2pi]^3 spectral-element solver."""
+  premesh = unit_cube_mesh(n_el, ndim=3, a=0.0, b=TWO_PI,
+                           periodic_dims=(0, 1, 2))
+  sem = StokesSEM.create(premesh, boundary_conditions={}, order=order,
+                         use_pallas_kernels=use_pallas)
+  if dtype != sem.velocity.mesh.node_coords.dtype:
+    sem = jax.tree_util.tree_map(
+        lambda x: (x.astype(dtype)
+                   if jnp.issubdtype(x.dtype, jnp.floating) else x), sem)
+  return sem
+
+
+def tgv_initial(sem: StokesSEM):
+  """Taylor-Green initial velocity as an el-form component tuple."""
+  c = np.asarray(sem.velocity.mesh.node_coords)
+  x, y, z = c[:, 0], c[:, 1], c[:, 2]
+  dtype = sem.velocity.mesh.node_coords.dtype
+  u = (jnp.asarray(np.sin(x) * np.cos(y) * np.cos(z), dtype=dtype),
+       jnp.asarray(-np.cos(x) * np.sin(y) * np.cos(z), dtype=dtype),
+       jnp.asarray(np.zeros_like(x), dtype=dtype))
+  return sem.velocity_to_el(u)
+
+
+def _flat_el(sem, w):
+  """(k,)*d + (n,)*d el state -> (k,)*d + (E,) flat-E array."""
+  info = sem.fast_ops.vinfo
+  kk = info.order + 1
+  return w.reshape((kk,) * info.ndim + (info.num_elements_per_dim ** 3,))
+
+
+def make_diagnostics(sem: StokesSEM, mu: float):
+  """Returns jit-safe ``(ke, diss)`` on el-form velocity tuples.
+
+  ke    = (1/|O|) 1/2 int |u|^2          (mass-weighted sum)
+  diss  = (mu/|O|) int |grad u|^2        (stiffness quadratic form;
+          equals 2 mu <S:S> = mu <|omega|^2> for periodic div-free u)
+  """
+  ops = sem.fast_ops
+  info = ops.vinfo
+  kk = info.order + 1
+  eshape = (info.num_elements_per_dim,) * 3
+  wmass_el = ops.wmass.reshape((kk,) * 3 + eshape)
+  vol = float(jnp.sum(ops.wmass))
+  hdot = functools.partial(jnp.vdot, precision=jax.lax.Precision.HIGHEST)
+
+  def ke(us_el):
+    return 0.5 / vol * sum(hdot(wmass_el * u, u) for u in us_el)
+
+  def diss(us_el):
+    flat = [_flat_el(sem, u) for u in us_el]
+    au = ops.stiffness_el_multi(tuple(flat))
+    return mu / vol * sum(hdot(a, u) for a, u in zip(au, flat))
+
+  return ke, diss
+
+
+def make_advance(sem: StokesSEM, *, mu: float, dt: float,
+                 time_order: int = 2, alpha: float = 0.0,
+                 steps_per_chunk: int = 200, tol: float = 1e-5,
+                 atol: float = 1e-6):
+  """Jitted chunk advance: (us, ps, cus) -> carry + per-step (ke, diss)."""
+  ops = sem.fast_ops
+  info = ops.vinfo
+  kk = info.order + 1
+  eshape = (info.num_elements_per_dim,) * 3
+  ext = [float(c) for c in extk_coeffs(k=time_order - 1)]
+  vp_el, pp_el = sem.fdm_el_preconditioners(mu, dt, time_order)
+  ke_fn, diss_fn = make_diagnostics(sem, mu)
+  tmap = jax.tree_util.tree_map
+
+  def conv_el(ut):
+    flat = [_flat_el(sem, c) for c in ut]
+    outs = ops.convection_el(*flat)
+    return tuple(o.reshape((kk,) * 3 + eshape) for o in outs)
+
+  @jax.jit
+  def advance(us, ps, cus):
+    def body(carry, _):
+      us, ps, cus = carry
+      cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
+                *cus)
+      f_el = tmap(lambda c: -c, cu)
+      u, p, _ = sem.stokes_one_step_el(
+          list(us), list(ps), f_el, mu=mu, dt=dt, time_order=time_order,
+          alpha=alpha, tol=tol, atol=atol,
+          pressure_preconditioner_el=pp_el, viscous_preconditioner_el=vp_el,
+          exact_solves=True)
+      carry = (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (conv_el(u),))
+      return carry, (ke_fn(u), diss_fn(u))
+
+    return jax.lax.scan(body, (us, ps, cus), None, length=steps_per_chunk)
+
+  return advance, conv_el
+
+
+def default_dt(sem: StokesSEM, cfl: float = 0.3, u_max: float = 1.3) -> float:
+  """CFL-derived step: TGV velocities stay O(1) (max |u| ~ 1.3 in the
+  turbulent phase), so dt = cfl * dx_min / u_max."""
+  from swirlfem_tpu.niles.datagen import min_node_spacing
+  return cfl * min_node_spacing(sem.velocity.mesh) / u_max
+
+
+def run_tgv(re: float = 1600.0, n_el: int = 16, order: int = 7, *,
+            t_end: float = 20.0, dt: float | None = None,
+            time_order: int = 2, alpha: float = 0.0,
+            dtype=jnp.float32, use_pallas: bool = False,
+            steps_per_chunk: int = 250, tol: float = 1e-5,
+            verbose: bool = False):
+  """Runs TGV to ``t_end``; returns KE / dissipation series and peaks."""
+  import time as _time
+
+  device = jax.devices()[0]
+  if device.platform != 'cpu':
+    with jax.default_device(jax.local_devices(backend='cpu')[0]):
+      sem = create_tgv(n_el, order, dtype, use_pallas=use_pallas)
+    sem = jax.device_put(sem, device)
+  else:
+    sem = create_tgv(n_el, order, dtype, use_pallas=use_pallas)
+  mu = 1.0 / re
+  if dt is None:
+    dt = default_dt(sem)
+
+  advance, conv_el = make_advance(
+      sem, mu=mu, dt=dt, time_order=time_order, alpha=alpha,
+      steps_per_chunk=steps_per_chunk, tol=tol)
+
+  u0 = tgv_initial(sem)
+  m = sem.fast_ops.pinfo.order + 1
+  n = sem.fast_ops.pinfo.num_elements_per_dim
+  p0 = jnp.zeros((m,) * 3 + (n,) * 3, dtype=sem.velocity.mesh.node_coords.dtype)
+  cu0 = conv_el(u0)
+  us = (u0,) * time_order
+  ps = (p0,) * time_order
+  cus = (cu0,) * time_order
+
+  num_chunks = int(round(t_end / (dt * steps_per_chunk)))
+  num_chunks = max(num_chunks, 1)
+  kes, disses, walls = [], [], []
+  t0 = _time.time()
+  for i in range(num_chunks):
+    (us, ps, cus), (ke_c, diss_c) = advance(us, ps, cus)
+    ke_c = np.asarray(ke_c)
+    diss_c = np.asarray(diss_c)
+    walls.append(_time.time() - t0)
+    if not np.isfinite(ke_c).all():
+      raise FloatingPointError(
+          f'TGV blew up in chunk {i} (t ~ {(i + 1) * steps_per_chunk * dt:.2f});'
+          ' raise the resolution or pass alpha > 0')
+    kes.append(ke_c)
+    disses.append(diss_c)
+    if verbose:
+      print(f't {(i + 1) * steps_per_chunk * dt:7.3f}  '
+            f'KE {ke_c[-1]:.6f}  eps {diss_c[-1]:.6f}  '
+            f'wall {walls[-1]:.1f} s', flush=True)
+
+  ke = np.concatenate(kes)
+  diss = np.concatenate(disses)
+  t = dt * np.arange(1, ke.size + 1)
+  # Total dissipation from the energy budget (central differences).
+  dedt = -np.gradient(ke, dt)
+  i_peak = int(np.argmax(diss))
+  j_peak = int(np.argmax(dedt[1:-1])) + 1  # endpoints are one-sided
+  return {
+      'sem': sem, 'us': us, 'ps': ps,
+      't': t, 'ke': ke, 'dissipation': diss, 'dedt': dedt,
+      'dt': dt, 'steps': int(ke.size),
+      'wall_s': walls[-1] if walls else 0.0,
+      'peak_dissipation': float(diss[i_peak]),
+      'peak_dissipation_time': float(t[i_peak]),
+      'peak_dedt': float(dedt[j_peak]),
+      'peak_dedt_time': float(t[j_peak]),
+  }
