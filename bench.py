@@ -59,12 +59,44 @@ by ~2.4x.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
 
 N_ELEMS = 64
 ORDER = 8
+
+# Overall wall-clock budget (seconds).  The driver gives the benchmark a
+# bounded slot; a slow tunnel day must degrade to a smaller measurement,
+# never to rc=124 with no JSON line (the round-1 failure mode).  Optional
+# stages (3D bench, NSE step scan) are skipped when the remaining budget
+# runs short; the headline metric always ships.
+_T0 = time.time()
+_BUDGET = float(os.environ.get('GRAFT_BENCH_BUDGET', 530))
+
+
+def _remaining():
+  return _BUDGET - (time.time() - _T0)
+
+
+def _stage(msg):
+  print(f'[bench +{time.time() - _T0:6.1f}s] {msg}', file=sys.stderr,
+        flush=True)
+
+
+def _enable_compilation_cache():
+  """Persistent XLA compilation cache under the repo: repeat runs on the
+  same chip/compiler skip the multi-minute compile stages entirely."""
+  try:
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             '.jax_cache')
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+  except Exception:  # pylint: disable=broad-except
+    pass
 
 # Approximate public per-chip peaks: device_kind substring ->
 # (HBM GB/s, f32 matmul TFLOP/s, bf16 matmul TFLOP/s).
@@ -293,6 +325,7 @@ def run_bench(on_tpu, device_kind):
   dtype = jnp.float32
   peaks = _peaks_for(device_kind) if on_tpu else None
 
+  _stage('building 2D solver (host)')
   premesh = unit_cube_mesh(N_ELEMS, ndim=2, periodic_dims=(0, 1))
   # Build on the host CPU backend: eager per-op dispatch to a tunneled TPU
   # is latency-bound, and setup math wants f64 anyway.
@@ -304,6 +337,7 @@ def run_bench(on_tpu, device_kind):
                    if jnp.issubdtype(x.dtype, jnp.floating) else x), sem)
   device = jax.devices()[0]
   sem = jax.tree.map(lambda x: jax.device_put(x, device), sem)
+  _stage('solver on device; correctness cross-check')
 
   mesh = sem.velocity.mesh
   num_dofs = mesh.num_nodes * mesh.ndim
@@ -348,11 +382,14 @@ def run_bench(on_tpu, device_kind):
   chain_fast = 3000 if on_tpu else 10
   chain_kron = 32 if on_tpu else 2
   iters = 2 if on_tpu else 1
+  _stage('timing headline fast apply')
   run_fast = _chained(apply_fast, chain_fast)
   t_fast = _timeit_chained(apply_fast, ut_el, chain=chain_fast, iters=iters,
                            jitted=run_fast)
+  _stage(f'fast apply {t_fast * 1e3:.4f} ms; timing Kronecker baseline')
   t_kron = _timeit_chained(_kron_stiffness(sem, dtype), u2,
                            chain=chain_kron, iters=iters)
+  _stage(f'kron baseline {t_kron * 1e3:.3f} ms')
   gdofs = num_dofs / t_fast / 1e9
 
   # Roofline accounting for the headline apply (VERDICT r1 #3): analytic
@@ -405,20 +442,30 @@ def run_bench(on_tpu, device_kind):
     carry, _ = jax.lax.scan(body, (us, ps), None, length=steps)
     return carry
 
-  t_step = _timeit(some_steps, (u0_el, u0_el), (p0_el, p0_el),
-                   iters=2 if on_tpu else 1) / steps
+  t_step = None
+  if _remaining() > 150:
+    _stage('timing NSE step scan')
+    t_step = _timeit(some_steps, (u0_el, u0_el), (p0_el, p0_el),
+                     iters=2 if on_tpu else 1) / steps
+  else:
+    _stage('budget short: skipping NSE step scan')
 
   details = {
       'workload': f'2D {N_ELEMS}x{N_ELEMS} elements, order {ORDER} GLL',
       'num_dofs': num_dofs,
       'fast_ms': round(t_fast * 1e3, 4),
       'kron_baseline_ms': round(t_kron * 1e3, 4),
-      'nse_step_ms': round(t_step * 1e3, 4),
+      'nse_step_ms': round(t_step * 1e3, 4) if t_step else 'skipped (budget)',
       'device': str(jax.devices()[0]),
       'roofline': roofline,
-      'stiffness_3d_order7': _bench_3d_stiffness(
-          device, dtype, peaks, on_tpu),
   }
+  if _remaining() > 120:
+    _stage('3D order-7 stiffness bench')
+    details['stiffness_3d_order7'] = _bench_3d_stiffness(
+        device, dtype, peaks, on_tpu)
+  else:
+    details['stiffness_3d_order7'] = 'skipped (budget)'
+    _stage('budget short: skipping 3D bench')
   result = {
       'metric': 'stiffness_apply_throughput',
       'value': round(gdofs, 4),
@@ -433,9 +480,12 @@ def run_bench(on_tpu, device_kind):
 
 
 def main():
+  _stage('probing TPU')
   device_kind = _probe_tpu()
   on_tpu = device_kind is not None
+  _stage(f'probe done: {device_kind}')
   import jax
+  _enable_compilation_cache()
   if not on_tpu:
     # Tunnel down / no TPU: force the host platform BEFORE any backend
     # touch (initializing the tunneled plugin would hang).
