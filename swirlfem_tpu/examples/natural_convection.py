@@ -31,6 +31,12 @@ buoyancy coupling, and no heat-transfer example (its NSE treats only the
 momentum equation, ``navier_stokes/navier_stokes.py:350-458``); this
 module is beyond-parity capability built on `nse/scalar.ScalarTransport`
 composed with `nse/solver.StokesSEM`.
+
+Cross-validation: an INDEPENDENT second-order finite-difference solver of
+the same problem (vorticity-streamfunction, Thom walls — shares no code,
+variables, or discretization with this framework) lives in
+``experiments/fd_cavity_oracle.py``; its Richardson-extrapolated Ra-1e4
+Nusselt (2.2444) agrees with this module (2.2448) and the literature.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ import numpy as np
 from swirlfem_tpu.core.bc import BCType
 from swirlfem_tpu.core.fespace import grad
 from swirlfem_tpu.nse.scalar import ScalarTransport
+from swirlfem_tpu.nse.solver import extk_coeffs
 from swirlfem_tpu.nse.solver import StokesSEM
 from swirlfem_tpu.utils.box import unit_cube_mesh
 
@@ -166,30 +173,42 @@ def run_cavity(ra: float, pr: float = 0.71, n_el: int = 8, order: int = 6,
   p0 = jnp.zeros(sem.pressure.pspace.mesh.num_nodes, dtype=dtype)
   ey = jnp.asarray([0.0, 1.0], dtype=dtype)
 
+  ext = [float(c) for c in extk_coeffs(k=1)]
+
   @functools.partial(jax.jit, static_argnames=('n',))
-  def advance(us, ps, thetas, n):
+  def advance(us, ps, thetas, cus, n):
     def body(carry, _):
-      us, ps, thetas = carry
-      f = sem.B((ra * pr) * thetas[-1][:, None] * ey)
+      us, ps, thetas, cus = carry
+      # Momentum advection enters through the forcing covector, EXT2-
+      # extrapolated from the convection history — `stokes_one_step` is
+      # the LINEAR Stokes update (same convention as niles/datagen.py and
+      # examples/cylinder.py).  Omitting it solves Stokes+buoyancy: at
+      # Ra 1e3 the inertial terms are negligible (Nu matches to 5 digits
+      # either way) but at Ra 1e4 they carry 1.3% of Nu (2.2748 vs the
+      # grid-converged 2.2448 — confirmed against the independent FD
+      # oracle in experiments/fd_cavity_oracle.py).
+      cu = sum(e * c for e, c in zip(ext[::-1], cus[::-1]))
+      f = sem.B((ra * pr) * thetas[-1][:, None] * ey) - cu
       # alpha=0: the modal stabilization filter is artificial dissipation
-      # — harmless for turbulent statistics but a measurable Nu bias on
-      # this steady laminar benchmark (Ra 1e4: 2.275 filtered vs the
-      # grid-converged 2.2448).
+      # — harmless for turbulent statistics but a Nu bias on this steady
+      # laminar benchmark.
       u, p, _ = sem.stokes_one_step(
           list(us), list(ps), f, mu=pr, dt=dt, time_order=2, alpha=0.0,
           tol=tol, atol=tol)
       th, _ = st.one_step(list(thetas), [us[-1], u], kappa=1.0, dt=dt,
                           time_order=2, theta_boundary=th_b, tol=tol)
-      return ((us[-1], u), (ps[-1], p), (thetas[-1], th)), None
-    carry, _ = jax.lax.scan(body, (us, ps, thetas), None, length=n)
+      return ((us[-1], u), (ps[-1], p), (thetas[-1], th),
+              (cus[-1], sem.C(u))), None
+    carry, _ = jax.lax.scan(body, (us, ps, thetas, cus), None, length=n)
     return carry
 
   us, ps, thetas = (u0, u0), (p0, p0), (th_b, th_b)
+  cus = (sem.C(u0), sem.C(u0))
   steps = 0
   rate_tol = steady_tol * max(1.0, float(np.sqrt(ra)))
   while steps < max_steps:
     th_prev = thetas[-1]
-    us, ps, thetas = advance(us, ps, thetas, steps_per_dispatch)
+    us, ps, thetas, cus = advance(us, ps, thetas, cus, steps_per_dispatch)
     steps += steps_per_dispatch
     rate = float(jnp.abs(thetas[-1] - th_prev).max()) / (
         steps_per_dispatch * dt)

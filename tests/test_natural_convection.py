@@ -106,3 +106,25 @@ class TestDeVahlDavis:
     # u_max on the vertical mid-plane is 3.649; our global |u| max is a
     # loose upper-bound check that the flow strength is right.
     assert 3.4 < r['u_max'] < 4.2, r['u_max']
+
+  def test_ra_1e4_mean_nusselt(self):
+    """Ra 1e4: the convection-sensitive tier of the benchmark.
+
+    Regression guard for the missing-momentum-advection bug: the Stokes+
+    buoyancy system (no inertia) converges, spectrally and dt-
+    independently, to Nu = 2.2748 — 1.3% off; the full NSE gives the
+    grid-converged 2.2448 (arbitrated by the independent second-order FD
+    oracle in experiments/fd_cavity_oracle.py, whose Richardson-
+    extrapolated value is 2.2444).  A 6x6 order-5 mesh already lands
+    within ~1e-5 relative of 2.2448 (measured 2.24479), so the 2e-3
+    bound fails for Stokes+buoyancy by 6x while passing honest
+    discretizations.
+    """
+    r = nc.run_cavity(1e4, n_el=6, order=5, verbose=False)
+    nu_acc = nc.ACCURATE_NU[1e4]
+    assert abs(r['nu_volume'] - nu_acc) / nu_acc < 2e-3, r['nu_volume']
+    np.testing.assert_allclose(r['nu_hot'], r['nu_volume'], rtol=1e-4)
+    np.testing.assert_allclose(r['nu_cold'], r['nu_volume'], rtol=1e-4)
+    # Peak velocity (kappa units): benchmark v_max = 19.617 on the
+    # horizontal mid-plane; global |component| max is slightly above.
+    assert 19.0 < r['u_max'] < 20.3, r['u_max']
