@@ -206,6 +206,15 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
   zeros = jnp.zeros(batch_size, dtype=jnp.float32)
   aux0 = {k: zeros for k in
           ('kl_q0', 'kl_path', 'z0_means', 'z1_means', 'z1_stds')}
+  if config.get('remat', False):
+    # Rematerialize each rollout step in the backward pass: the scan
+    # otherwise stores every step's transformer activations AND solver
+    # intermediates for the whole rollout, so peak HBM grows linearly in
+    # num_steps x batch.  Recomputing the forward step trades ~1/3 more
+    # flops for an O(num_steps)-fold cut of that term — the standard
+    # jax.checkpoint move for solver-in-the-loop training.  prevent_cse
+    # is unnecessary under lax.scan (per jax.checkpoint docs).
+    body_fn = jax.checkpoint(body_fn, prevent_cse=False)
   (_, _, _, aux), preds = lax.scan(
       body_fn, (us, ps, cus, aux0),
       jnp.arange(num_solver_steps, dtype=jnp.int32))

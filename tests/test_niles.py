@@ -289,6 +289,36 @@ def test_train_step_end_to_end(cfg, train_setup):
   assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
 
 
+def test_remat_rollout_matches_baseline(train_setup, model_and_params):
+  """config.remat only rewires the backward pass: loss + grads unchanged.
+
+  jax.checkpoint on the rollout body recomputes forward activations
+  instead of storing them; the values must agree with the stored-
+  activation baseline to float32 roundoff.
+  """
+  model, _ = model_and_params
+  state, batch, sem = (train_setup['state'], train_setup['batch'],
+                       train_setup['sem'])
+
+  def loss_and_grads(config):
+    def loss_fn(params):
+      loss, _ = niles_train.compute_mse_loss(
+          batch, params, model.apply, jax.random.PRNGKey(7), 1e-3,
+          sem, None, config, train=True)
+      return loss
+    return jax.jit(jax.value_and_grad(loss_fn))(state.params)
+
+  base = tiny_config()
+  rem = tiny_config()
+  rem.remat = True
+  l0, g0 = loss_and_grads(ml_collections.FrozenConfigDict(base))
+  l1, g1 = loss_and_grads(ml_collections.FrozenConfigDict(rem))
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+  jax.tree.map(
+      lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-7),
+      g0, g1)
+
+
 def test_training_reduces_loss(cfg, train_setup):
   """A dozen adamw steps on one batch reduce the solver-in-the-loop loss."""
   state, step, batch = (train_setup['state'], train_setup['step'],
