@@ -274,6 +274,110 @@ def _kernel_affine_mm3(mhi_ref, mlo_ref, *refs, num_components: int):
     out_ref[:] = (c11 * y[:n2] + c12 * y[n2:2 * n2] + c22 * y[2 * n2:])
 
 
+def _kernel_uniform_mm(m_ref, *refs, num_components: int,
+                       precision=jax.lax.Precision.HIGHEST):
+  """Congruent-elements stiffness: ONE (n^2, n^2) MXU matmul per component.
+
+  When every element of an affine mesh shares the same metric scalars
+  (c11, c12, c22) — true for any uniform box, e.g. the reference datagen
+  geometry — the element operator is one STATIC dense matrix
+  ``A = c11 M11 + c12 M12 + c22 M22`` (see `_affine_mstack_np`), so the
+  whole apply collapses to ``out = A @ u`` on the (n^2, TE) tile: 1/3 the
+  MXU flops of the stacked affine kernel (`_kernel_affine_mm`) at equal
+  HBM traffic and full f32 (HIGHEST) accuracy.  Measured ~2x faster than
+  the stacked kernel at order 8 on a v5e.
+  """
+  u_refs = refs[:num_components]
+  out_refs = refs[num_components:]
+  m = m_ref[:]
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    out_ref[:] = jnp.dot(m, u_ref[:], precision=precision,
+                         preferred_element_type=u_ref.dtype)
+
+
+def _kernel_uniform_mm3(mhi_ref, mlo_ref, *refs, num_components: int):
+  """bf16x3 variant of `_kernel_uniform_mm` (see `_kernel_affine_mm3`)."""
+  u_refs = refs[:num_components]
+  out_refs = refs[num_components:]
+  mhi = mhi_ref[:]
+  mlo = mlo_ref[:]
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    u = u_ref[:]
+    uhi = u.astype(jnp.bfloat16)
+    ulo = (u - uhi.astype(u.dtype)).astype(jnp.bfloat16)
+    out_ref[:] = (jnp.dot(mhi, uhi, preferred_element_type=u.dtype)
+                  + jnp.dot(mhi, ulo, preferred_element_type=u.dtype)
+                  + jnp.dot(mlo, uhi, preferred_element_type=u.dtype))
+
+
+def _uniform_amat_np(c_uniform, wq_nd, dmat):
+  """The shared dense element operator A = c11 M11 + c12 M12 + c22 M22
+  of a congruent-elements affine mesh, as (n^2, n^2) float64."""
+  import numpy as np
+  mstack = _affine_mstack_np(wq_nd, dmat)
+  n2 = mstack.shape[1]
+  c11, c12, c22 = (float(c) for c in c_uniform)
+  return c11 * mstack[:n2] + c12 * mstack[n2:2 * n2] + c22 * mstack[2 * n2:]
+
+
+def stiffness_el_pallas_uniform(us, c_uniform, wq_nd, dmat, *,
+                                tile_e: int = 4096,
+                                precision=jax.lax.Precision.HIGHEST,
+                                interpret: bool = False):
+  """Component-batched congruent-elements stiffness apply (see
+  `_kernel_uniform_mm`).
+
+  Args:
+    us: tuple of C component fields, each ``(n, n, E)``.
+    c_uniform: the SHARED per-element metric scalars (c11, c12, c22) —
+      a static 3-tuple of floats (every element identical, detected at
+      build time in f64; see `sem2d.build_sem2d_ops`).
+    wq_nd: tensor-product quadrature weights, shape (n, n) (static).
+    precision: `jax.lax.Precision` or the string ``'bf16x3'`` (see
+      `stiffness_el_pallas_affine`).
+
+  Returns a tuple of C outputs, each ``(n, n, E)``.
+  """
+  c = len(us)
+  n = us[0].shape[0]
+  num_e = us[0].shape[2]
+  # Same VMEM cap rationale as the affine kernel; the static matrix here
+  # is (n^2, n^2) — a third of the affine stack.
+  while tile_e > 128 and n * n * tile_e > 81 * 4096:
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((n * n, tile_e), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((n * n, n * n), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(n * n, num_e)
+  a64 = _uniform_amat_np(c_uniform, wq_nd, dmat)
+  if precision == 'bf16x3':
+    m32 = jnp.asarray(a64, dtype=jnp.float32)
+    mhi = m32.astype(jnp.bfloat16)
+    mlo = (m32 - mhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kernel = functools.partial(_kernel_uniform_mm3, num_components=c)
+    operands = [mhi, mlo]
+    in_specs = [mspec, mspec]
+  else:
+    kernel = functools.partial(_kernel_uniform_mm, num_components=c,
+                               precision=precision)
+    operands = [jnp.asarray(a64, dtype=us[0].dtype)]
+    in_specs = [mspec]
+  outs = pl.pallas_call(
+      kernel,
+      out_shape=[jax.ShapeDtypeStruct((n * n, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=in_specs + [block] * c,
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(*operands, *[flat(u) for u in us])
+  return tuple(o.reshape(n, n, num_e) for o in outs)
+
+
 def _affine_mstack_np(wq_nd, dmat):
   """[M11; M12; M22] with A_e = c11 M11 + c12 M12 + c22 M22 (affine),
   as a float64 numpy array (also the oracle for the precision A/B).

@@ -165,6 +165,14 @@ class Sem2DOps:
   g_affine: jax.Array | None = None
   wq2d: np.ndarray | None = flax.struct.field(pytree_node=False,
                                               default=None)
+  # Congruent-elements fast path: when every element of an affine mesh
+  # shares the SAME metric scalars (any uniform box — e.g. the reference
+  # datagen geometry), the element operator is one static dense matrix
+  # and the apply is a single (n^2, n^2) MXU matmul per component at 1/3
+  # the stacked affine kernel's flops (`stiffness_el_pallas_uniform`).
+  # The shared (c11, c12, c22) as a static hashable tuple; None otherwise.
+  c_uniform: tuple | None = flax.struct.field(pytree_node=False,
+                                              default=None)
   # MXU precision of the affine Pallas kernel: 'highest' (default,
   # f32-accurate, ~1.4e-7 rel), 'bf16x3' (three bf16 passes, ~6e-6 rel,
   # measured 1.6x faster on v5e — for loose-tolerance production runs), or
@@ -201,6 +209,12 @@ class Sem2DOps:
   def stiffness_el(self, u: jax.Array) -> jax.Array:
     """A_local on one component, (n, n, E) -> (n, n, E)."""
     if self.use_pallas:
+      if self.c_uniform is not None:
+        from swirlfem_tpu.ops.pallas_stiffness import (
+            stiffness_el_pallas_uniform)
+        return stiffness_el_pallas_uniform(
+            (u,), self.c_uniform, self.wq2d, self.dmat,
+            precision=self._affine_precision())[0]
       if self.g_affine is not None:
         from swirlfem_tpu.ops.pallas_stiffness import (
             stiffness_el_pallas_affine)
@@ -229,6 +243,12 @@ class Sem2DOps:
     (`stiffness_el_pallas_affine`, ~2.2x less traffic).
     """
     if self.use_pallas and self.batch_components and len(us) > 1:
+      if self.c_uniform is not None:
+        from swirlfem_tpu.ops.pallas_stiffness import (
+            stiffness_el_pallas_uniform)
+        return stiffness_el_pallas_uniform(us, self.c_uniform, self.wq2d,
+                                           self.dmat,
+                                           precision=self._affine_precision())
       if self.g_affine is not None:
         from swirlfem_tpu.ops.pallas_stiffness import (
             stiffness_el_pallas_affine)
@@ -386,13 +406,24 @@ def build_sem2d_ops(velocity, pressure, use_pallas: bool = False,
   # shows up at >~1e-2.
   coord_eps = float(jnp.finfo(vspace.mesh.node_coords.dtype).eps)
   rel_tol = 1e-4 if coord_eps > 1e-10 else 1e-9
+  c_uniform = None
   if float((resid / h).max()) <= rel_tol:
     det = np.abs(np.linalg.det(jac))
     jinv = np.linalg.inv(jac)
     met = np.einsum('eaj,ebj->eab', jinv, jinv) * det[:, None, None]
-    g_affine = jnp.asarray(
-        np.stack([met[:, 0, 0], met[:, 0, 1], met[:, 1, 1]]),
-        dtype=g11.dtype)                                  # (3, E)
+    c_np = np.stack([met[:, 0, 0], met[:, 0, 1], met[:, 1, 1]])  # (3, E)
+    g_affine = jnp.asarray(c_np, dtype=g11.dtype)
+    # Congruent elements: all metric scalars identical (f64 check).  Same
+    # representation-noise argument as the affine snap above: f32-stored
+    # coordinates of an exactly uniform box perturb per-element metrics by
+    # ~eps/h ~ 1e-5 relative, so agreement within `rel_tol` is roundoff,
+    # not grading — and the MEAN scalars are more accurate than any
+    # per-element noisy value.  The shared scalars become one static
+    # dense element operator — see `stiffness_el_pallas_uniform`.
+    c0 = c_np[:, :1]
+    scale = np.abs(c0).max()
+    if np.abs(c_np - c0).max() <= rel_tol * scale:
+      c_uniform = tuple(float(v) for v in c_np.mean(axis=1))
 
   from swirlfem_tpu.core.quadrature import (interpolation_grad_matrix_1d,
                                             interpolation_matrix_1d,
@@ -408,4 +439,5 @@ def build_sem2d_ops(velocity, pressure, use_pallas: bool = False,
       interp_o=interpolation_matrix_1d(vgrid, ogrid),
       interp_o_grad=interpolation_grad_matrix_1d(vgrid, ogrid),
       vinfo=vinfo, pinfo=pinfo, use_pallas=use_pallas,
-      g_affine=g_affine, wq2d=wq2d, kernel_precision=kernel_precision)
+      g_affine=g_affine, wq2d=wq2d, c_uniform=c_uniform,
+      kernel_precision=kernel_precision)

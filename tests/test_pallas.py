@@ -113,6 +113,52 @@ def test_pallas_stiffness_affine_bf16x3():
 
 
 @pytest.mark.smoke
+@pytest.mark.parametrize('order', [3, 8])
+def test_pallas_stiffness_uniform_matches_einsum(order):
+  """Congruent-elements fast path (one static dense element operator)
+  vs the general einsum operator, incl. through the Sem2DOps routing."""
+  from swirlfem_tpu.ops.pallas_stiffness import stiffness_el_pallas_uniform
+  sem = StokesSEM.create(unit_cube_mesh(4, ndim=2, periodic_dims=(0, 1)),
+                         {}, order=order)
+  ops = sem.fast_ops
+  assert ops.c_uniform is not None, 'uniform box must be detected congruent'
+  assert len(ops.c_uniform) == 3
+  rng = np.random.default_rng(order)
+  n = order + 1
+  us = tuple(jnp.asarray(rng.standard_normal((n, n, 16))) for _ in range(2))
+  ref = [ops.stiffness_el(u) for u in us]
+  got = stiffness_el_pallas_uniform(us, ops.c_uniform, ops.wq2d, ops.dmat,
+                                    interpret=True)
+  for g, r in zip(got, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-10)
+  # Tiled grid agrees with single tile.
+  got_tiled = stiffness_el_pallas_uniform(us, ops.c_uniform, ops.wq2d,
+                                          ops.dmat, tile_e=8, interpret=True)
+  for g, r in zip(got_tiled, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-10)
+  # bf16x3 variant stays at the split-truncation level.
+  got3 = stiffness_el_pallas_uniform(us, ops.c_uniform, ops.wq2d, ops.dmat,
+                                     precision='bf16x3', interpret=True)
+  scale = max(float(jnp.abs(r).max()) for r in ref)
+  for g, r in zip(got3, ref):
+    err = float(jnp.abs(g - r).max()) / scale
+    assert 1e-9 < err < 1e-4, err
+
+
+@pytest.mark.smoke
+def test_uniform_detection_rejects_graded_affine_mesh():
+  """A graded (per-element affine but non-congruent) mesh keeps the
+  affine path and must NOT take the congruent-elements path."""
+  premesh = unit_cube_mesh(4, ndim=2)
+  coords = np.asarray(premesh.node_coords).copy()
+  coords[:, 0] = coords[:, 0] ** 2  # graded spacing: affine per element
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=3)
+  ops = sem.fast_ops
+  assert ops.g_affine is not None
+  assert ops.c_uniform is None
+
+
+@pytest.mark.smoke
 def test_pallas_stiffness_affine_anisotropic_shear():
   """Stretched + sheared (but affine) mesh: catches any xi-axis ordering
   or cross-term sign error in the affine metric scalars (invisible on a
