@@ -70,13 +70,20 @@ def el_to_nodal(w: jax.Array, info: StructuredInfo) -> jax.Array:
   return out.reshape(-1)
 
 
-def exchange_el(w: jax.Array, info: StructuredInfo) -> jax.Array:
+def exchange_el(w: jax.Array, info: StructuredInfo,
+                use_pallas: bool = False) -> jax.Array:
   """Direct-stiffness summation (Q Q^T) in element-local form, periodic box.
 
   Input/output ``(k, k, k, n, n, n)``; three sequential axis passes of rolls
   (later passes propagate face sums so edges and corners receive all
   contributions); periodic wraparound is the roll itself.
+
+  ``use_pallas`` is accepted for signature parity with the 2D module
+  (`sem2d.exchange_el`, used interchangeably by the el-form step in
+  `nse.solver`): there is no fused 3D exchange kernel yet, so the
+  roll-based XLA path runs either way.
   """
+  del use_pallas
   p = info.order
   # local axis 2 <-> element axis -1.
   s = w[:, :, p] + jnp.roll(w[:, :, 0], -1, axis=-1)

@@ -63,6 +63,19 @@ def test_exchange_el_matches_mesh_exchange(sem, fields):
   np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
 
 
+def test_exchange_el_accepts_use_pallas_kwarg(sem, fields):
+  """Signature parity with sem2d.exchange_el: the el-form NSE step passes
+  use_pallas to whichever module matches the mesh dimension (regression:
+  the 3D TGV campaign crashed at trace time on this kwarg)."""
+  u, _ = fields
+  info = sem.fast_ops.vinfo
+  n, k = info.num_elements_per_dim, info.order + 1
+  w = sem3d.nodal_to_el(u[:, 0], info).reshape((k,) * 3 + (n,) * 3)
+  got = sem3d.exchange_el(w, info, use_pallas=True)
+  want = sem3d.exchange_el(w, info)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0)
+
+
 def test_fast_stiffness_matches_generic(sem, fields):
   u, _ = fields
   want = sem.A(u)
