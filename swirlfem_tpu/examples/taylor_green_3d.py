@@ -79,19 +79,23 @@ def _flat_el(sem, w):
   return w.reshape((kk,) * info.ndim + (info.num_elements_per_dim ** 3,))
 
 
-def make_diagnostics(sem: StokesSEM, mu: float):
+def make_diagnostics(sem: StokesSEM, mu: float, vol: float | None = None):
   """Returns jit-safe ``(ke, diss)`` on el-form velocity tuples.
 
   ke    = (1/|O|) 1/2 int |u|^2          (mass-weighted sum)
   diss  = (mu/|O|) int |grad u|^2        (stiffness quadratic form;
           equals 2 mu <S:S> = mu <|omega|^2> for periodic div-free u)
+
+  ``vol`` must be supplied when ``sem`` is a traced value (it is reduced
+  to a Python float, which needs concrete weights).
   """
   ops = sem.fast_ops
   info = ops.vinfo
   kk = info.order + 1
   eshape = (info.num_elements_per_dim,) * 3
   wmass_el = ops.wmass.reshape((kk,) * 3 + eshape)
-  vol = float(jnp.sum(ops.wmass))
+  if vol is None:
+    vol = float(jnp.sum(ops.wmass))
   hdot = functools.partial(jnp.vdot, precision=jax.lax.Precision.HIGHEST)
 
   def ke(us_el):
@@ -109,23 +113,32 @@ def make_advance(sem: StokesSEM, *, mu: float, dt: float,
                  time_order: int = 2, alpha: float = 0.0,
                  steps_per_chunk: int = 200, tol: float = 1e-5,
                  atol: float = 1e-6):
-  """Jitted chunk advance: (us, ps, cus) -> carry + per-step (ke, diss)."""
-  ops = sem.fast_ops
-  info = ops.vinfo
+  """Jitted chunk advance: (us, ps, cus) -> carry + per-step (ke, diss).
+
+  The solver pytree is passed as a jit ARGUMENT, not a closure constant:
+  closed-over arrays are baked into the program as literals, and at 16^3
+  elements order 7 the ~100 MB of geometric-factor fields blow the
+  tunneled remote-compile request limit (HTTP 413) — and would be
+  re-uploaded on every recompile.  The FDM preconditioners stay closures:
+  they capture only the small per-axis eigen-transform matrices.
+  """
+  info = sem.fast_ops.vinfo
   kk = info.order + 1
   eshape = (info.num_elements_per_dim,) * 3
   ext = [float(c) for c in extk_coeffs(k=time_order - 1)]
   vp_el, pp_el = sem.fdm_el_preconditioners(mu, dt, time_order)
-  ke_fn, diss_fn = make_diagnostics(sem, mu)
+  vol = float(jnp.sum(sem.fast_ops.wmass))
   tmap = jax.tree_util.tree_map
 
-  def conv_el(ut):
+  def conv_el_with(sem, ut):
     flat = [_flat_el(sem, c) for c in ut]
-    outs = ops.convection_el(*flat)
+    outs = sem.fast_ops.convection_el(*flat)
     return tuple(o.reshape((kk,) * 3 + eshape) for o in outs)
 
   @jax.jit
-  def advance(us, ps, cus):
+  def advance_fn(sem, us, ps, cus):
+    ke_fn, diss_fn = make_diagnostics(sem, mu, vol=vol)
+
     def body(carry, _):
       us, ps, cus = carry
       cu = tmap(lambda *xs: sum(e * x for e, x in zip(ext[::-1], xs[::-1])),
@@ -136,12 +149,15 @@ def make_advance(sem: StokesSEM, *, mu: float, dt: float,
           alpha=alpha, tol=tol, atol=atol,
           pressure_preconditioner_el=pp_el, viscous_preconditioner_el=vp_el,
           exact_solves=True)
-      carry = (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (conv_el(u),))
+      carry = (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (conv_el_with(sem, u),))
       return carry, (ke_fn(u), diss_fn(u))
 
     return jax.lax.scan(body, (us, ps, cus), None, length=steps_per_chunk)
 
-  return advance, conv_el
+  def advance(us, ps, cus):
+    return advance_fn(sem, us, ps, cus)
+
+  return advance, functools.partial(conv_el_with, sem)
 
 
 def default_dt(sem: StokesSEM, cfl: float = 0.3, u_max: float = 1.3) -> float:

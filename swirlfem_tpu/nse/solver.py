@@ -1053,7 +1053,15 @@ class StokesSEM:
     with zero nodal<->el layout conversions (measured ~0.3 ms per
     conversion on TPU; the nodal-API step pays ~8 of them per call).
     """
-    assert self._structured_fast and self._fully_periodic
+    assert self._structured_fast
+    # The periodicity check reads array VALUES (interior_mask), so it can
+    # only run when self is concrete; when the solver pytree is a jit
+    # ARGUMENT (big-mesh callers pass it that way so the geometric fields
+    # are program parameters, not baked literals — see
+    # examples/taylor_green_3d.make_advance) the caller has already
+    # validated it on the concrete solver.
+    if not isinstance(self.velocity.interior_mask, jax.core.Tracer):
+      assert self._fully_periodic
     mod = self._elops
     vinfo = self.fast_ops.vinfo
     eshape = (vinfo.num_elements_per_dim,) * vinfo.ndim
