@@ -150,6 +150,14 @@ def main():
   ap.add_argument('--tpu', action='store_true')
   ap.add_argument('--workdir', default=None)
   ap.add_argument('--dataset_dir', default=None)
+  ap.add_argument('--kl_zero', action='store_true',
+                  help='hold the KL penalty at 0 for the whole run (the '
+                       'deterministic limit; config.kl_zero_epochs knob) so '
+                       'a short run spends its gradient budget on MSE')
+  ap.add_argument('--lr', type=float, default=None,
+                  help='override config.learning_rate')
+  ap.add_argument('--suffix', default='',
+                  help='suffix for the result filename')
   args = ap.parse_args()
   base = '/tmp/niles_convergence_tpu' if args.tpu else '/tmp/niles_convergence'
   args.workdir = args.workdir or base
@@ -167,6 +175,11 @@ def main():
 
   cfg = tpu_config(args.steps) if args.tpu else small_config(args.steps)
   cfg.dataset_dir = args.dataset_dir
+  cfg.eval_baseline = True
+  if args.kl_zero:
+    cfg.kl_zero_epochs = 10**6
+  if args.lr is not None:
+    cfg.learning_rate = args.lr
   frozen = ml_collections.FrozenConfigDict(cfg)
 
   # DNS -> LES restriction on load.
@@ -213,6 +226,8 @@ def main():
                  'train_steps': args.steps,
                  'dns': (f'{src_grid}x{src_grid} elements order {src_order},'
                          ' dt 2e-4'),
+                 'kl_zero': args.kl_zero,
+                 'learning_rate': float(frozen.learning_rate),
                  'platform': jax.devices()[0].platform},
       'dns_seconds': round(t_dns, 1),
       'train_seconds': round(t_train, 1),
@@ -223,15 +238,21 @@ def main():
       'last_train_mse': losses[-1] if losses else None,
       'improvement': (1 - losses[-1] / losses[0]) if losses else None,
   }
+  if evals and 'eval_mse_baseline' in evals[-1]:
+    last = evals[-1]
+    result['final_eval_mse'] = last['eval_mse']
+    result['baseline_eval_mse'] = last['eval_mse_baseline']
+    result['vs_baseline'] = 1 - last['eval_mse'] / last['eval_mse_baseline']
   out = os.path.join(
       os.path.dirname(os.path.abspath(__file__)),
-      'niles_convergence_tpu_result.json' if args.tpu
-      else 'niles_convergence_result.json')
+      ('niles_convergence_tpu_result' if args.tpu
+       else 'niles_convergence_result') + args.suffix + '.json')
   with open(out, 'w') as f:
     json.dump(result, f, indent=1)
   print(json.dumps({k: result[k] for k in
                     ('first_train_mse', 'last_train_mse', 'improvement',
-                     'train_seconds')}))
+                     'final_eval_mse', 'baseline_eval_mse', 'vs_baseline',
+                     'train_seconds') if k in result}))
 
 
 if __name__ == '__main__':

@@ -493,6 +493,9 @@ class LatentSDE(nn.Module):
           'kl_path': kl_path.mean(axis=-1),
           'z0_means': z0.mean(axis=-1),
           'z1_means': z1.reshape((batch_size, -1)).mean(axis=-1),
+          # Spread across the num_samples SDE draws: 0 would mean the
+          # stochastic paths have collapsed (posterior-collapse telltale).
+          'z1_stds': z1.std(axis=1).reshape((batch_size, -1)).mean(axis=-1),
       }
       return z1, aux
 

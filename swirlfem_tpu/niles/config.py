@@ -104,6 +104,10 @@ def get_config() -> ml_collections.ConfigDict:
   config.profile_dir = ''  # set to capture a jax profiler trace
   config.num_train_steps = -1
   config.steps_per_eval = 10
+  # Also evaluate the zero-forcing (no-model) coarse-solver rollout on each
+  # eval batch and report it as eval_mse_baseline[@h] / eval_tke_err_baseline
+  # — the yardstick the learned correction must beat.
+  config.eval_baseline = False
   return config
 
 

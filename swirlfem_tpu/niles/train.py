@@ -354,11 +354,36 @@ def train_step(state, batch, step_rng, learning_rate_fn, kl_penalty_fn, sem,
   return state.apply_gradients(grads=grads), metrics
 
 
+def _zero_model_apply(variables, inputs, z_rng=None, rngs=None):
+  """No-model baseline: zero forcing, zero latent stats.
+
+  Drop-in for ``model.apply`` inside :func:`compute_mse_loss`; rolling out
+  with it yields the raw coarse-solver trajectory, i.e. the MSE an LES with
+  no learned correction would incur on the same windows.
+  """
+  del variables, z_rng, rngs
+  zeros = jnp.zeros(inputs.shape[0], dtype=jnp.float32)
+  aux = {k: zeros for k in
+         ('kl_q0', 'kl_path', 'z0_means', 'z1_means', 'z1_stds')}
+  return jnp.zeros_like(inputs), aux
+
+
 def eval_step(state, batch, step_rng, kl_penalty_fn, sem, to_grid, config):
   loss, aux = compute_mse_loss(batch, state.params, state.apply_fn, step_rng,
                                kl_penalty_fn(state.step), sem, to_grid,
                                config, train=False)
-  return compute_metrics(loss, aux, train=False)
+  metrics = compute_metrics(loss, aux, train=False)
+  if config.get('eval_baseline', False):
+    # Zero-forcing rollout on the same windows: the no-model coarse-solver
+    # MSE/TKE error, the yardstick any learned correction must beat.
+    _, aux0 = compute_mse_loss(batch, state.params, _zero_model_apply,
+                               step_rng, 0.0, sem, to_grid, config,
+                               train=False)
+    base = compute_metrics(jnp.zeros(()), aux0, train=False)
+    metrics.update({f'mse_baseline{k[3:]}': v for k, v in base.items()
+                    if k.startswith('mse')})
+    metrics['tke_err_baseline'] = base['tke_err']
+  return metrics
 
 
 # ---------------------------------------------------------------------------

@@ -289,6 +289,28 @@ def test_train_step_end_to_end(cfg, train_setup):
   assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
 
 
+def test_eval_baseline_metrics(cfg, train_setup):
+  """config.eval_baseline reports the zero-forcing coarse-solver rollout
+  MSE next to the model's — and it must be independent of the params."""
+  cfg2 = tiny_config()
+  cfg2.eval_baseline = True
+  cfg2 = ml_collections.FrozenConfigDict(cfg2)
+  state, batch = train_setup['state'], train_setup['batch']
+  sem, kl_fn = train_setup['sem'], train_setup['kl_fn']
+  ev = jax.jit(functools.partial(
+      niles_train.eval_step, kl_penalty_fn=kl_fn, sem=sem, to_grid=None,
+      config=cfg2))
+  m = ev(state, batch, jax.random.PRNGKey(5))
+  assert np.isfinite(float(m['mse_baseline']))
+  assert 'mse_baseline@1to8' in m
+  # Perturbing the params moves the model MSE but not the baseline.
+  state2 = state.replace(
+      params=jax.tree.map(lambda x: x + 0.03, state.params))
+  m2 = ev(state2, batch, jax.random.PRNGKey(5))
+  assert float(m2['mse_baseline']) == float(m['mse_baseline'])
+  assert float(m2['mse']) != float(m['mse'])
+
+
 def test_remat_rollout_matches_baseline(train_setup, model_and_params):
   """config.remat only rewires the backward pass: loss + grads unchanged.
 
