@@ -85,9 +85,12 @@ class TestAnalytic:
     lam = kappa * (2 * np.pi) ** 2
     thetas = [th0 * np.exp(lam * dt), th0]
     us = [u0, u0]
+    # One compile, many cheap calls (eager per-step dispatch dominates
+    # runtime on a single-CPU host otherwise).
+    step = jax.jit(lambda thetas, us: st.one_step(
+        thetas, us, kappa=kappa, dt=dt, time_order=2, tol=1e-12))
     for _ in range(steps):
-      th, info = st.one_step(thetas, us, kappa=kappa, dt=dt, time_order=2,
-                             tol=1e-12)
+      th, info = step(thetas, us)
       thetas = [thetas[1], th]
     want = np.asarray(th0) * np.exp(-lam * steps * dt)
     err = np.abs(np.asarray(thetas[1]) - want).max()
@@ -104,9 +107,10 @@ class TestAnalytic:
     thetas = [jnp.asarray(th_exact(-dt)), jnp.asarray(th_exact(0.0))]
     us = [u0, u0]
     kappa = 1e-8                                  # essentially pure advection
+    step = jax.jit(lambda thetas, us: st.one_step(
+        thetas, us, kappa=kappa, dt=dt, time_order=2, tol=1e-12))
     for _ in range(steps):
-      th, _ = st.one_step(thetas, us, kappa=kappa, dt=dt, time_order=2,
-                          tol=1e-12)
+      th, _ = step(thetas, us)
       thetas = [thetas[1], th]
     want = th_exact(steps * dt)
     err = np.abs(np.asarray(thetas[1]) - want).max()
@@ -127,9 +131,10 @@ class TestAnalytic:
     total0 = float(jnp.sum(st.mass_diag * th0))
     thetas, us = [th0, th0], [u0, u0]
     dt = 2e-3
+    step = jax.jit(lambda thetas, us: st.one_step(
+        thetas, us, kappa=1e-3, dt=dt, time_order=2, tol=1e-12))
     for _ in range(25):
-      th, _ = st.one_step(thetas, us, kappa=1e-3, dt=dt, time_order=2,
-                          tol=1e-12)
+      th, _ = step(thetas, us)
       thetas = [thetas[1], th]
     total = float(jnp.sum(st.mass_diag * thetas[1]))
     # Drift floor: div of the INTERPOLATED Taylor-Green field is spectrally
