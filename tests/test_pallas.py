@@ -194,9 +194,10 @@ def test_affine_detection_rejects_warped_mesh():
   assert sem.fast_ops.g_affine is None
 
 
-# Interpret-mode order 7 takes minutes on one CPU; only order 3 is smoke.
-@pytest.mark.parametrize(
-    'order', [pytest.param(3, marks=pytest.mark.smoke), 7])
+# Interpret-mode emulation is Python-serial and takes 49 s (order 3) to
+# minutes (order 7) regardless of host cores; the 2D affine/fused kernel
+# tests above are the smoke-tier representatives of the Pallas layer.
+@pytest.mark.parametrize('order', [3, 7])
 def test_pallas_stiffness3d_matches_einsum(order):
   """Fused 3D kernel vs the XLA einsum oracle (interpret mode)."""
   from swirlfem_tpu.ops.pallas_stiffness3d import stiffness3d_el_pallas
