@@ -29,7 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_TPU = '--tpu' in sys.argv
+_TPU = '--tpu' in sys.argv or 'ref20k' in sys.argv  # ref20k runs on the chip
 if not _TPU:
   os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                              + ' --xla_force_host_platform_device_count=8')
@@ -116,6 +116,34 @@ def tpu_config(num_train_steps: int) -> ml_collections.ConfigDict:
   return cfg
 
 
+def ref20k_config(num_train_steps: int) -> ml_collections.ConfigDict:
+  """The reference training regime proper (``swirl_fem/niles/config/
+  niles.py:24-89``): 12x12 elements order 4, Re 20000, 8-step rollouts,
+  flagship model — batch 16 on the one chip (reference batch 128 is a
+  pod-scale knob; lr scales with batch below)."""
+  cfg = tpu_config(num_train_steps)
+  cfg.reynolds_number = 20000
+  return cfg
+
+
+def generate_dns_ref20k(dataset_dir: str) -> None:
+  """The reference datagen sweep config proper (``swirl_fem/niles/datagen/
+  config/kolmogorov_re_1000.py:20-57``): 48x48 elements order 8, Re 20000,
+  dt 1e-4, drag 0.05, forcing k=4; 60 warmup cycles (t=3) past the laminar
+  transient so the shards hold developed turbulence."""
+  from swirlfem_tpu.niles import datagen
+
+  os.makedirs(dataset_dir, exist_ok=True)
+  for split, cycles, warmup, seed in (('train', 50, 60, 0),
+                                      ('valid', 8, 60, 7)):
+    cfg = datagen.DatagenConfig(
+        resolution=48, order=8, time_order=3, reynolds_number=20000.0,
+        num_cycles=cycles, num_steps_per_cycle=500, dt=1e-4,
+        snapshot_every=10,  # LES dt = 10 * 1e-4 = 1e-3 (reference config)
+        warmup_cycles=warmup, split=split, seed=seed)
+    datagen.run_simulation(dataset_dir, cfg)
+
+
 def generate_dns_tpu(dataset_dir: str) -> None:
   """Mid-size Kolmogorov DNS for the TPU run: 24x24 elements order 6."""
   from swirlfem_tpu.niles import datagen
@@ -148,6 +176,10 @@ def main():
   ap = argparse.ArgumentParser()
   ap.add_argument('--steps', type=int, default=300)
   ap.add_argument('--tpu', action='store_true')
+  ap.add_argument('--regime', default=None, choices=[None, 'ref20k'],
+                  help="'ref20k' = the reference regime proper (48x48 "
+                       'order-8 Re-20000 DNS -> 12x12 order-4 training); '
+                       'implies the TPU-geometry model config')
   ap.add_argument('--workdir', default=None)
   ap.add_argument('--dataset_dir', default=None)
   ap.add_argument('--kl_zero', action='store_true',
@@ -159,21 +191,35 @@ def main():
   ap.add_argument('--suffix', default='',
                   help='suffix for the result filename')
   args = ap.parse_args()
-  base = '/tmp/niles_convergence_tpu' if args.tpu else '/tmp/niles_convergence'
+  if args.regime == 'ref20k':
+    base = '/tmp/niles_convergence_ref20k'
+  elif args.tpu:
+    base = '/tmp/niles_convergence_tpu'
+  else:
+    base = '/tmp/niles_convergence'
   args.workdir = args.workdir or base
   args.dataset_dir = args.dataset_dir or base + '/data'
+
+  import glob as _glob
 
   from swirlfem_tpu.niles import coarsen
   from swirlfem_tpu.niles import input_pipeline
   from swirlfem_tpu.niles import train as niles_train
 
   t0 = time.time()
-  if not os.path.exists(os.path.join(args.dataset_dir, 'train_00000.h5')):
+  if not _glob.glob(os.path.join(args.dataset_dir, 'train_*.h5')):
     print('generating DNS data ...', flush=True)
-    (generate_dns_tpu if args.tpu else generate_dns)(args.dataset_dir)
+    gen = {None: generate_dns_tpu if args.tpu else generate_dns,
+           'ref20k': generate_dns_ref20k}[args.regime]
+    gen(args.dataset_dir)
   t_dns = time.time() - t0
 
-  cfg = tpu_config(args.steps) if args.tpu else small_config(args.steps)
+  if args.regime == 'ref20k':
+    cfg = ref20k_config(args.steps)
+  elif args.tpu:
+    cfg = tpu_config(args.steps)
+  else:
+    cfg = small_config(args.steps)
   cfg.dataset_dir = args.dataset_dir
   cfg.eval_baseline = True
   if args.kl_zero:
@@ -183,7 +229,10 @@ def main():
   frozen = ml_collections.FrozenConfigDict(cfg)
 
   # DNS -> LES restriction on load.
-  src_grid, src_order = (24, 6) if args.tpu else (16, 4)
+  if args.regime == 'ref20k':
+    src_grid, src_order = 48, 8
+  else:
+    src_grid, src_order = (24, 6) if args.tpu else (16, 4)
   restrict = coarsen.make_restriction(src_grid, src_order, frozen)
   orig_create_split = input_pipeline.create_split
   input_pipeline.create_split = (
@@ -243,10 +292,11 @@ def main():
     result['final_eval_mse'] = last['eval_mse']
     result['baseline_eval_mse'] = last['eval_mse_baseline']
     result['vs_baseline'] = 1 - last['eval_mse'] / last['eval_mse_baseline']
+  stem = {None: ('niles_convergence_tpu_result' if args.tpu
+                 else 'niles_convergence_result'),
+          'ref20k': 'niles_convergence_ref20k_result'}[args.regime]
   out = os.path.join(
-      os.path.dirname(os.path.abspath(__file__)),
-      ('niles_convergence_tpu_result' if args.tpu
-       else 'niles_convergence_result') + args.suffix + '.json')
+      os.path.dirname(os.path.abspath(__file__)), stem + args.suffix + '.json')
   with open(out, 'w') as f:
     json.dump(result, f, indent=1)
   print(json.dumps({k: result[k] for k in

@@ -41,6 +41,14 @@ class DatagenConfig:
   snapshot_every: int = 10
   split: str = 'train'
   seed: int = 0  # perturbs the initial condition (ensemble generation)
+  # Cycles advanced BEFORE the first written snapshot (spin-up past the
+  # laminar transient so shards hold developed turbulence).  The reference
+  # datagen writes from the cold start (`datagen.py:105-196`) and leaves
+  # transient-frame handling to the consumer; a warmup knob keeps the
+  # shards statistically homogeneous instead.  Physical time offset
+  # ``warmup_cycles * num_steps_per_cycle * dt`` is reflected in the
+  # written ``t`` values and shard step ranges.
+  warmup_cycles: int = 0
 
 
 def u_init(x, l: float = 2.0):
@@ -268,8 +276,14 @@ def run_simulation(workdir: str, cfg: DatagenConfig | None = None):
   cus = tuple(c0 for _ in range(cfg.time_order))
 
   os.makedirs(workdir, exist_ok=True)
+  for w in range(cfg.warmup_cycles):
+    (us, ps, cus), _ = advance(us, ps, cus)
+  if cfg.warmup_cycles:
+    jax.block_until_ready(ps[-1])
+    logging.info('warmup: %d cycles (t = %f) discarded', cfg.warmup_cycles,
+                 cfg.warmup_cycles * cfg.num_steps_per_cycle * cfg.dt)
   cycle_walls = []
-  for cycle in range(cfg.num_cycles):
+  for cycle in range(cfg.warmup_cycles, cfg.warmup_cycles + cfg.num_cycles):
     us, ps, cus, wall = one_cycle(sem, cfg, advance,
                                   cycle * cfg.num_steps_per_cycle, us, ps,
                                   cus, workdir)

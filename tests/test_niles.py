@@ -146,6 +146,29 @@ def test_datagen_writes_readable_shards(tmp_path):
     assert np.isfinite(f['u'][:]).all()
 
 
+def test_datagen_warmup_cycles_shift_output(tmp_path):
+  """warmup_cycles advances the state before the first written shard:
+  shard step ranges / times shift by the warmup, and the first written
+  frame equals the state an un-warmed run reaches after that many
+  cycles (bitwise: same jitted advance, same chunking)."""
+  kw = dict(resolution=4, order=3, time_order=2, reynolds_number=1000.0,
+            num_steps_per_cycle=4, dt=1e-3, snapshot_every=2, split='train')
+  import glob
+  import h5py
+  cold_dir, warm_dir = tmp_path / 'cold', tmp_path / 'warm'
+  datagen.run_simulation(str(cold_dir),
+                         datagen.DatagenConfig(num_cycles=2, **kw))
+  datagen.run_simulation(str(warm_dir),
+                         datagen.DatagenConfig(num_cycles=1, warmup_cycles=1,
+                                               **kw))
+  cold = sorted(glob.glob(str(cold_dir / 'train_*.h5')))
+  warm = sorted(glob.glob(str(warm_dir / 'train_*.h5')))
+  assert len(warm) == 1 and warm[0].endswith('step_4_8.h5')
+  with h5py.File(cold[1], 'r') as fc, h5py.File(warm[0], 'r') as fw:
+    np.testing.assert_array_equal(fc['t'][:], fw['t'][:])
+    np.testing.assert_array_equal(fc['u'][:], fw['u'][:])
+
+
 def test_dns_to_les_restriction_spectral_accuracy():
   """coarsen.make_restriction: exact SEM point evaluation at LES nodes."""
   import ml_collections as mlc
