@@ -81,6 +81,18 @@ def main():
       ('uniform', 'bf16x3', lambda us: stiffness_el_pallas_uniform(
           us, ops.c_uniform, ops.wq2d, ops.dmat, precision='bf16x3')),
   ]
+  # Element-tile sweep on the uniform kernel.  Hypothesis was that tiles
+  # smaller than num_e let Pallas double-buffer DMA against compute across
+  # grid steps; MEASURED (v5e, logs_r2_tpu/uniform_tile_sweep.log): the
+  # single-step grid (tile_e = num_e = 4096) is fastest — 11.72 us vs
+  # 12.99 us at 1024/2048 and 14.51 us at 256.  At this size the kernel is
+  # HBM-bound and Mosaic already overlaps the streamed (n*n, tile_e) input
+  # blocks; extra grid steps only add per-step launch/index overhead.  The
+  # tile_e=4096 default stands.
+  for tile in (256, 512, 1024, 2048):
+    cases.append((f'uniform_tile{tile}', 'HIGHEST',
+                  lambda us, tile=tile: stiffness_el_pallas_uniform(
+                      us, ops.c_uniform, ops.wq2d, ops.dmat, tile_e=tile)))
   for kernel, prec, fn in cases:
     got = fn(us)
     err = max(
