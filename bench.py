@@ -7,11 +7,12 @@ Headline metric: stiffness operator apply throughput in GDOF/s (nodal
 points x vector components per second) on the Kolmogorov datagen workload
 geometry (2D, 64x64 elements, order 8 GLL — reference
 ``niles/datagen/datagen.py:48-56``), f32 state on the attached TPU chip,
-using the E-last element-operator fast path (ops/sem2d.py).  The affine
-MXU kernel is MXU-pass bound, so two precisions of its f32 matmul are
-timed — HIGHEST (6 bf16 MXU passes, ~1.4e-7 relative vs f64) and bf16x3
-(3 passes, ~6e-6) — and the faster one that matches the f32 reference
-algorithm to 1e-4 becomes the headline; both timings and the measured
+using the E-last element-operator fast path (ops/sem2d.py).  The MXU
+kernel is MXU-pass bound, so two precisions of its f32 matmul are
+timed — HIGHEST (6 bf16 MXU passes, ~1.7e-7 relative vs f64) and bf16x3
+(3 passes, ~1e-5) — and the faster one within 1e-4 relative error of the
+f64 element-operator oracle (or, on non-congruent boxes, of the f32
+reference algorithm) becomes the headline; both timings and the measured
 error ship in ``details``.
 
 ``vs_baseline``: speedup over the *reference algorithm* on identical
@@ -425,13 +426,17 @@ def run_bench(on_tpu, device_kind):
                  error='partial: baseline timing did not finish')
   precision_used = ops.kernel_precision
 
-  # Precision ladder on the affine MXU kernel: the apply is MXU-pass bound
-  # (HIGHEST = 6 bf16 passes per f32 matmul), so 'bf16x3' (3 passes,
-  # ~6e-6 relative vs f64 — measured experiments/bench_precision_ab.py)
-  # is ~1.6x faster at equal HBM traffic.  It becomes the headline ONLY if
-  # it passes a 50x tighter correctness gate (1e-4 vs the f32 reference
-  # algorithm) than the build gate; both timings ship in the JSON.
-  t_high, err_b3 = t_fast, None
+  # Precision ladder on the MXU kernel: the apply is MXU-pass bound
+  # (HIGHEST = 6 bf16 passes per f32 matmul), so 'bf16x3' (3 passes)
+  # is ~1.3-1.6x faster at equal HBM traffic.  It becomes the headline
+  # ONLY if it passes a 1e-4 relative-error gate.  The gate oracle is the
+  # TRUE f64 element operator (host numpy) when the box is congruent —
+  # gating against the f32 reference algorithm mixes the baseline's OWN
+  # rounding (~2e-4 at this size: f32 invjacs/jacdets through five chained
+  # einsums) into the measurement and spuriously rejected bf16x3, which
+  # measures ~1e-5 vs f64 (experiments/bench_uniform_kernel.py).  Both
+  # timings and the measured error ship in the JSON.
+  t_high, err_b3, b3_oracle = t_fast, None, None
   if on_tpu and ops.g_affine is not None:
     ops_b3 = ops.replace(kernel_precision='bf16x3')
 
@@ -439,11 +444,25 @@ def run_bench(on_tpu, device_kind):
       return ops_b3.stiffness_el_multi(ut_el)
 
     try:
-      sem_b3 = sem.replace(fast_ops=ops_b3)
-      got_b3 = jnp.stack(
-          [mask * a for a in sem_b3._fast_stiffness(ut)], axis=-1)  # pylint: disable=protected-access
-      err_b3 = float(
-          jnp.abs(ref - got_b3).max() / (jnp.abs(ref).max() + 1e-30))
+      if ops.c_uniform is not None:
+        from swirlfem_tpu.ops.pallas_stiffness import _uniform_amat_np
+        a64 = _uniform_amat_np(ops.c_uniform, ops.wq2d, ops.dmat)
+        kk = ORDER + 1
+        got_el = apply_b3(ut_el)
+        refs64 = [(a64 @ np.asarray(u, np.float64).reshape(kk * kk, -1)
+                   ).reshape(kk, kk, -1) for u in ut_el]
+        scale = max(np.abs(r).max() for r in refs64)
+        err_b3 = max(
+            float(np.abs(np.asarray(g, np.float64) - r).max()) / scale
+            for g, r in zip(got_el, refs64))
+        b3_oracle = 'f64_element_operator'
+      else:
+        sem_b3 = sem.replace(fast_ops=ops_b3)
+        got_b3 = jnp.stack(
+            [mask * a for a in sem_b3._fast_stiffness(ut)], axis=-1)  # pylint: disable=protected-access
+        err_b3 = float(
+            jnp.abs(ref - got_b3).max() / (jnp.abs(ref).max() + 1e-30))
+        b3_oracle = 'f32_reference_algorithm'
       if err_b3 < 1e-4:
         _stage(f'timing bf16x3 apply (rel err {err_b3:.2e})')
         run_b3 = _chained(apply_b3, chain_fast)
@@ -527,7 +546,8 @@ def run_bench(on_tpu, device_kind):
       'fast_ms': round(t_fast * 1e3, 4),
       'kernel_precision': precision_used,
       'highest_ms': round(t_high * 1e3, 4),
-      'bf16x3_rel_err_vs_f32ref': err_b3,
+      'bf16x3_rel_err': err_b3,
+      'bf16x3_err_oracle': b3_oracle,
       'kron_baseline_ms': round(t_kron * 1e3, 4),
       'nse_step_ms': round(t_step * 1e3, 4) if t_step else 'skipped (budget)',
       'device': str(jax.devices()[0]),

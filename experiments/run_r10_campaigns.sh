@@ -1,0 +1,72 @@
+#!/bin/bash
+# Round-10 TPU campaign chain (one chip — jobs strictly sequential):
+#   1. de Vahl Davis natural-convection ladder Ra 1e3..1e6 (f32, chip)
+#   2. NiLES convergence at the REFERENCE regime proper (48x48 order-8
+#      Re-20000 DNS -> 12x12 order-4 training), KL held at zero so the
+#      short run spends its gradient budget on MSE (VERDICT r1 #8)
+#   3. 3D Taylor-Green Re-1600 at 256^3 effective (32^3 elements order 7)
+#
+# Each job: bounded by timeout, logged, retried once after a fresh
+# device probe (tunneled TPU workers crash transiently — see
+# .claude/skills/verify/SKILL.md).
+set -u
+cd "$(dirname "$0")/.."
+LOGDIR=experiments/logs_r2_tpu
+mkdir -p "$LOGDIR"
+
+probe() {
+  timeout 240 python -c "import jax; assert jax.devices()[0].platform=='tpu'" \
+    >/dev/null 2>&1
+}
+
+run_job() {  # name timeout_s cmd...
+  local name=$1 tmo=$2; shift 2
+  local log="$LOGDIR/${name}.log"
+  for attempt in 1 2; do
+    echo "=== $name attempt $attempt: $(date -u +%H:%M:%S) ===" >> "$log"
+    timeout "$tmo" "$@" >> "$log" 2>&1
+    local rc=$?
+    echo "rc=$rc" >> "$log"
+    [ $rc -eq 0 ] && return 0
+    echo "$name failed (rc=$rc); re-probing device" >> "$log"
+    probe || sleep 120
+  done
+  return 1
+}
+
+run_job nc_ladder_tpu 3600 \
+  python -u experiments/natural_convection_campaign.py --tpu \
+    --out experiments/natural_convection_tpu.json
+
+# NiLES ref20k: datagen is skipped when train_*.h5 shards exist, but it has
+# no mid-run resume — wipe a PARTIAL dataset (expected: 50 train shards)
+# before each attempt so a retry never trains on incomplete data.
+clean_partial_ref20k() {
+  local d=/tmp/niles_convergence_ref20k/data
+  [ -d "$d" ] || return 0
+  local n
+  n=$(ls "$d"/train_*.h5 2>/dev/null | wc -l)
+  if [ "$n" -lt 50 ]; then
+    echo "wiping partial ref20k dataset ($n/50 train shards)" \
+      >> "$LOGDIR/niles_ref20k.log"
+    rm -rf "$d"
+  fi
+}
+for attempt in 1 2; do
+  clean_partial_ref20k
+  echo "=== niles_ref20k attempt $attempt: $(date -u +%H:%M:%S) ===" \
+    >> "$LOGDIR/niles_ref20k.log"
+  timeout 14000 python -u experiments/niles_convergence.py \
+    --regime ref20k --kl_zero --steps 600 \
+    >> "$LOGDIR/niles_ref20k.log" 2>&1
+  rc=$?
+  echo "rc=$rc" >> "$LOGDIR/niles_ref20k.log"
+  [ $rc -eq 0 ] && break
+  probe || sleep 120
+done
+
+run_job tgv_32_7 10000 \
+  python -u experiments/taylor_green_3d_campaign.py --cases 32:7 \
+    --out experiments/tgv_32_7.json
+
+echo "chain done: $(date -u)" >> "$LOGDIR/chain_status.log"
