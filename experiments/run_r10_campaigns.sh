@@ -34,9 +34,28 @@ run_job() {  # name timeout_s cmd...
   return 1
 }
 
-run_job nc_ladder_tpu 3600 \
-  python -u experiments/natural_convection_campaign.py --tpu \
-    --out experiments/natural_convection_tpu.json
+# Per-Ra invocations with per-Ra output files: the all-or-nothing ladder
+# died with a session stall twice (rounds 9/10) and lost every completed
+# rung.  Completed rungs are skipped on re-entry.
+for ra in 1e3 1e4 1e5 1e6; do
+  [ -f "experiments/nc_tpu_${ra}.json" ] && continue
+  run_job "nc_ladder_tpu_${ra}" 1200 \
+    python -u experiments/natural_convection_campaign.py --tpu \
+      --ras "$ra" --out "experiments/nc_tpu_${ra}.json"
+done
+python - <<'PY'
+import glob, json
+cases, meta = [], {}
+for f in sorted(glob.glob('experiments/nc_tpu_*.json')):
+    with open(f) as fh:
+        r = json.load(fh)
+    cases += r['cases']
+    meta = {k: r[k] for k in ('platform', 'dtype')}
+if cases:
+    cases.sort(key=lambda c: c['ra'])
+    with open('experiments/natural_convection_tpu.json', 'w') as fh:
+        json.dump({**meta, 'cases': cases}, fh, indent=2)
+PY
 
 # NiLES ref20k: datagen is skipped when train_*.h5 shards exist, but it has
 # no mid-run resume — wipe a PARTIAL dataset (expected: 50 train shards)
