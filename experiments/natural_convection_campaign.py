@@ -80,8 +80,12 @@ def main():
           f"cold {r['nu_cold']:.4f}, u_max {r['u_max']:.2f}, "
           f"{r['steps']} steps in {wall:.0f} s", flush=True)
 
-  with open(args.out, 'w') as fh:
+  # Atomic publish: a timeout mid-dump must not leave a truncated artifact
+  # that the re-entrant campaign chain would then skip forever.
+  tmp = args.out + '.tmp'
+  with open(tmp, 'w') as fh:
     json.dump(results, fh, indent=2)
+  os.replace(tmp, args.out)
   print(f'wrote {args.out}')
 
 

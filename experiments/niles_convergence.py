@@ -297,8 +297,9 @@ def main():
           'ref20k': 'niles_convergence_ref20k_result'}[args.regime]
   out = os.path.join(
       os.path.dirname(os.path.abspath(__file__)), stem + args.suffix + '.json')
-  with open(out, 'w') as f:
+  with open(out + '.tmp', 'w') as f:
     json.dump(result, f, indent=1)
+  os.replace(out + '.tmp', out)  # atomic: no truncated artifact on timeout
   print(json.dumps({k: result[k] for k in
                     ('first_train_mse', 'last_train_mse', 'improvement',
                      'final_eval_mse', 'baseline_eval_mse', 'vs_baseline',

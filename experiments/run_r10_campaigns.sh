@@ -15,8 +15,15 @@ LOGDIR=experiments/logs_r2_tpu
 mkdir -p "$LOGDIR"
 
 probe() {
-  timeout 240 python -c "import jax; assert jax.devices()[0].platform=='tpu'" \
-    >/dev/null 2>&1
+  # Compute-probe: init-only jax.devices() checks green-light wedged
+  # workers whose real dispatch hangs (NOTES_ROUND11.md) — a liveness
+  # probe must run an actual jitted dispatch.  First dispatch after a
+  # worker recovery has been observed to take ~190 s; budget 300 s.
+  timeout 300 python -c "
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform == 'tpu'
+x = jnp.ones((256, 256))
+assert float((x @ x).sum()) > 0" >/dev/null 2>&1
 }
 
 run_job() {  # name timeout_s cmd...
@@ -37,8 +44,13 @@ run_job() {  # name timeout_s cmd...
 # Per-Ra invocations with per-Ra output files: the all-or-nothing ladder
 # died with a session stall twice (rounds 9/10) and lost every completed
 # rung.  Completed rungs are skipped on re-entry.
+valid_json() {  # honor the re-entry skip only for intact artifacts
+  [ -f "$1" ] && python -c "import json,sys; json.load(open(sys.argv[1]))" \
+    "$1" >/dev/null 2>&1
+}
+
 for ra in 1e3 1e4 1e5 1e6; do
-  [ -f "experiments/nc_tpu_${ra}.json" ] && continue
+  valid_json "experiments/nc_tpu_${ra}.json" && continue
   run_job "nc_ladder_tpu_${ra}" 1200 \
     python -u experiments/natural_convection_campaign.py --tpu \
       --ras "$ra" --out "experiments/nc_tpu_${ra}.json"
@@ -47,10 +59,13 @@ python - <<'PY'
 import glob, json
 cases, meta = [], {}
 for f in sorted(glob.glob('experiments/nc_tpu_*.json')):
-    with open(f) as fh:
-        r = json.load(fh)
-    cases += r['cases']
-    meta = {k: r[k] for k in ('platform', 'dtype')}
+    try:
+        with open(f) as fh:
+            r = json.load(fh)
+        cases += r['cases']
+        meta = {k: r[k] for k in ('platform', 'dtype')}
+    except (json.JSONDecodeError, KeyError) as e:  # truncated rung artifact
+        print(f'skipping malformed {f}: {e}')
 if cases:
     cases.sort(key=lambda c: c['ra'])
     with open('experiments/natural_convection_tpu.json', 'w') as fh:

@@ -84,8 +84,10 @@ def main():
           f"at t {r['peak_dissipation_time']:.2f} "
           f"(-dE/dt peak {r['peak_dedt']:.5f} at {r['peak_dedt_time']:.2f}), "
           f"{r['steps']} steps in {wall:.0f} s", flush=True)
-    with open(args.out, 'w') as fh:
+    tmp = args.out + '.tmp'
+    with open(tmp, 'w') as fh:
       json.dump(results, fh, indent=2)
+    os.replace(tmp, args.out)  # atomic: no truncated artifact on timeout
   print(f'wrote {args.out}')
 
 
