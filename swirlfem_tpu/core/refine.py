@@ -51,8 +51,10 @@ def refine_premesh(premesh: Premesh, gridpoints_1d: Nodes1D) -> Premesh:
     n, periodic_dims = premesh.box_info
     info1 = StructuredInfo(num_elements_per_dim=n, order=1,
                            ndim=premesh.ndim, continuous=True)
-    exp_el, exp_groups, exp_links = _connectivity(info1,
-                                                  tuple(periodic_dims))
+    face_groups = any(name != 'boundary'
+                      for name in (premesh.physical_groups or {}))
+    exp_el, exp_groups, exp_links = _connectivity(
+        info1, tuple(periodic_dims), face_groups=face_groups)
 
     def _node_set(group):
       # Facet granularity is free (the canonical box connectivity uses

@@ -129,8 +129,15 @@ def structured_scatter(w: jax.Array, info: StructuredInfo) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _connectivity(info: StructuredInfo, periodic_dims):
-  """Elements, boundary groups and periodic links for a structured grid."""
+def _connectivity(info: StructuredInfo, periodic_dims, face_groups=False):
+  """Elements, boundary groups and periodic links for a structured grid.
+
+  With ``face_groups``, each non-periodic side additionally gets its own
+  physical group (``xlo``/``xhi``/...), matching
+  ``utils.box.unit_cube_mesh(face_groups=True)`` — per-side boundary
+  conditions (e.g. the heated cavity's thermal walls) then keep the
+  structured fast path.
+  """
   n, p, ndim = info.num_elements_per_dim, info.order, info.ndim
   nodes_per_dim = info.nodes_per_dim
   stride = p if info.continuous else p + 1
@@ -166,6 +173,10 @@ def _connectivity(info: StructuredInfo, periodic_dims):
       else:
         boundary.append(first[None])
         boundary.append(last[None])
+        if face_groups:
+          name = 'xyz'[axis]
+          physical_groups[name + 'lo'] = first[None]
+          physical_groups[name + 'hi'] = last[None]
     if boundary:
       physical_groups['boundary'] = np.concatenate(boundary, axis=0)
     if links:
@@ -225,6 +236,8 @@ def structured_refine(premesh: Premesh, gridpoints_1d: Nodes1D) -> Premesh:
   d = premesh.ndim
   info = StructuredInfo(num_elements_per_dim=n, order=p, ndim=d,
                         continuous=gridpoints_1d.is_continuous())
+  face_groups = any(name != 'boundary'
+                    for name in (premesh.physical_groups or {}))
   from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
   interp = interpolation_matrix_1d(premesh.gridpoints_1d, gridpoints_1d)
   corners = np.asarray(premesh.node_coords)[np.asarray(premesh.elements)]
@@ -239,7 +252,7 @@ def structured_refine(premesh: Premesh, gridpoints_1d: Nodes1D) -> Premesh:
     coords[slices] = vals[e]
 
   elements, physical_groups, periodic_links = _connectivity(
-      info, tuple(periodic_dims))
+      info, tuple(periodic_dims), face_groups=face_groups)
   return Premesh.create(
       node_coords=coords.reshape(-1, d),
       elements=elements,

@@ -446,9 +446,9 @@ class DistributedStokesBox:
     kind = None
     if preconditioner == 'fdm' and self.d in (2, 3):
       from swirlfem_tpu.ops.fdm_pressure import helmholtz_eig_el
-      from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
+      from swirlfem_tpu.ops.fdm_pressure import is_separable_box
       from swirlfem_tpu.ops.fdm_pressure import pressure_eig_el
-      if is_uniform_box(self.sem):
+      if is_separable_box(self.sem):
         d = self.d
         info = self.sem.fast_ops.vinfo
         pinfo = self.sem.fast_ops.pinfo

@@ -95,6 +95,29 @@ class ScalarTransport:
   def mesh(self):
     return self.velocity.mesh
 
+  def fdm_preconditioner(self, sem: StokesSEM, kappa, dt,
+                         time_order: int):
+    """Exact FDM inverse of the scalar Helmholtz operator, separable boxes.
+
+    The scalar operator ``(beta_k/dt) B + kappa A`` lives on the same
+    grid as the viscous Helmholtz operator, only with the scalar's OWN
+    Dirichlet mask (e.g. heated cavity: thermal walls on x only), so the
+    same per-axis fast diagonalization applies (ops.fdm_pressure).
+    Returns ``r -> H_theta^{-1} r`` to seed `one_step`'s CG (which then
+    certifies convergence in 0-2 iterations), or None off separable
+    boxes / inseparable thermal masks.
+    """
+    from swirlfem_tpu.ops.fdm_pressure import _axis_masks
+    from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver
+    from swirlfem_tpu.ops.fdm_pressure import is_separable_box
+    if not is_separable_box(sem):
+      return None
+    if _axis_masks(sem, interior_mask=self.interior_mask) is None:
+      return None
+    solve = build_fdm_helmholtz_solver(sem, time_order,
+                                       interior_mask=self.interior_mask)
+    return lambda r: solve(r, kappa, dt)
+
   def _dot(self, a, b):
     d = jnp.vdot(a, b, precision=lax.Precision.HIGHEST)
     if self.axis_name is not None:
@@ -143,7 +166,8 @@ class ScalarTransport:
                forcing: jax.Array | None = None,
                theta_boundary: jax.Array | None = None,
                tol: float = 1e-8, atol: float = 0.0,
-               maxiter: int | None = None):
+               maxiter: int | None = None,
+               preconditioner=None):
     """One BDFk/EXTk transport step.
 
     Args:
@@ -161,6 +185,11 @@ class ScalarTransport:
         arbitrary).  Internally the solve runs on the homogeneous
         remainder ``theta - theta_boundary`` and the lift is added back
         before returning.
+      preconditioner: optional ``r -> ~H^{-1} r`` seeding the CG with an
+        initial guess (see `fdm_preconditioner`); with an exact inverse
+        the solve certifies convergence in 0-2 iterations.  Gradients via
+        ``custom_linear_solve`` are unaffected (x0 only changes the CG
+        path, not its limit).
 
     Returns:
       ``(theta, info)`` with the CG diagnostics dict.
@@ -207,7 +236,9 @@ class ScalarTransport:
     m_op = lambda r: dinv * self.mesh.exchange(r)
 
     def solve(matvec, b):
-      return cg(matvec, self.interior_mask * b, M=m_op, tol=tol, atol=atol,
+      b = self.interior_mask * b
+      x0 = None if preconditioner is None else preconditioner(b)
+      return cg(matvec, b, x0=x0, M=m_op, tol=tol, atol=atol,
                 dot_fn=self._dot, maxiter=maxiter)
 
     theta, info = lax.custom_linear_solve(h_op, rhs, solve=solve,

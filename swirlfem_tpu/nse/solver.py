@@ -1022,8 +1022,8 @@ class StokesSEM:
     the mesh is not a uniform axis-aligned box with separable BCs.
     """
     from swirlfem_tpu.ops.fdm_pressure import build_fdm_pressure_solver
-    from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
-    if not is_uniform_box(self):
+    from swirlfem_tpu.ops.fdm_pressure import is_separable_box
+    if not is_separable_box(self):
       return None
     solve = build_fdm_pressure_solver(self, dt, time_order)
     if not solve.has_nullspace:
@@ -1097,8 +1097,8 @@ class StokesSEM:
     """
     from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver_el
     from swirlfem_tpu.ops.fdm_pressure import build_fdm_pressure_solver_el
-    from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
-    if not is_uniform_box(self):
+    from swirlfem_tpu.ops.fdm_pressure import is_separable_box
+    if not is_separable_box(self):
       return None, None
     sv = build_fdm_helmholtz_solver_el(self, time_order, precision=precision)
     sp = build_fdm_pressure_solver_el(self, dt, time_order,
@@ -1202,8 +1202,8 @@ class StokesSEM:
     when the mesh is not a uniform separable box.
     """
     from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver
-    from swirlfem_tpu.ops.fdm_pressure import is_uniform_box
-    if not is_uniform_box(self):
+    from swirlfem_tpu.ops.fdm_pressure import is_separable_box
+    if not is_separable_box(self):
       return None
     solve = build_fdm_helmholtz_solver(self, time_order)
     return lambda r: solve(r, mu, dt)

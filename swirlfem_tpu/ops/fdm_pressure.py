@@ -1,7 +1,10 @@
 """Fast-diagonalization (FDM) solver for the pressure Schur operator.
 
-On a *uniform axis-aligned* structured box the P_N-P_{N-2} pressure Schur
-operator ``E = D Q D^T`` is exactly separable over the grid axes:
+On an axis-aligned structured box whose node coordinates are a *per-axis
+tensor product* — uniform or graded (e.g. wall-clustered heated-cavity
+meshes; the Jacobian is diagonal with each factor a function of its own
+axis only) — the P_N-P_{N-2} pressure Schur operator ``E = D Q D^T`` is
+exactly separable over the grid axes:
 
     2D:  E = s * (A1 (x) B2  +  B1 (x) A2)
     3D:  E = s * (A1 (x) B2 (x) B3  +  B1 (x) A2 (x) B3  +  B1 (x) B2 (x) A3)
@@ -45,12 +48,21 @@ from swirlfem_tpu.core.quadrature import differentiation_matrix_1d
 from swirlfem_tpu.core.quadrature import interpolation_matrix_1d
 
 
-def _axis_masks(sem):
-  """Per-axis interior masks of the velocity grid, or None if inseparable."""
+def _axis_masks(sem, interior_mask=None):
+  """Per-axis interior masks of the velocity grid, or None if inseparable.
+
+  ``interior_mask`` overrides the velocity's own mask — used by the scalar
+  transport, whose thermal Dirichlet walls are independent of the flow's
+  (e.g. heated cavity: scalar Dirichlet on x-walls only, Neumann on y).
+  """
   info = sem.fast_ops.vinfo
   d = info.ndim
   nv = info.nodes_per_dim
-  mask = np.asarray(sem.velocity.interior_mask)[..., 0].reshape((nv,) * d)
+  if interior_mask is None:
+    mask = np.asarray(sem.velocity.interior_mask)[..., 0]
+  else:
+    mask = np.asarray(interior_mask).reshape(-1)
+  mask = mask.reshape((nv,) * d)
   axis_masks = []
   for a in range(d):
     # Profile along axis a through the most-interior line.
@@ -89,6 +101,64 @@ def _periodic_axes(sem):
   return out
 
 
+def _axis_geometry(sem):
+  """Per-axis 1D geometry of a tensor-product box, or None.
+
+  Returns ``(lines, jacs)``: ``lines[a]`` is the (nv,) nodal coordinate
+  profile along grid axis a, and ``jacs[a]`` the per-element 1D Jacobian
+  profiles ``dx/dxi`` at the GLL nodes, shape (n, p+1).  Valid exactly
+  when ``node_coords`` is a tensor product per axis (each coordinate
+  component varies only along its own grid axis) — then the Jacobian is
+  diagonal with per-axis factors, the GLL-collocated Helmholtz and Schur
+  operators are exactly separable, and fast diagonalization is an exact
+  inverse even on *graded* (non-uniform) boxes.
+  """
+  info = sem.fast_ops.vinfo
+  d = info.ndim
+  nv = info.nodes_per_dim
+  n = info.num_elements_per_dim
+  p = info.order
+  coords = np.asarray(sem.velocity.mesh.node_coords)
+  if coords.shape[0] != nv ** d:
+    return None
+  coords = coords.reshape((nv,) * d + (d,))
+  span = max(float(np.ptp(coords)), 1.0)
+  tol = 1e3 * float(np.finfo(coords.dtype).eps) * span
+  lines = []
+  for a in range(d):
+    idx = tuple(slice(None) if b == a else slice(0, 1) for b in range(d))
+    line = coords[idx + (a,)].reshape(nv).astype(np.float64)
+    shape = tuple(nv if b == a else 1 for b in range(d))
+    if float(np.abs(coords[..., a] - line.reshape(shape)).max()) > tol:
+      return None
+    lines.append(line)
+  dmat = np.asarray(differentiation_matrix_1d(sem.velocity.mesh.gridpoints_1d))
+  jacs = []
+  for a in range(d):
+    x_el = np.stack([lines[a][e * p:e * p + p + 1] for e in range(n)])
+    jac = x_el @ dmat.T                        # (n, p+1): dx/dxi at nodes
+    if jac.min() <= 0:
+      return None
+    jacs.append(jac)
+  return lines, jacs
+
+
+def is_separable_box(sem) -> bool:
+  """True when the FDM direct solvers apply exactly.
+
+  Strictly more general than `is_uniform_box`: any per-axis coordinate
+  map (e.g. the wall-clustered heated cavity grading) keeps the
+  operators exactly separable; only the 1D factor matrices change
+  (per-element Jacobian profiles instead of a constant h/2).
+  """
+  ops = sem.fast_ops
+  if ops is None or ops.vinfo is None:
+    return False
+  if _axis_geometry(sem) is None:
+    return False
+  return _axis_masks(sem) is not None
+
+
 def is_uniform_box(sem) -> bool:
   """True for an axis-aligned uniform structured box with separable BCs."""
   ops = sem.fast_ops
@@ -119,15 +189,18 @@ def _assemble_1d(blocks: np.ndarray, n: int, periodic: bool) -> np.ndarray:
 
   Row blocks are private per element (DG pressure rows); columns live on
   the continuous velocity line (shared endpoints summed; periodic wraps
-  the closing node onto node 0).
+  the closing node onto node 0).  ``blocks`` is (m, k) shared by all
+  elements, or (n, m, k) per element (graded boxes).
   """
-  m, k = blocks.shape
+  if blocks.ndim == 2:
+    blocks = np.broadcast_to(blocks, (n,) + blocks.shape)
+  _, m, k = blocks.shape
   p = k - 1
   ncols = n * p if periodic else n * p + 1
   out = np.zeros((n * m, ncols))
   for e in range(n):
     cols = (e * p + np.arange(k)) % ncols
-    out[e * m:(e + 1) * m, cols] += blocks
+    out[e * m:(e + 1) * m, cols] += blocks[e]
   return out
 
 
@@ -148,18 +221,18 @@ def build_fdm_pressure_solver(sem, dt: float, time_order: int,
 
   axis_masks = _axis_masks(sem)
   assert axis_masks is not None, 'BC mask is not separable per axis'
+  geom = _axis_geometry(sem)
+  assert geom is not None, 'node coordinates are not a per-axis product'
+  _, jacs = geom
 
   beta_k = float(bdfk_coeffs(time_order)[-1])
   scale = dt / beta_k
 
-  # Element size from the (constant) mass field: wmass = (h/2)^d w^d.
   vgrid = sem.velocity.mesh.gridpoints_1d
   pgrid = sem.pressure.pspace.mesh.gridpoints_1d
   from swirlfem_tpu.core.quadrature import Quadrature1D
   w1 = np.asarray(
       Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
-  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
-  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
 
   ipt = np.asarray(interpolation_matrix_1d(pgrid, vgrid)).T  # (m, k)
   dmat = np.asarray(differentiation_matrix_1d(vgrid))        # (k, k)
@@ -176,13 +249,17 @@ def build_fdm_pressure_solver(sem, dt: float, time_order: int,
     mask_a = np.asarray(axis_masks[a], dtype=np.float64)
     nv = n * p if periodic else n * p + 1
     mask_a = mask_a[:nv]
+    # Weak derivative factor int q u' = ipt W dmat — the 1D Jacobian
+    # cancels, so the block is geometry-free; the mass factor carries the
+    # per-element Jacobian profile (graded boxes stay exactly separable).
     dg = _assemble_1d(ipt @ np.diag(w1) @ dmat, n, periodic)
-    mg = _assemble_1d(half_h * ipt @ np.diag(w1), n, periodic)
+    mg = _assemble_1d(
+        np.einsum('mk,ek->emk', ipt @ np.diag(w1), jacs[a]), n, periodic)
     # Assembled 1D lumped mass (shared endpoints summed / wrapped).
     mass = np.zeros(nv)
     for e in range(n):
       cols = (e * p + np.arange(p + 1)) % nv
-      mass[cols] += half_h * w1
+      mass[cols] += w1 * jacs[a][e]
     b = mask_a / mass
     A = dg @ np.diag(b) @ dg.T
     B = mg @ np.diag(b) @ mg.T
@@ -230,20 +307,31 @@ def build_fdm_pressure_solver(sem, dt: float, time_order: int,
 
 def _assemble_1d_square(blocks: np.ndarray, n: int,
                         periodic: bool) -> np.ndarray:
-  """Assembles per-element (k, k) 1D operators onto the global line."""
-  k = blocks.shape[0]
+  """Assembles per-element (k, k) 1D operators onto the global line.
+
+  ``blocks`` is (k, k) shared by all elements or (n, k, k) per element.
+  """
+  if blocks.ndim == 2:
+    blocks = np.broadcast_to(blocks, (n,) + blocks.shape)
+  k = blocks.shape[-1]
   p = k - 1
   nv = n * p if periodic else n * p + 1
   out = np.zeros((nv, nv))
   for e in range(n):
     cols = (e * p + np.arange(k)) % nv
-    out[np.ix_(cols, cols)] += blocks
+    out[np.ix_(cols, cols)] += blocks[e]
   return out
 
 
 def build_fdm_helmholtz_solver(sem, time_order: int,
-                               precision=lax.Precision.HIGHEST):
+                               precision=lax.Precision.HIGHEST,
+                               interior_mask=None):
   """Exact FDM solver for the viscous operator H = (beta_k/dt) B + mu A.
+
+  ``interior_mask`` (nodal, optional) overrides the velocity's Dirichlet
+  mask: pass the scalar transport's own mask to solve the temperature
+  Helmholtz equation ``(beta_k/dt) B + kappa A`` on the same grid with
+  independent thermal walls (``solve(r, kappa, dt)``).
 
   On a uniform box the assembled vector Helmholtz operator is separable
   per axis exactly like the pressure Schur operator (collocated-GLL
@@ -273,8 +361,11 @@ def build_fdm_helmholtz_solver(sem, time_order: int,
   p = vinfo.order
   nv_grid = vinfo.nodes_per_dim
 
-  axis_masks = _axis_masks(sem)
+  axis_masks = _axis_masks(sem, interior_mask=interior_mask)
   assert axis_masks is not None, 'BC mask is not separable per axis'
+  geom = _axis_geometry(sem)
+  assert geom is not None, 'node coordinates are not a per-axis product'
+  _, jacs = geom
   periodic_axes = _periodic_axes(sem)
   beta_k = float(bdfk_coeffs(time_order)[-1])
 
@@ -282,20 +373,20 @@ def build_fdm_helmholtz_solver(sem, time_order: int,
   w1 = np.asarray(
       Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
   dmat = np.asarray(differentiation_matrix_1d(vgrid))
-  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
-  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
 
   import scipy.linalg
   zs, lams, interiors = [], [], []
   for a in range(d):
     periodic = periodic_axes[a]
     nv = n * p if periodic else n * p + 1
-    s_el = (1.0 / half_h) * dmat.T @ np.diag(w1) @ dmat  # (2/h) * D^T W D
+    # Per-element D^T diag(w / J_e) D: the 1D stiffness with the graded
+    # Jacobian profile (uniform boxes reduce to (2/h) D^T W D).
+    s_el = np.einsum('ik,ek,kj->eij', dmat.T, w1 / jacs[a], dmat)
     s_glob = _assemble_1d_square(s_el, n, periodic)
     mass = np.zeros(nv)
     for e in range(n):
       cols = (e * p + np.arange(p + 1)) % nv
-      mass[cols] += half_h * w1
+      mass[cols] += w1 * jacs[a][e]
     interior = np.nonzero(np.asarray(axis_masks[a])[:nv] > 0)[0]
     s_int = s_glob[np.ix_(interior, interior)]
     m_int = mass[interior]
@@ -404,6 +495,9 @@ def helmholtz_eig_el(sem, time_order: int):
 
   axis_masks = _axis_masks(sem)
   assert axis_masks is not None, 'BC mask is not separable per axis'
+  geom = _axis_geometry(sem)
+  assert geom is not None, 'node coordinates are not a per-axis product'
+  _, jacs = geom
   periodic_axes = _periodic_axes(sem)
   beta_k = float(bdfk_coeffs(time_order)[-1])
 
@@ -411,20 +505,18 @@ def helmholtz_eig_el(sem, time_order: int):
   w1 = np.asarray(
       Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
   dmat = np.asarray(differentiation_matrix_1d(vgrid))
-  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
-  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
 
   import scipy.linalg
   zels, lams = [], []
   for a in range(d):
     periodic = periodic_axes[a]
     nv = n * p if periodic else n * p + 1
-    s_el = (1.0 / half_h) * dmat.T @ np.diag(w1) @ dmat
+    s_el = np.einsum('ik,ek,kj->eij', dmat.T, w1 / jacs[a], dmat)
     s_glob = _assemble_1d_square(s_el, n, periodic)
     mass = np.zeros(nv)
     for e in range(n):
       cols = (e * p + np.arange(p + 1)) % nv
-      mass[cols] += half_h * w1
+      mass[cols] += w1 * jacs[a][e]
     interior = np.nonzero(np.asarray(axis_masks[a])[:nv] > 0)[0]
     s_int = s_glob[np.ix_(interior, interior)]
     sq = np.sqrt(mass[interior])
@@ -510,6 +602,9 @@ def pressure_eig_el(sem, dt: float, time_order: int):
   m = pinfo.order + 1
 
   axis_masks = _axis_masks(sem)
+  geom = _axis_geometry(sem)
+  assert geom is not None, 'node coordinates are not a per-axis product'
+  _, jacs = geom
   beta_k = float(bdfk_coeffs(time_order)[-1])
   scale = dt / beta_k
 
@@ -518,8 +613,6 @@ def pressure_eig_el(sem, dt: float, time_order: int):
   from swirlfem_tpu.core.quadrature import Quadrature1D
   w1 = np.asarray(
       Quadrature1D.create_from_nodes_1d(vgrid).weights, dtype=np.float64)
-  wm0 = float(np.asarray(ops.wmass).reshape(-1)[0])
-  half_h = (wm0 / np.prod([w1[0]] * d)) ** (1.0 / d)
   ipt = np.asarray(interpolation_matrix_1d(pgrid, vgrid)).T
   dmat = np.asarray(differentiation_matrix_1d(vgrid))
   periodic_axes = _periodic_axes(sem)
@@ -532,11 +625,12 @@ def pressure_eig_el(sem, dt: float, time_order: int):
     nv = n * p if periodic else n * p + 1
     mask_a = mask_a[:nv]
     dg = _assemble_1d(ipt @ np.diag(w1) @ dmat, n, periodic)
-    mg = _assemble_1d(half_h * ipt @ np.diag(w1), n, periodic)
+    mg = _assemble_1d(
+        np.einsum('mk,ek->emk', ipt @ np.diag(w1), jacs[a]), n, periodic)
     mass = np.zeros(nv)
     for e in range(n):
       cols = (e * p + np.arange(p + 1)) % nv
-      mass[cols] += half_h * w1
+      mass[cols] += w1 * jacs[a][e]
     b = mask_a / mass
     A = dg @ np.diag(b) @ dg.T
     B = mg @ np.diag(b) @ mg.T

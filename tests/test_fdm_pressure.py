@@ -49,14 +49,57 @@ def test_fdm_inverts_schur_operator(name, ndim, pdims, bcs, n, order):
   np.testing.assert_allclose(back, r, atol=1e-10 * np.abs(r).max())
 
 
-def test_fdm_rejects_deformed_mesh():
+def test_fdm_rejects_nonseparable_mesh():
+  # A warp mixing the axes (x-shift depending on y) breaks separability.
   pm = unit_cube_mesh(4, ndim=2)
   coords = np.asarray(pm.node_coords).copy()
-  coords[:, 0] += 0.1 * coords[:, 0] * (1.0 - coords[:, 0])  # stretch
+  coords[:, 0] += 0.05 * np.sin(np.pi * coords[:, 0]) * coords[:, 1]
   pm = pm.replace(node_coords=coords)
   sem = StokesSEM.create(pm, boundary_conditions=DIRICHLET, order=3)
+  from swirlfem_tpu.ops.fdm_pressure import is_separable_box
   assert not is_uniform_box(sem)
+  assert not is_separable_box(sem)
   assert sem.fdm_pressure_preconditioner(1e-3, 2) is None
+
+
+def _graded_cavity(n=5, order=4, grading=0.4):
+  from swirlfem_tpu.examples.natural_convection import create_cavity
+  sem, st, _ = create_cavity(n_el=n, order=order, grading=grading)
+  return sem, st
+
+
+def test_fdm_exact_on_graded_box():
+  # Per-axis grading keeps the operators exactly separable: the FDM
+  # inverse must still be exact (not just spectrally close) on the
+  # wall-clustered cavity mesh used at high Ra.
+  from swirlfem_tpu.ops.fdm_pressure import is_separable_box
+  sem, _ = _graded_cavity()
+  assert not is_uniform_box(sem)
+  assert is_separable_box(sem)
+  dt, time_order = 1e-3, 2
+
+  solve = build_fdm_pressure_solver(sem, dt, time_order)
+  rng = np.random.default_rng(0)
+  r = rng.standard_normal(sem.pressure.pspace.mesh.num_nodes)
+  r = r - r.mean()
+  back = np.array(sem.E(solve(jnp.asarray(r)), dt=dt, time_order=time_order))
+  back = back - back.mean()
+  np.testing.assert_allclose(back, r, atol=1e-9 * np.abs(r).max())
+
+  from swirlfem_tpu.nse.solver import bdfk_coeffs
+  from swirlfem_tpu.ops.fdm_pressure import build_fdm_helmholtz_solver
+  mu = 3e-3
+  hsolve = build_fdm_helmholtz_solver(sem, time_order)
+  beta_k = float(bdfk_coeffs(time_order)[-1])
+  nv = sem.velocity.mesh.num_nodes
+  raw = rng.standard_normal((nv, 2))
+  mult = sem.velocity.vspace.mesh.exchange(sem.velocity.diag_qqt)
+  u = sem.velocity.exchange(jnp.asarray(raw)) / mult[:, None]
+  u = sem.velocity.interior_mask * u
+  r = (beta_k / dt) * sem.B(u) + mu * sem.A(u)
+  x = jnp.stack([hsolve(r[:, j], mu, dt) for j in range(2)], axis=-1)
+  np.testing.assert_allclose(np.asarray(x), np.asarray(u),
+                             atol=1e-10 * float(jnp.abs(u).max()))
 
 
 def test_cavity_pressure_converges_in_one_iteration():
