@@ -57,16 +57,39 @@ def kolmogorov_forcing(config, x, u):
   return f - config.drag_coeff * u
 
 
-def solve_one_step(us, ps, cus, f, sem, config):
-  """One NSE step with EXTk-extrapolated advection entering the forcing."""
+def solve_one_step(us, ps, cus, f, sem, config, preconds=None):
+  """One NSE step with EXTk-extrapolated advection entering the forcing.
+
+  ``preconds``: optional ``(viscous, pressure)`` preconditioner pair (see
+  `make_solver_preconds`).  On the uniform periodic training box both are
+  exact FDM inverses, so each CG — including the transpose solves of the
+  backward pass through ``custom_linear_solve`` — certifies convergence
+  in 0-2 iterations instead of O(100) unpreconditioned ones.  This is the
+  same fast machinery the datagen DNS loop uses (`niles.datagen`).
+  """
+  vprecond, pprecond = preconds if preconds is not None else (None, None)
   ext = [float(c) for c in navier_stokes.extk_coeffs(k=config.time_order - 1)]
   cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
   f = f + kolmogorov_forcing(config, sem.velocity.mesh.node_coords, us[-1])
   f = -cu + sem.B(f)
   u, p, _ = sem.stokes_one_step(
       list(us), list(ps), f, mu=1.0 / config.reynolds_number, dt=config.dt,
-      alpha=config.alpha, time_order=config.time_order, tol=0.0, atol=1e-7)
+      alpha=config.alpha, time_order=config.time_order, tol=0.0, atol=1e-7,
+      viscous_preconditioner=vprecond, pressure_preconditioner=pprecond)
   return u, p, sem.C(u)
+
+
+def make_solver_preconds(sem, config):
+  """Exact FDM inverses for the training solver's two CG solves.
+
+  Built host-side from the concrete solver (before any device_put): the
+  returned closures capture only numpy eigenbases, which become program
+  constants under jit.  ``(None, None)`` off separable boxes.
+  """
+  vprecond = sem.fdm_viscous_preconditioner(
+      1.0 / config.reynolds_number, config.dt, config.time_order)
+  pprecond = sem.best_pressure_preconditioner(config.dt, config.time_order)
+  return vprecond, pprecond
 
 
 # ---------------------------------------------------------------------------
@@ -155,7 +178,7 @@ def get_energy_spectrum(tke, num_bins: int = 20):
 
 
 def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
-                     sem, to_grid, config, train: bool):
+                     sem, to_grid, config, train: bool, preconds=None):
   """Rollout loss: MSE of predicted trajectory + KL penalty."""
   us = tuple(batch['u'][:, i] for i in range(config.time_order))
   ps = tuple(batch['p'][:, i] for i in range(config.time_order))
@@ -195,7 +218,8 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
     forcing = jax.vmap(sem.velocity.scatter)(forcing)
 
     u, p, cu = jax.vmap(
-        functools.partial(solve_one_step, sem=sem, config=config))(
+        functools.partial(solve_one_step, sem=sem, config=config,
+                          preconds=preconds))(
             us, ps, cus, forcing)
 
     new_aux = {k: (aux[k] + prev_aux[k] if k in ('kl_path', 'kl_q0')
@@ -339,13 +363,14 @@ def create_train_state(rng, model, learning_rate_fn, config):
 
 
 def train_step(state, batch, step_rng, learning_rate_fn, kl_penalty_fn, sem,
-               config):
+               config, preconds=None):
   """One global train step (data-parallel via sharding annotations)."""
   kl_penalty = kl_penalty_fn(state.step)
 
   def loss_fn(params):
     return compute_mse_loss(batch, params, state.apply_fn, step_rng,
-                            kl_penalty, sem, None, config, train=True)
+                            kl_penalty, sem, None, config, train=True,
+                            preconds=preconds)
 
   (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
   metrics = compute_metrics(loss, aux, train=True)
@@ -368,17 +393,18 @@ def _zero_model_apply(variables, inputs, z_rng=None, rngs=None):
   return jnp.zeros_like(inputs), aux
 
 
-def eval_step(state, batch, step_rng, kl_penalty_fn, sem, to_grid, config):
+def eval_step(state, batch, step_rng, kl_penalty_fn, sem, to_grid, config,
+              preconds=None):
   loss, aux = compute_mse_loss(batch, state.params, state.apply_fn, step_rng,
                                kl_penalty_fn(state.step), sem, to_grid,
-                               config, train=False)
+                               config, train=False, preconds=preconds)
   metrics = compute_metrics(loss, aux, train=False)
   if config.get('eval_baseline', False):
     # Zero-forcing rollout on the same windows: the no-model coarse-solver
     # MSE/TKE error, the yardstick any learned correction must beat.
     _, aux0 = compute_mse_loss(batch, state.params, _zero_model_apply,
                                step_rng, 0.0, sem, to_grid, config,
-                               train=False)
+                               train=False, preconds=preconds)
     base = compute_metrics(jnp.zeros(()), aux0, train=False)
     metrics.update({f'mse_baseline{k[3:]}': v for k, v in base.items()
                     if k.startswith('mse')})
@@ -490,6 +516,9 @@ def train_and_evaluate(config, workdir: str):
   sem = navier_stokes.StokesSEM.create(
       unit_cube_mesh(config.element_grid_size, periodic_dims=(0, 1)),
       boundary_conditions={}, order=config.order)
+  # Exact FDM inverses for the in-loop solves, built while sem is still a
+  # concrete host-side pytree (the closures bake numpy eigenbases).
+  preconds = make_solver_preconds(sem, config)
   sem = jax.device_put(sem, replicated)
   to_grid = make_uniform_transfer(sem, config)
 
@@ -497,11 +526,12 @@ def train_and_evaluate(config, workdir: str):
 
   p_train_step = jax.jit(
       functools.partial(train_step, learning_rate_fn=learning_rate_fn,
-                        kl_penalty_fn=kl_penalty_fn, sem=sem, config=config),
+                        kl_penalty_fn=kl_penalty_fn, sem=sem, config=config,
+                        preconds=preconds),
       donate_argnums=0)
   p_eval_step = jax.jit(
       functools.partial(eval_step, kl_penalty_fn=kl_penalty_fn, sem=sem,
-                        to_grid=to_grid, config=config))
+                        to_grid=to_grid, config=config, preconds=preconds))
 
   profile = None
   if config.get('profile_dir'):
