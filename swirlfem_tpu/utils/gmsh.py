@@ -343,8 +343,80 @@ def _parse_ascii(text: str):
   return tags, coords3, blocks, names, entity_phys, periodic_records
 
 
+def _parse_ascii22(text: str):
+  """Legacy ASCII MSH 2.2 parser, normalized to the 4.1 internal layout.
+
+  The reference reads 2.2 files through meshio
+  (``swirl_fem/common/mesh_reader.py:78``); still the most common format
+  in the wild.  Elements carry ``(physical, elementary)`` tag pairs
+  inline, so entity->physical maps are reconstructed per elementary
+  entity; ``$Periodic`` (2.x flavor: optional same-line ``Affine`` row)
+  is normalized to per-record node tables.
+  """
+  sections = _sections(text)
+
+  tok = _Tokens(sections['Nodes'])
+  total = tok.int()
+  tags = np.empty(total, dtype=np.int64)
+  coords3 = np.empty((total, 3), dtype=np.float64)
+  for k in range(total):
+    tags[k] = tok.int()
+    coords3[k] = tok.floats(3)
+
+  tok = _Tokens(sections['Elements'])
+  count = tok.int()
+  grouped: dict[tuple[int, int, int], list[np.ndarray]] = {}
+  entity_phys: dict[tuple[int, int], list[int]] = {}
+  for _ in range(count):
+    _, etype, ntags = tok.int(), tok.int(), tok.int()
+    etags = tok.ints(ntags)
+    if etype not in _ELEM_TYPES:
+      raise NotImplementedError(
+          f'unsupported Gmsh element type {etype}; only points, 2-node '
+          'lines, 4-node quads and 8-node hexahedra are supported')
+    dim, nper = _ELEM_TYPES[etype]
+    row = np.asarray(tok.ints(nper), dtype=np.int64)
+    phys = etags[0] if ntags >= 1 else 0
+    entity = etags[1] if ntags >= 2 else 0
+    grouped.setdefault((dim, entity, etype), []).append(row)
+    if phys:
+      known = entity_phys.setdefault((dim, entity), [])
+      if phys not in known:
+        known.append(phys)
+  blocks = [(dim, entity, etype, np.stack(rows))
+            for (dim, entity, etype), rows in grouped.items()]
+
+  names = {}
+  if 'PhysicalNames' in sections:
+    lines = [l.strip() for l in sections['PhysicalNames'] if l.strip()]
+    for line in lines[1:1 + int(lines[0])]:
+      parts = line.split()
+      names[(int(parts[0]), int(parts[1]))] = ' '.join(parts[2:]).strip('"')
+
+  periodic_records = []
+  if 'Periodic' in sections:
+    tok = _Tokens(sections['Periodic'])
+    num_links = tok.int()
+    for _ in range(num_links):
+      entity_dim, _, _ = tok.ints(3)
+      nxt = tok.take()[0]
+      if nxt == 'Affine':
+        tok.floats(16)
+        count = tok.int()
+      else:
+        count = int(nxt)
+      table = {}
+      for _ in range(count):
+        slave, master = tok.ints(2)
+        table[slave] = master
+      periodic_records.append((entity_dim, table))
+
+  return tags, coords3, blocks, names, entity_phys, periodic_records
+
+
 def read(path, ndim: int) -> Premesh:
-  """Parses an MSH 4.1 file (ASCII or binary) into an order-1 `Premesh`."""
+  """Parses an MSH 4.1 (ASCII/binary) or legacy ASCII 2.2 file into an
+  order-1 `Premesh`."""
   if ndim not in (1, 2, 3):
     raise ValueError(f'invalid ndim {ndim}; expected 1, 2 or 3')
   with open(path, 'rb') as f:
@@ -353,11 +425,17 @@ def read(path, ndim: int) -> Premesh:
     raise ValueError(f'{path} is not a Gmsh MSH file')
   fmt_line = data[len(b'$MeshFormat'):data.index(b'$EndMeshFormat')]
   version = fmt_line.split(b'\n')[1].split()
-  if not version[0].startswith(b'4'):
-    raise NotImplementedError(
-        f'only MSH format 4.x is supported, got {version[0].decode()}')
   file_type = int(version[1])
-  if file_type == 0:
+  if version[0].startswith(b'2'):
+    if file_type != 0:
+      raise NotImplementedError('binary MSH 2.x is not supported; '
+                                're-export as ASCII or as MSH 4.1')
+    parsed = _parse_ascii22(data.decode('utf-8'))
+  elif not version[0].startswith(b'4'):
+    raise NotImplementedError(
+        f'only MSH formats 2.x (ASCII) and 4.x are supported, '
+        f'got {version[0].decode()}')
+  elif file_type == 0:
     parsed = _parse_ascii(data.decode('utf-8'))
   else:
     size_t_bytes = int(version[2])

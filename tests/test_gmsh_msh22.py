@@ -1,0 +1,89 @@
+"""Legacy ASCII MSH 2.2 reading vs the MSH 4.1 twin of the same mesh.
+
+The reference accepts any meshio-supported format, 2.2 included
+(``swirl_fem/common/mesh_reader.py:78``).  Each 4.1 ASCII fixture is
+transcoded to the 2.2 encoding by the spec-following down-converter below
+and both parses must produce identical premeshes.
+"""
+
+import numpy as np
+import pytest
+
+from swirlfem_tpu.utils import gmsh as G
+
+TESTDATA = '/root/reference/swirl_fem/testdata'
+
+
+def to_msh22(text: str) -> str:
+  """Transcodes an ASCII MSH 4.1 file to the legacy 2.2 encoding."""
+  tags, coords3, blocks, names, entity_phys, periodic = G._parse_ascii(text)
+  out = ['$MeshFormat', '2.2 0 8', '$EndMeshFormat']
+  if names:
+    out += ['$PhysicalNames', str(len(names))]
+    for (dim, tag), name in names.items():
+      out.append(f'{dim} {tag} "{name}"')
+    out.append('$EndPhysicalNames')
+  out += ['$Nodes', str(len(tags))]
+  for t, xyz in zip(tags, coords3):
+    out.append(f'{int(t)} {xyz[0]:.16g} {xyz[1]:.16g} {xyz[2]:.16g}')
+  out.append('$EndNodes')
+  rows_total = sum(len(rows) for _, _, _, rows in blocks)
+  out += ['$Elements', str(rows_total)]
+  eid = 1
+  for dim, entity, etype, rows in blocks:
+    phys_list = entity_phys.get((dim, entity), [])
+    phys = phys_list[0] if phys_list else 0
+    for row in rows:
+      nodes = ' '.join(str(int(n)) for n in row)
+      out.append(f'{eid} {etype} 2 {phys} {entity} {nodes}')
+      eid += 1
+  out.append('$EndElements')
+  if periodic:
+    out += ['$Periodic', str(len(periodic))]
+    for k, (dim, table) in enumerate(periodic):
+      out.append(f'{dim} {2 * k + 1} {2 * k + 2}')
+      out.append(str(len(table)))
+      for s, m in table.items():
+        out.append(f'{s} {m}')
+    out.append('$EndPeriodic')
+  return '\n'.join(out) + '\n'
+
+
+@pytest.mark.parametrize('fname,ndim', [
+    ('kovasznay.msh', 2),
+    ('cube.msh', 3),
+    ('periodic_cube.msh', 3),
+])
+def test_msh22_matches_msh41(tmp_path, fname, ndim):
+  text = open(f'{TESTDATA}/{fname}').read()
+  legacy = to_msh22(text)
+  p22 = tmp_path / 'legacy.msh'
+  p22.write_text(legacy)
+  pm41 = G.read(f'{TESTDATA}/{fname}', ndim=ndim)
+  pm22 = G.read(str(p22), ndim=ndim)
+
+  np.testing.assert_array_equal(pm22.node_coords, pm41.node_coords)
+  np.testing.assert_array_equal(pm22.elements, pm41.elements)
+  assert set(pm22.physical_groups) == set(pm41.physical_groups)
+  for name in pm41.physical_groups:
+    assert (set(np.unique(pm22.physical_groups[name]).tolist())
+            == set(np.unique(pm41.physical_groups[name]).tolist()))
+  if pm41.periodic_links is None:
+    assert pm22.periodic_links is None
+  else:
+    np.testing.assert_array_equal(pm22.periodic_links, pm41.periodic_links)
+
+
+def test_msh22_binary_rejected(tmp_path):
+  p = tmp_path / 'bin22.msh'
+  p.write_bytes(b'$MeshFormat\n2.2 1 8\n$EndMeshFormat\n')
+  with pytest.raises(NotImplementedError, match='binary MSH 2.x'):
+    G.read(str(p), ndim=2)
+
+
+def test_msh22_finalizes(tmp_path):
+  text = open(f'{TESTDATA}/periodic_cube.msh').read()
+  p22 = tmp_path / 'legacy.msh'
+  p22.write_text(to_msh22(text))
+  mesh = G.read(str(p22), ndim=3).finalize()
+  assert mesh.num_nodes > 0
