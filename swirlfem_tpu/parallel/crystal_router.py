@@ -50,6 +50,30 @@ def _counts_and_order(n, target, num_devices):
   return counts, order
 
 
+def ragged_offsets(count_matrix, me):
+  """Offset/size vectors for ``lax.ragged_all_to_all`` on device ``me``.
+
+  Pure function of the all-gathered ``(P, P)`` count matrix
+  (``count_matrix[src, dst]``), factored out so the ragged plan is
+  unit-testable on backends without the collective (XLA:CPU): the
+  placement it induces — chunk from src s lands after chunks from lower
+  srcs, within-chunk order preserved — must equal the dense fallback's
+  compaction order (tests/test_comm.py).
+
+  Returns ``(input_offsets, send_sizes, output_offsets, recv_sizes)``.
+  """
+  num = count_matrix.shape[0]
+  counts = count_matrix[me].astype(jnp.int32)
+  recv_sizes = count_matrix[:, me].astype(jnp.int32)
+  input_offsets = jnp.concatenate(
+      [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
+  # Where my chunk lands in dst's buffer: after chunks from lower srcs.
+  lower_src = jnp.arange(num)[:, None] < me
+  output_offsets = jnp.sum(jnp.where(lower_src, count_matrix, 0),
+                           axis=0).astype(jnp.int32)
+  return input_offsets, counts, output_offsets, recv_sizes
+
+
 def crystal_router_spmd(n, data, target, *, axis_name, out_capacity,
                         return_source=True, implementation=None):
   """Sparse all-to-all inside an existing shard_map context.
@@ -79,19 +103,11 @@ def crystal_router_spmd(n, data, target, *, axis_name, out_capacity,
 
   # count_matrix[src, dst] on every device.
   count_matrix = lax.all_gather(counts, axis_name)
-  recv_sizes = count_matrix[:, me].astype(jnp.int32)  # from each src
+  input_offsets, send_sizes, output_offsets, recv_sizes = ragged_offsets(
+      count_matrix, me)
   n_out = jnp.sum(recv_sizes)
 
-  input_offsets = jnp.concatenate(
-      [jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)])
-  send_sizes = counts.astype(jnp.int32)
-
   if implementation == 'ragged':
-    # Where my chunk lands in dst's buffer: after chunks from lower srcs.
-    lower_src = jnp.arange(num)[:, None] < me
-    output_offsets = jnp.sum(jnp.where(lower_src, count_matrix, 0),
-                             axis=0).astype(jnp.int32)
-
     def route(leaf):
       sorted_leaf = leaf[order]
       out = jnp.zeros((out_capacity,) + leaf.shape[1:], dtype=leaf.dtype)

@@ -147,6 +147,61 @@ def test_crystal_router_pytree_and_growth(dmesh):
       list(range(P)) * cap)
 
 
+@pytest.mark.parametrize('seed', range(12))
+def test_ragged_offset_plan_matches_dense_placement(seed):
+  """The TPU ragged_all_to_all plan, simulated, equals the dense path.
+
+  XLA:CPU has no ragged-all-to-all, so the multi-participant ragged path
+  cannot execute on the virtual test mesh.  Instead `ragged_offsets` is a
+  pure function of the all-gathered count matrix; simulating the
+  collective's copy semantics with its outputs must place every chunk
+  exactly where the dense fallback's compaction (src-major, within-chunk
+  order preserved) places it — for random device counts and count
+  matrices, including empty rows/columns and zero-traffic devices.
+  """
+  from swirlfem_tpu.parallel.crystal_router import ragged_offsets
+
+  rng = np.random.default_rng(seed)
+  num = int(rng.integers(2, 9))
+  cm = rng.integers(0, 5, (num, num)).astype(np.int32)
+  if seed % 3 == 0:
+    cm[rng.integers(num)] = 0      # a device that sends nothing
+  if seed % 4 == 0:
+    cm[:, rng.integers(num)] = 0   # a device that receives nothing
+  out_capacity = int(cm.sum(axis=0).max()) + 1
+
+  # Per-src send buffers, sorted by destination (as the router sorts):
+  # entry = (src, dst, k) encoded uniquely.
+  sends = {}
+  for s in range(num):
+    rows = []
+    for d in range(num):
+      for k in range(cm[s, d]):
+        rows.append(1000 * s + 10 * d + k)
+    sends[s] = np.asarray(rows, dtype=np.int64)
+
+  # Simulate ragged_all_to_all: each src copies its dst-chunk
+  # send[src][io[dst] : io[dst]+ss[dst]] into
+  # out[dst][oo[dst] : oo[dst]+ss[dst]].
+  out = {d: np.zeros(out_capacity, dtype=np.int64) for d in range(num)}
+  for s in range(num):
+    io, ss, oo, rs = (np.asarray(a) for a in ragged_offsets(
+        jnp.asarray(cm), s))
+    np.testing.assert_array_equal(rs, cm[:, s])
+    np.testing.assert_array_equal(ss, cm[s])
+    for d in range(num):
+      chunk = sends[s][io[d]:io[d] + ss[d]]
+      out[d][oo[d]:oo[d] + ss[d]] = chunk
+
+  # Dense-path placement oracle: src-major concatenation, order preserved.
+  for d in range(num):
+    expected = np.concatenate(
+        [sends[s][np.asarray(ragged_offsets(jnp.asarray(cm), s)[0])[d]:]
+         [:cm[s, d]] for s in range(num)] or [np.zeros(0, np.int64)])
+    n_d = int(cm[:, d].sum())
+    np.testing.assert_array_equal(out[d][:n_d], expected)
+
+
 @pytest.mark.parametrize('op', [jnp.add, jnp.multiply, jnp.maximum,
                                 jnp.minimum])
 def test_tree_pscan_matches_all_gather(dmesh, op):
