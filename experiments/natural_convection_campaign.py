@@ -67,6 +67,7 @@ def main():
         'ra': ra, **cfg, 'steps': r['steps'], 'dt': r['dt'],
         'wall_s': round(wall, 1),
         'ms_per_step': round(1e3 * wall / r['steps'], 3),
+        'ms_per_step_steady': round(r['ms_per_step_steady'], 3),
         'nu_volume': r['nu_volume'], 'nu_hot': r['nu_hot'],
         'nu_cold': r['nu_cold'], 'u_max': r['u_max'],
         'steady_rate': r['steady_rate'], 'nu_benchmark': nu_bench,

@@ -217,22 +217,32 @@ def run_cavity(ra: float, pr: float = 0.71, n_el: int = 8, order: int = 6,
   cus = (sem.C(u0), sem.C(u0))
   steps = 0
   rate_tol = steady_tol * max(1.0, float(np.sqrt(ra)))
+  dispatch_walls = []  # first entry includes the jit compile
+  import time as _time
   while steps < max_steps:
     th_prev = thetas[-1]
+    t0 = _time.perf_counter()
     us, ps, thetas, cus = advance(us, ps, thetas, cus, steps_per_dispatch)
-    steps += steps_per_dispatch
     rate = float(jnp.abs(thetas[-1] - th_prev).max()) / (
-        steps_per_dispatch * dt)
+        steps_per_dispatch * dt)  # forces sync: wall covers the dispatch
+    dispatch_walls.append(_time.perf_counter() - t0)
+    steps += steps_per_dispatch
     if verbose:
       print(f'step {steps}: d(theta)/dt {rate:.3e} '
             f'(target {rate_tol:.1e})', flush=True)
     if rate < rate_tol:
       break
+  # Steady-state per-step cost: exclude the compile-bearing first dispatch.
+  if len(dispatch_walls) > 1:
+    ms_per_step_steady = (1e3 * sum(dispatch_walls[1:])
+                          / (steps_per_dispatch * (len(dispatch_walls) - 1)))
+  else:
+    ms_per_step_steady = 1e3 * dispatch_walls[0] / steps_per_dispatch
 
   u, theta = us[-1], thetas[-1]
   return {
       'u': u, 'theta': theta, 'p': ps[-1], 'dt': dt, 'steps': steps,
-      'steady_rate': rate,
+      'steady_rate': rate, 'ms_per_step_steady': ms_per_step_steady,
       'nu_volume': float(nusselt_volume(sem, u, theta)),
       'nu_hot': float(nusselt_wall(sem, st, u, theta, 'xlo')),
       'nu_cold': float(-nusselt_wall(sem, st, u, theta, 'xhi')),
