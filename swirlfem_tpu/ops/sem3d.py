@@ -139,6 +139,13 @@ class Sem3DOps:
   # fields instead of XLA's materialized einsum intermediates — measured
   # 3.3x on a v5e at order 7 (9.4 -> 31 GDOF/s, 61% of HBM peak).
   use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
+  # Congruent axis-aligned elements: G_aa(q, e) = c_aa * w_i w_j w_k for
+  # every element with zero cross factors (detected in f64 at build).
+  # The fused kernel then streams NO factor fields — in+out traffic only
+  # (pallas_stiffness3d.stiffness3d_el_pallas_uniform).
+  c_uniform: tuple | None = flax.struct.field(pytree_node=False,
+                                              default=None)
+  w1: object = flax.struct.field(pytree_node=False, default=None)
 
   # -- 1D contractions (axes 0..2 = xi, eta, zeta; E last) -----------------
 
@@ -174,6 +181,11 @@ class Sem3DOps:
   def stiffness_el(self, u: jax.Array) -> jax.Array:
     """A_local on one component, (k, k, k, E) -> (k, k, k, E)."""
     if self.use_pallas:
+      if self.c_uniform is not None:
+        from swirlfem_tpu.ops.pallas_stiffness3d import (
+            stiffness3d_el_pallas_uniform)
+        return stiffness3d_el_pallas_uniform(
+            (u,), self.c_uniform, self.w1, self.dmat)[0]
       from swirlfem_tpu.ops.pallas_stiffness3d import stiffness3d_el_pallas
       return stiffness3d_el_pallas((u,), self._gs(), self.dmat)[0]
     d = self._m(self.dmat)
@@ -194,6 +206,11 @@ class Sem3DOps:
     Pallas kernel in `ops.pallas_stiffness`.)
     """
     if self.use_pallas:
+      if self.c_uniform is not None:
+        from swirlfem_tpu.ops.pallas_stiffness3d import (
+            stiffness3d_el_pallas_uniform)
+        return stiffness3d_el_pallas_uniform(us, self.c_uniform, self.w1,
+                                             self.dmat)
       from swirlfem_tpu.ops.pallas_stiffness3d import stiffness3d_el_pallas
       return stiffness3d_el_pallas(us, self._gs(), self.dmat)
     if len(us) == 1:
@@ -315,12 +332,42 @@ def build_sem3d_ops(velocity, pressure) -> Sem3DOps:
   vgrid = vspace.mesh.gridpoints_1d
   pgrid = pressure.pspace.mesh.gridpoints_1d
   ogrid = ospace.quadrature.nodes
+
+  g_diag = [gfield(a, a) for a in range(3)]
+  g_off = [gfield(0, 1), gfield(0, 2), gfield(1, 2)]
+
+  # Congruent-elements detection (same representation-noise rationale as
+  # `sem2d.build_sem2d_ops`): an axis-aligned box of identical elements
+  # has G_aa = c_aa * w(q) with zero cross factors; f32-stored
+  # coordinates perturb the factors by ~eps/h relative, so agreement
+  # within rel_tol is roundoff, not warp/grading.
+  from swirlfem_tpu.core.quadrature import Quadrature1D
+  w1 = np.asarray(Quadrature1D.create_from_nodes_1d(vgrid).weights,
+                  dtype=np.float64)
+  k = w1.shape[0]
+  wq3 = (w1[:, None, None] * w1[None, :, None] * w1[None, None, :])[..., None]
+  coord_eps = float(jnp.finfo(vspace.mesh.node_coords.dtype).eps)
+  rel_tol = 1e-4 if coord_eps > 1e-10 else 1e-9
+  c_uniform = None
+  gscale = max(float(np.abs(np.asarray(g)).max()) for g in g_diag)
+  if all(float(np.abs(np.asarray(g)).max()) <= rel_tol * gscale
+         for g in g_off):
+    cs = []
+    for g in g_diag:
+      c_field = np.asarray(g, dtype=np.float64) / wq3
+      c = float(c_field.mean())
+      if float(np.abs(c_field - c).max()) > rel_tol * abs(c):
+        break
+      cs.append(c)
+    if len(cs) == 3:
+      c_uniform = tuple(cs)
+
   return Sem3DOps(
-      g11=gfield(0, 0), g12=gfield(0, 1), g13=gfield(0, 2),
-      g22=gfield(1, 1), g23=gfield(1, 2), g33=gfield(2, 2),
+      g11=g_diag[0], g12=g_off[0], g13=g_off[1],
+      g22=g_diag[1], g23=g_off[2], g33=g_diag[2],
       wmass=wmass, kinv=kinv, wmass_o=wmass_o, kinv_o=kinv_o,
       dmat=differentiation_matrix_1d(vgrid),
       interp_p=interpolation_matrix_1d(pgrid, vgrid),
       interp_o=interpolation_matrix_1d(vgrid, ogrid),
       interp_o_grad=interpolation_grad_matrix_1d(vgrid, ogrid),
-      vinfo=vinfo, pinfo=pinfo)
+      vinfo=vinfo, pinfo=pinfo, c_uniform=c_uniform, w1=w1)

@@ -220,6 +220,39 @@ def test_pallas_stiffness3d_matches_einsum(order):
     np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-11)
 
 
+def test_pallas_stiffness3d_uniform_matches_einsum():
+  """Congruent-elements fused 3D kernel (no factor streams) vs einsum."""
+  from swirlfem_tpu.ops.pallas_stiffness3d import (
+      stiffness3d_el_pallas_uniform)
+  sem = StokesSEM.create(unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2)),
+                         {}, order=3)
+  ops = sem.fast_ops
+  assert ops.c_uniform is not None
+  rng = np.random.default_rng(3)
+  k = 4
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, 8)))
+             for _ in range(3))
+  ref = ops.stiffness_el_multi(us)
+  got = stiffness3d_el_pallas_uniform(us, ops.c_uniform, ops.w1, ops.dmat,
+                                      interpret=True)
+  for g, r in zip(got, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-11)
+  got_tiled = stiffness3d_el_pallas_uniform(us, ops.c_uniform, ops.w1,
+                                            ops.dmat, tile_e=4,
+                                            interpret=True)
+  for g, r in zip(got_tiled, ref):
+    np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-11)
+
+
+def test_sem3d_uniform_detection_rejects_warped():
+  """A non-axis-aligned warp must disable the congruent fast path."""
+  premesh = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
+  coords = np.asarray(premesh.node_coords).copy()
+  coords[:, 0] += 0.05 * coords[:, 1]  # shear: off-diagonal metric
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=3)
+  assert sem.fast_ops.c_uniform is None
+
+
 def test_exchange2d_pallas_interpret():
   from swirlfem_tpu.core.structured import StructuredInfo
   from swirlfem_tpu.ops import sem2d
