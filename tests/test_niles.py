@@ -312,6 +312,28 @@ def test_train_step_end_to_end(cfg, train_setup):
   assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
 
 
+def test_train_step_with_fdm_preconds_matches(cfg, train_setup):
+  """The exact-FDM-preconditioned train step (the path train_and_evaluate
+  wires up) matches the unpreconditioned one: preconditioners change the
+  CG path, not its limit, and gradients flow through
+  ``custom_linear_solve`` either way."""
+  state, step, batch = (train_setup['state'], train_setup['step'],
+                        train_setup['batch'])
+  sem, kl_fn, lr_fn = (train_setup['sem'], train_setup['kl_fn'],
+                       train_setup['lr_fn'])
+  preconds = niles_train.make_solver_preconds(sem, cfg)
+  assert preconds[0] is not None and preconds[1] is not None
+  step_pc = jax.jit(functools.partial(
+      niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
+      sem=sem, config=cfg, preconds=preconds))
+  _, m0 = step(state, batch, jax.random.PRNGKey(3))
+  _, m1 = step_pc(state, batch, jax.random.PRNGKey(3))
+  np.testing.assert_allclose(float(m1['mse']), float(m0['mse']),
+                             rtol=1e-4)
+  np.testing.assert_allclose(float(m1['loss']), float(m0['loss']),
+                             rtol=1e-4)
+
+
 def test_eval_baseline_metrics(cfg, train_setup):
   """config.eval_baseline reports the zero-forcing coarse-solver rollout
   MSE next to the model's — and it must be independent of the params."""
