@@ -349,7 +349,8 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
   # stiffness_el_multi stacks components, so the six factor fields stream
   # from HBM once per apply — except on the congruent uniform box, where
   # the Pallas kernel streams no factor fields at all.
-  uniform = on_tpu and ops.c_uniform is not None
+  uniform = (on_tpu and ops.c_uniform is not None
+             and getattr(ops, 'use_uniform_kernel', False))
   out['kernel'] = ('fused congruent (no factor streams)' if uniform
                    else 'fused general (6 factor fields)')
   flops, nbytes = _stiffness_counts(3, order, n_el ** 3, 3,

@@ -159,8 +159,10 @@ def stiffness3d_el_pallas_uniform(us, c_uniform, w1, dmat, *,
   c = len(us)
   k = us[0].shape[0]
   num_e = us[0].shape[3]
-  # VMEM budget: 2C double-buffered (k^3, tile) blocks.
-  while tile_e > 128 and 2 * c * (k ** 3) * tile_e * 4 > 96 * 1024 * 1024 // 4:
+  # VMEM budget: 2C double-buffered (k^3, tile) blocks must leave ~4 MiB
+  # of the 16 MiB scoped limit for the kernel's derivative/flux
+  # temporaries (measured: tile 512 at C=3, k=8 overflows by 0.6 MiB).
+  while tile_e > 128 and 4 * c * (k ** 3) * tile_e * 4 >= 12 * 1024 * 1024:
     tile_e //= 2
   tile_e = _pick_tile(num_e, tile_e)
   d = jnp.asarray(dmat, dtype=us[0].dtype)

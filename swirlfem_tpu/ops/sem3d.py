@@ -141,11 +141,18 @@ class Sem3DOps:
   use_pallas: bool = flax.struct.field(pytree_node=False, default=False)
   # Congruent axis-aligned elements: G_aa(q, e) = c_aa * w_i w_j w_k for
   # every element with zero cross factors (detected in f64 at build).
-  # The fused kernel then streams NO factor fields — in+out traffic only
-  # (pallas_stiffness3d.stiffness3d_el_pallas_uniform).
+  # The congruent kernel (pallas_stiffness3d.stiffness3d_el_pallas_uniform)
+  # streams NO factor fields — in+out traffic only — but its current
+  # flux stage uses (k, 1)-broadcast sublane multiplies that Mosaic
+  # lowers ~60x slower than the general kernel's vector ops (measured
+  # 14 ms vs 0.23 ms per 3-component apply at 16^3 order 7 on a v5e),
+  # so dispatch is OPT-IN via `use_uniform_kernel` until the weight
+  # multiplies are restructured as (k, k) MXU matmuls.
   c_uniform: tuple | None = flax.struct.field(pytree_node=False,
                                               default=None)
   w1: object = flax.struct.field(pytree_node=False, default=None)
+  use_uniform_kernel: bool = flax.struct.field(pytree_node=False,
+                                               default=False)
 
   # -- 1D contractions (axes 0..2 = xi, eta, zeta; E last) -----------------
 
@@ -181,7 +188,7 @@ class Sem3DOps:
   def stiffness_el(self, u: jax.Array) -> jax.Array:
     """A_local on one component, (k, k, k, E) -> (k, k, k, E)."""
     if self.use_pallas:
-      if self.c_uniform is not None:
+      if self.c_uniform is not None and self.use_uniform_kernel:
         from swirlfem_tpu.ops.pallas_stiffness3d import (
             stiffness3d_el_pallas_uniform)
         return stiffness3d_el_pallas_uniform(
@@ -206,7 +213,7 @@ class Sem3DOps:
     Pallas kernel in `ops.pallas_stiffness`.)
     """
     if self.use_pallas:
-      if self.c_uniform is not None:
+      if self.c_uniform is not None and self.use_uniform_kernel:
         from swirlfem_tpu.ops.pallas_stiffness3d import (
             stiffness3d_el_pallas_uniform)
         return stiffness3d_el_pallas_uniform(us, self.c_uniform, self.w1,
@@ -347,7 +354,12 @@ def build_sem3d_ops(velocity, pressure) -> Sem3DOps:
   k = w1.shape[0]
   wq3 = (w1[:, None, None] * w1[None, :, None] * w1[None, None, :])[..., None]
   coord_eps = float(jnp.finfo(vspace.mesh.node_coords.dtype).eps)
-  rel_tol = 1e-4 if coord_eps > 1e-10 else 1e-9
+  # f32 tolerance: the invjac pipeline noise is ~eps/h relative, which at
+  # 16^3 elements order 7 measures ~1.2e-4 — genuine grading/warp shows
+  # at >1e-2, so 1e-3 cleanly separates representation noise from
+  # geometry (and the mean scalars are more accurate than any noisy
+  # per-point value).
+  rel_tol = 1e-3 if coord_eps > 1e-10 else 1e-9
   c_uniform = None
   gscale = max(float(np.abs(np.asarray(g)).max()) for g in g_diag)
   if all(float(np.abs(np.asarray(g)).max()) <= rel_tol * gscale
