@@ -142,17 +142,17 @@ class Sem3DOps:
   # Congruent axis-aligned elements: G_aa(q, e) = c_aa * w_i w_j w_k for
   # every element with zero cross factors (detected in f64 at build).
   # The congruent kernel (pallas_stiffness3d.stiffness3d_el_pallas_uniform)
-  # streams NO factor fields — in+out traffic only — but its current
-  # flux stage uses (k, 1)-broadcast sublane multiplies that Mosaic
-  # lowers ~60x slower than the general kernel's vector ops (measured
-  # 14 ms vs 0.23 ms per 3-component apply at 16^3 order 7 on a v5e),
-  # so dispatch is OPT-IN via `use_uniform_kernel` until the weight
-  # multiplies are restructured as (k, k) MXU matmuls.
+  # streams NO factor fields (in+out traffic only) and runs every zeta
+  # contraction — At = D^T W D and the W scaling both — as (k, k) MXU
+  # matmuls with static python-float coefficients: measured 32.9 vs 26.2
+  # GDOF/s for the general fused kernel at 16^3 order 7 on a v5e (an
+  # earlier variant using (k, 1)-broadcast sublane weight multiplies
+  # lowered ~60x SLOWER under Mosaic — keep weight stages as matmuls).
   c_uniform: tuple | None = flax.struct.field(pytree_node=False,
                                               default=None)
   w1: object = flax.struct.field(pytree_node=False, default=None)
   use_uniform_kernel: bool = flax.struct.field(pytree_node=False,
-                                               default=False)
+                                               default=True)
 
   # -- 1D contractions (axes 0..2 = xi, eta, zeta; E last) -----------------
 
