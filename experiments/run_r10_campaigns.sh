@@ -86,6 +86,9 @@ clean_partial_ref20k() {
     rm -rf "$d"
   fi
 }
+# Completed this round (experiments/niles_convergence_ref20k_result.json:
+# train MSE -49.4%, eval beats the zero-forcing baseline) — skip on re-entry.
+if ! valid_json experiments/niles_convergence_ref20k_result.json; then
 for attempt in 1 2; do
   clean_partial_ref20k
   echo "=== niles_ref20k attempt $attempt: $(date -u +%H:%M:%S) ===" \
@@ -98,9 +101,10 @@ for attempt in 1 2; do
   [ $rc -eq 0 ] && break
   probe || sleep 120
 done
+fi
 
-run_job tgv_32_7 10000 \
+valid_json experiments/tgv_32_7.json || run_job tgv_32_7 10000 \
   python -u experiments/taylor_green_3d_campaign.py --cases 32:7 \
-    --out experiments/tgv_32_7.json
+    --t_end 10.5 --out experiments/tgv_32_7.json
 
 echo "chain done: $(date -u)" >> "$LOGDIR/chain_status.log"
