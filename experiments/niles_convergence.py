@@ -188,6 +188,11 @@ def main():
                        'a short run spends its gradient budget on MSE')
   ap.add_argument('--lr', type=float, default=None,
                   help='override config.learning_rate')
+  ap.add_argument('--seed', type=int, default=0,
+                  help='PRNG seed (init/dropout/latent sampling)')
+  ap.add_argument('--spectrum_weight', type=float, default=0.0,
+                  help='weight on the training-time log-spectrum loss '
+                       '(config.spectrum_loss_weight)')
   ap.add_argument('--suffix', default='',
                   help='suffix for the result filename')
   args = ap.parse_args()
@@ -226,6 +231,13 @@ def main():
     cfg.kl_zero_epochs = 10**6
   if args.lr is not None:
     cfg.learning_rate = args.lr
+  cfg.seed = args.seed
+  cfg.spectrum_loss_weight = args.spectrum_weight
+  if args.seed or args.spectrum_weight:
+    # Seed/ablation runs each need their own checkpoint dir — restoring a
+    # previous variant's checkpoint would silently skip training.
+    args.workdir = (f'{args.workdir}_s{args.seed}'
+                    f'_w{args.spectrum_weight:g}{args.suffix}')
   frozen = ml_collections.FrozenConfigDict(cfg)
 
   # DNS -> LES restriction on load.
@@ -277,6 +289,8 @@ def main():
                          ' dt 2e-4'),
                  'kl_zero': args.kl_zero,
                  'learning_rate': float(frozen.learning_rate),
+                 'seed': args.seed,
+                 'spectrum_loss_weight': args.spectrum_weight,
                  'platform': jax.devices()[0].platform},
       'dns_seconds': round(t_dns, 1),
       'train_seconds': round(t_train, 1),
@@ -292,6 +306,17 @@ def main():
     result['final_eval_mse'] = last['eval_mse']
     result['baseline_eval_mse'] = last['eval_mse_baseline']
     result['vs_baseline'] = 1 - last['eval_mse'] / last['eval_mse_baseline']
+    for k in ('tke_err', 'tke_err@8', 'tke_err@16'):
+      bk = k.replace('tke_err', 'tke_err_baseline', 1)
+      if f'eval_{k}' in last:
+        result[f'final_eval_{k}'] = last[f'eval_{k}']
+      if f'eval_{bk}' in last:
+        result[f'baseline_eval_{k}'] = last[f'eval_{bk}']
+    # Final binned log-spectra (pred / DNS target / zero-forcing baseline).
+    for name in ('logspec_pred', 'logspec_target', 'logspec_baseline'):
+      keys = sorted(k for k in last if k.startswith(f'eval_{name}_'))
+      if keys:
+        result[f'final_{name}'] = [round(last[k], 5) for k in keys]
   stem = {None: ('niles_convergence_tpu_result' if args.tpu
                  else 'niles_convergence_result'),
           'ref20k': 'niles_convergence_ref20k_result'}[args.regime]

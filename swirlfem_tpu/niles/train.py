@@ -172,6 +172,22 @@ def get_energy_spectrum(tke, num_bins: int = 20):
   return bins[1:-1], jnp.stack(spectrum)
 
 
+def log_spectrum_error(pred_tke, target_tke):
+  """Sum over radial bins of squared log-spectrum mismatch (per sample).
+
+  The scalar the reference's eval tracks as ``tke_err`` (reference
+  train.py:62-93); also differentiable, so it doubles as the training-time
+  spectrum penalty (``config.spectrum_loss_weight``) that pushes the learned
+  closure to match the DNS energy distribution across scales instead of
+  buying MSE with over-dissipation.
+  """
+  _, pred_spec = jax.vmap(get_energy_spectrum)(pred_tke)
+  _, target_spec = jax.vmap(get_energy_spectrum)(target_tke)
+  eps = 1e-20  # spectra are sums of |u_hat|^2 >= 0; guard empty bins
+  return jnp.square(jnp.log(pred_spec + eps)
+                    - jnp.log(target_spec + eps)).sum(-1)
+
+
 # ---------------------------------------------------------------------------
 # Loss
 # ---------------------------------------------------------------------------
@@ -253,16 +269,7 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
   kl = kl_q0 + kl_path
   loss = mse.sum() + kl_penalty * kl
 
-  if not train and to_grid is not None:
-    tke_fn = jax.vmap(jax.vmap(functools.partial(get_tke, to_grid=to_grid)))
-    pred_tke = tke_fn(preds)[:, num_solver_steps // 2:].mean(axis=1)
-    target_tke = tke_fn(targets)[:, num_solver_steps // 2:].mean(axis=1)
-    _, pred_spec = jax.vmap(get_energy_spectrum)(pred_tke)
-    _, target_spec = jax.vmap(get_energy_spectrum)(target_tke)
-    tke_err = jnp.square(jnp.log(pred_spec) - jnp.log(target_spec)).sum(-1)
-  else:
-    tke_err = zeros
-
+  spectrum_weight = config.get('spectrum_loss_weight', 0.0)
   out_aux = {
       'kl_q0': kl_q0,
       'kl_path': kl_path,
@@ -271,8 +278,45 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
       'z0_means': jnp.abs(aux['z0_means']).mean(),
       'z1_means': jnp.abs(aux['z1_means']).mean(),
       'z1_stds': jnp.abs(aux['z1_stds']).mean(),
-      'tke_err': tke_err.mean(),
   }
+
+  if train and to_grid is not None and spectrum_weight > 0:
+    # Spectrum-aware loss (same statistic as the eval tke_err, on the
+    # training rollout): mean-TKE over the rollout's second half, radially
+    # binned, squared log mismatch.  Differentiates through the solver
+    # rollout and the GLL->uniform transfer.
+    tke_fn = jax.vmap(jax.vmap(functools.partial(get_tke, to_grid=to_grid)))
+    pred_tke = tke_fn(preds)[:, num_solver_steps // 2:].mean(axis=1)
+    target_tke = tke_fn(targets)[:, num_solver_steps // 2:].mean(axis=1)
+    spec_err = log_spectrum_error(pred_tke, target_tke).mean()
+    loss = loss + spectrum_weight * spec_err
+    out_aux['spec_err'] = spec_err
+
+  if not train and to_grid is not None:
+    tke_fn = jax.vmap(jax.vmap(functools.partial(get_tke, to_grid=to_grid)))
+    pred_tke_all = tke_fn(preds)
+    target_tke_all = tke_fn(targets)
+    tke_err = log_spectrum_error(
+        pred_tke_all[:, num_solver_steps // 2:].mean(axis=1),
+        target_tke_all[:, num_solver_steps // 2:].mean(axis=1))
+    out_aux['tke_err'] = tke_err.mean()
+    # Horizon-resolved spectrum fidelity: the single-step TKE field at
+    # rollout steps 8 and 16 (reference eval horizons).
+    for horizon in (8, 16):
+      if num_solver_steps >= horizon:
+        out_aux[f'tke_err@{horizon}'] = log_spectrum_error(
+            pred_tke_all[:, horizon - 1],
+            target_tke_all[:, horizon - 1]).mean()
+    # Batch-mean log spectra (second-half mean TKE) for artifact plots.
+    eps = 1e-20
+    _, pred_spec = jax.vmap(get_energy_spectrum)(
+        pred_tke_all[:, num_solver_steps // 2:].mean(axis=1))
+    _, target_spec = jax.vmap(get_energy_spectrum)(
+        target_tke_all[:, num_solver_steps // 2:].mean(axis=1))
+    out_aux['logspec_pred'] = jnp.log(pred_spec + eps).mean(axis=0)
+    out_aux['logspec_target'] = jnp.log(target_spec + eps).mean(axis=0)
+  elif not train:
+    out_aux['tke_err'] = zeros.mean()
   return loss, out_aux
 
 
@@ -287,8 +331,17 @@ def compute_metrics(loss, aux, train: bool):
       'z1_means': aux['z1_means'],
       'z1_stds': aux['z1_stds'],
   }
+  if train and 'spec_err' in aux:
+    metrics['spec_err'] = aux['spec_err']
   if not train:
     metrics['tke_err'] = aux['tke_err']
+    for horizon in (8, 16):
+      if f'tke_err@{horizon}' in aux:
+        metrics[f'tke_err@{horizon}'] = aux[f'tke_err@{horizon}']
+    for name in ('logspec_pred', 'logspec_target'):
+      if name in aux:
+        for i in range(aux[name].shape[0]):
+          metrics[f'{name}_{i:02d}'] = aux[name][i]
     mse = aux['mse']
     metrics['mse@1to8'] = mse[:8].mean()
     for horizon in (8, 16, 32, 64):
@@ -363,13 +416,13 @@ def create_train_state(rng, model, learning_rate_fn, config):
 
 
 def train_step(state, batch, step_rng, learning_rate_fn, kl_penalty_fn, sem,
-               config, preconds=None):
+               config, preconds=None, to_grid=None):
   """One global train step (data-parallel via sharding annotations)."""
   kl_penalty = kl_penalty_fn(state.step)
 
   def loss_fn(params):
     return compute_mse_loss(batch, params, state.apply_fn, step_rng,
-                            kl_penalty, sem, None, config, train=True,
+                            kl_penalty, sem, to_grid, config, train=True,
                             preconds=preconds)
 
   (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -408,7 +461,11 @@ def eval_step(state, batch, step_rng, kl_penalty_fn, sem, to_grid, config,
     base = compute_metrics(jnp.zeros(()), aux0, train=False)
     metrics.update({f'mse_baseline{k[3:]}': v for k, v in base.items()
                     if k.startswith('mse')})
-    metrics['tke_err_baseline'] = base['tke_err']
+    for k, v in base.items():
+      if k.startswith('tke_err'):
+        metrics[k.replace('tke_err', 'tke_err_baseline', 1)] = v
+      elif k.startswith('logspec_pred'):
+        metrics[k.replace('logspec_pred', 'logspec_baseline', 1)] = v
   return metrics
 
 
@@ -471,7 +528,7 @@ def train_and_evaluate(config, workdir: str):
       k: v for k, v in config.items()
       if isinstance(v, (int, float, str, bool))})
 
-  rng = jax.random.PRNGKey(0)
+  rng = jax.random.PRNGKey(config.get('seed', 0))
   if config.batch_size % jax.device_count():
     raise ValueError(
         f'batch size {config.batch_size} must be divisible by the device '
@@ -524,10 +581,12 @@ def train_and_evaluate(config, workdir: str):
 
   train_rng, eval_rng = jax.random.split(rng)
 
+  train_to_grid = (
+      to_grid if config.get('spectrum_loss_weight', 0.0) > 0 else None)
   p_train_step = jax.jit(
       functools.partial(train_step, learning_rate_fn=learning_rate_fn,
                         kl_penalty_fn=kl_penalty_fn, sem=sem, config=config,
-                        preconds=preconds),
+                        preconds=preconds, to_grid=train_to_grid),
       donate_argnums=0)
   p_eval_step = jax.jit(
       functools.partial(eval_step, kl_penalty_fn=kl_penalty_fn, sem=sem,

@@ -334,6 +334,49 @@ def test_train_step_with_fdm_preconds_matches(cfg, train_setup):
                              rtol=1e-4)
 
 
+def test_spectrum_loss_and_tke_horizons(cfg, train_setup):
+  """config.spectrum_loss_weight adds a differentiable log-spectrum term to
+  the training loss (VERDICT r3 #1: counter the over-dissipative closure),
+  and eval reports horizon-resolved tke_err@8 + binned log-spectra with
+  zero-forcing baselines."""
+  state, batch = train_setup['state'], train_setup['batch']
+  sem, kl_fn, lr_fn = (train_setup['sem'], train_setup['kl_fn'],
+                       train_setup['lr_fn'])
+  cfg2 = tiny_config()
+  cfg2.spectrum_loss_weight = 0.1
+  cfg2 = ml_collections.FrozenConfigDict(cfg2)
+  to_grid = niles_train.make_uniform_transfer(sem, cfg2)
+  step_spec = jax.jit(functools.partial(
+      niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
+      sem=sem, config=cfg2, to_grid=to_grid))
+  _, m = step_spec(state, batch, jax.random.PRNGKey(3))
+  assert np.isfinite(float(m['spec_err'])) and float(m['spec_err']) > 0
+  _, m0 = train_setup['step'](state, batch, jax.random.PRNGKey(3))
+  # The weighted spectrum term enters the loss (same mse either way).
+  np.testing.assert_allclose(float(m['mse']), float(m0['mse']), rtol=1e-5)
+  assert abs(float(m['loss']) - float(m0['loss'])) > 1e-8
+
+  # Eval at an 8-step horizon: tke_err@8 + spectra + baselines.
+  cfg3 = tiny_config()
+  cfg3.eval_num_steps = 8
+  cfg3.eval_window_size = 8 + 3
+  cfg3.eval_baseline = True
+  cfg3 = ml_collections.FrozenConfigDict(cfg3)
+  it = input_pipeline.create_split(cfg3.batch_size, train=False,
+                                   config=cfg3, prefetch=0)
+  ebatch = jax.tree.map(jnp.asarray, next(it))
+  ev = jax.jit(functools.partial(
+      niles_train.eval_step, kl_penalty_fn=kl_fn, sem=sem, to_grid=to_grid,
+      config=cfg3))
+  me = ev(state, ebatch, jax.random.PRNGKey(4))
+  for key in ('tke_err', 'tke_err@8', 'tke_err_baseline',
+              'tke_err_baseline@8'):
+    assert key in me and np.isfinite(float(me[key])), key
+  assert any(k.startswith('logspec_pred_') for k in me)
+  assert any(k.startswith('logspec_target_') for k in me)
+  assert any(k.startswith('logspec_baseline_') for k in me)
+
+
 def test_eval_baseline_metrics(cfg, train_setup):
   """config.eval_baseline reports the zero-forcing coarse-solver rollout
   MSE next to the model's — and it must be independent of the params."""
