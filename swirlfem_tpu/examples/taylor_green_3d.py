@@ -129,13 +129,22 @@ def make_advance(sem: StokesSEM, *, mu: float, dt: float,
   vp_el, pp_el = sem.fdm_el_preconditioners(mu, dt, time_order)
   vol = float(jnp.sum(sem.fast_ops.wmass))
   tmap = jax.tree_util.tree_map
+  # HBM diet (VERDICT r3 #3): the el-form step never reads the generic
+  # path's geometric fields; dropping them (and compressing the congruent
+  # kinv fields) cuts the device-resident solver pytree ~6.4 -> ~0.9 GiB
+  # at 32^3:7 — the difference between OOM and fitting on one v5e.  The
+  # preconditioners above were built from the full solver first.
+  sem = sem.slim_for_el_step()
 
   def conv_el_with(sem, ut):
     flat = [_flat_el(sem, c) for c in ut]
     outs = sem.fast_ops.convection_el(*flat)
     return tuple(o.reshape((kk,) * 3 + eshape) for o in outs)
 
-  @jax.jit
+  # Donate the carry: the time loop never reuses the previous chunk's
+  # states, so the input and output histories share buffers instead of
+  # both staying live across the dispatch.
+  @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
   def advance_fn(sem, us, ps, cus):
     ke_fn, diss_fn = make_diagnostics(sem, mu, vol=vol)
 
@@ -196,9 +205,13 @@ def run_tgv(re: float = 1600.0, n_el: int = 16, order: int = 7, *,
   n = sem.fast_ops.pinfo.num_elements_per_dim
   p0 = jnp.zeros((m,) * 3 + (n,) * 3, dtype=sem.velocity.mesh.node_coords.dtype)
   cu0 = conv_el(u0)
-  us = (u0,) * time_order
-  ps = (p0,) * time_order
-  cus = (cu0,) * time_order
+  # Distinct history buffers: the advance carry is donated, and aliased
+  # tuple entries cannot share one donated buffer.
+  us = tuple(jax.tree_util.tree_map(jnp.copy, u0)
+             for _ in range(time_order - 1)) + (u0,)
+  ps = tuple(jnp.copy(p0) for _ in range(time_order - 1)) + (p0,)
+  cus = tuple(jax.tree_util.tree_map(jnp.copy, cu0)
+              for _ in range(time_order - 1)) + (cu0,)
 
   num_chunks = int(round(t_end / (dt * steps_per_chunk)))
   num_chunks = max(num_chunks, 1)

@@ -1036,6 +1036,61 @@ class StokesSEM:
 
     return precondition
 
+  def slim_for_el_step(self) -> 'StokesSEM':
+    """Memory-slim copy for the el-form fast path (`stokes_one_step_el`).
+
+    The generic-path geometric fields (per-quadrature-point inverse
+    Jacobians, Jacobian determinants, quadrature coordinates, nodal mesh
+    tables) are never read by the el-form step — it runs entirely on the
+    E-last `fast_ops` factor fields — yet at 32^3 elements order 7 they
+    hold ~4.3 GiB of the solver pytree's 6.4 GiB on device.  This returns
+    a copy with those leaves dropped (None) and, on congruent-elements
+    boxes, the constant-per-element inverse-Jacobian fields ``kinv`` /
+    ``kinv_o`` compressed to broadcastable ``(d, d, 1, ..., 1)`` views
+    (another ~1.7 GiB at that size; every consumer multiplies them
+    pointwise, so numpy broadcasting keeps the operators identical).
+
+    Call on the CONCRETE host-side solver after building preconditioners,
+    then pass the result as the jit argument of the time loop.  The slim
+    copy supports `stokes_one_step_el` + the el-form operator/diagnostic
+    surface only; nodal-path methods will fail on the dropped leaves.
+    """
+    assert self._structured_fast, 'slim_for_el_step needs the el fast path'
+
+    def slim_space(space):
+      # Zero-row placeholders (not None): shape-derived metadata like
+      # ``Mesh.ndim`` / dtype queries keep working, at zero bytes.
+      m = space.mesh
+      return space.replace(
+          invjacs=None, jacdets=None, quad_coords=None,
+          mesh=m.replace(
+              node_coords=jnp.zeros((0,) + m.node_coords.shape[1:],
+                                    dtype=m.node_coords.dtype),
+              elements=jnp.zeros((0,) + m.elements.shape[1:],
+                                 dtype=m.elements.dtype)))
+
+    velocity = self.velocity.replace(
+        vspace=slim_space(self.velocity.vspace),
+        overint_space=slim_space(self.velocity.overint_space),
+        diag_qqt=None)
+    pressure = self.pressure.replace(
+        pspace=slim_space(self.pressure.pspace))
+    ops = self.fast_ops
+    if ops is not None and getattr(ops, 'c_uniform', None) is not None:
+      def compress(field):
+        f = np.asarray(field)
+        first = f[(slice(None), slice(None)) + (0,) * (f.ndim - 2)]
+        tiny = first[(...,) + (None,) * (f.ndim - 2)]
+        scale = float(np.abs(f).max())
+        if not np.allclose(f, tiny, atol=1e-4 * scale, rtol=0):
+          return field  # graded after all: keep the full field
+        return jnp.asarray(tiny, dtype=field.dtype)
+
+      ops = ops.replace(kinv=compress(ops.kinv),
+                        kinv_o=compress(ops.kinv_o))
+    return self.replace(velocity=velocity, pressure=pressure,
+                        velocity_mass_diag=None, fast_ops=ops)
+
   def stokes_one_step_el(self, us_el, ps_el, f_el, *, mu, dt,
                          time_order: int, alpha: float = 0.05,
                          tol: float = 1e-8, atol: float = 0.0,

@@ -36,9 +36,107 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from swirlfem_tpu.ops.pallas_stiffness import _pick_tile
+from swirlfem_tpu.ops.pallas_stiffness import (_kernel_uniform_mm,
+                                               _kernel_uniform_mm3,
+                                               _pick_tile)
 
 HP = jax.lax.Precision.HIGHEST
+
+
+def _uniform_amat3d_np(c_uniform, w1, dmat):
+  """The shared dense element operator of a 3D congruent-elements box,
+
+      A = c11 (At x W x W) + c22 (W x At x W) + c33 (W x W x At),
+
+  with ``At = D^T W D``, ``W = diag(w)``; ``(k^3, k^3)`` float64 (also the
+  oracle for the bf16x3 precision gate)."""
+  import numpy as np
+
+  w = np.asarray(w1, dtype=np.float64)
+  d = np.asarray(dmat, dtype=np.float64)
+  wm = np.diag(w)
+  at = d.T @ wm @ d
+  c11, c22, c33 = (float(v) for v in c_uniform)
+  return (c11 * np.kron(at, np.kron(wm, wm))
+          + c22 * np.kron(wm, np.kron(at, wm))
+          + c33 * np.kron(wm, np.kron(wm, at)))
+
+
+def stiffness3d_el_pallas_dense(us, c_uniform, w1, dmat, *,
+                                tile_e: int = 512,
+                                precision=HP,
+                                interpret: bool = False):
+  """Congruent-elements 3D stiffness: ONE (k^3, k^3) MXU matmul per block.
+
+  The 3D analogue of the 2D `pallas_stiffness.stiffness_el_pallas_uniform`
+  dense path: with identical axis-aligned elements the whole element
+  operator collapses to a STATIC ``(k^3, k^3)`` matrix (512 x 512 at the
+  production order 7), so the apply is a single perfectly-MXU-shaped
+  matmul on ``(k^3, TE)`` tiles.  Trades ~10x the flops of the fused
+  sum-factorized kernel (`stiffness3d_el_pallas_uniform`) for zero VPU
+  work: the fused kernel measures compute-latency bound at 40% of the
+  HBM roofline (VERDICT r3 #4) because its xi/eta contractions run as
+  scalar-weighted VPU FMA chains, while this kernel's arithmetic
+  intensity (~2 k^3 / 8 = 128 flops/byte) sits right at the v5e machine
+  balance — with ``precision='bf16x3'`` the MXU keeps up with HBM and
+  the apply runs at the bandwidth roofline.
+
+  The ``(k, k, k, E) -> (k^3, E)`` flatten is layout-free: zeta already
+  sits on the sublane axis and E on the lanes, so merging (xi, eta) into
+  the leading dim reinterprets the same tiled bytes.
+
+  Args:
+    us: tuple of C component fields, each ``(k, k, k, E)``.
+    c_uniform: static (c11, c22, c33) metric scalars.
+    w1: 1D quadrature weights (static numpy, length k).
+    precision: `jax.lax.Precision` or ``'bf16x3'`` (three bf16 MXU passes,
+      ~2-3e-5 relative at k = 8 — gate against `_uniform_amat3d_np`).
+
+  Returns a tuple of C outputs, each ``(k, k, k, E)``.
+  """
+  import numpy as np
+
+  c = len(us)
+  k = us[0].shape[0]
+  num_e = us[0].shape[3]
+  kkk = k ** 3
+  itemsize = us[0].dtype.itemsize
+  # VMEM: double-buffered 2C (k^3, tile) blocks + the static matrix
+  # (+ its bf16 splits) + matmul temporaries must fit the 16 MiB scope.
+  while tile_e > 128 and 4 * c * kkk * tile_e * itemsize >= 12 * 1024 * 1024:
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((kkk, tile_e), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((kkk, kkk), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+
+  a64 = _uniform_amat3d_np(c_uniform, w1, dmat)
+  if precision == 'bf16x3':
+    m32 = jnp.asarray(a64, dtype=jnp.float32)
+    mhi = m32.astype(jnp.bfloat16)
+    mlo = (m32 - mhi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kernel = functools.partial(_kernel_uniform_mm3, num_components=c)
+    operands = [mhi, mlo]
+    in_specs = [mspec, mspec]
+  else:
+    kernel = functools.partial(_kernel_uniform_mm, num_components=c,
+                               precision=precision)
+    operands = [jnp.asarray(a64, dtype=us[0].dtype)]
+    in_specs = [mspec]
+
+  flat = lambda x: x.reshape(kkk, num_e)
+  outs = pl.pallas_call(
+      kernel,
+      out_shape=[jax.ShapeDtypeStruct((kkk, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=in_specs + [block] * c,
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(*operands, *[flat(u) for u in us])
+  return tuple(o.reshape(k, k, k, num_e) for o in outs)
 
 
 def _kernel_3d(d_ref, *refs, num_components: int):
@@ -163,7 +261,9 @@ def stiffness3d_el_pallas_uniform(us, c_uniform, w1, dmat, *,
   # VMEM budget: 2C double-buffered (k^3, tile) blocks must leave ~4 MiB
   # of the 16 MiB scoped limit for the kernel's derivative/flux
   # temporaries (measured: tile 512 at C=3, k=8 overflows by 0.6 MiB).
-  while tile_e > 128 and 4 * c * (k ** 3) * tile_e * 4 >= 12 * 1024 * 1024:
+  itemsize = us[0].dtype.itemsize
+  while (tile_e > 128
+         and 4 * c * (k ** 3) * tile_e * itemsize >= 12 * 1024 * 1024):
     tile_e //= 2
   tile_e = _pick_tile(num_e, tile_e)
   w64 = np.asarray(w1, dtype=np.float64)
