@@ -626,7 +626,7 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
                                   dt: float, time_order: int,
                                   coarse: str = 'auto',
                                   max_coarse_dofs: int = 16000,
-                                  overlap='auto'):
+                                  overlap='auto', axis_name: str = 'part'):
   """Returns an SPD callable ``M(r) ~ E^{-1} r`` on nodal pressure arrays.
 
   Args:
@@ -655,7 +655,22 @@ def build_schwarz_pressure_solver(sem, premesh, boundary_conditions,
   if premesh.order != 1:
     raise ValueError(f'expected the order-1 premesh, got {premesh.order}')
   if premesh.is_partitioned():
-    raise NotImplementedError('partitioned Schwarz setup')
+    # Partitioned premesh: delegate to the distributed builder (same exact
+    # probed local blocks + coarse spaces, leaves stacked over partitions
+    # for use under spmd_map).  ``sem`` must then be the UNPARTITIONED twin
+    # — the float64 probing oracle — exactly as `build_distributed_schwarz`
+    # documents; ``axis_name`` names the shard_map axis of the partitioned
+    # solver the result will precondition.
+    if np.asarray(sem.velocity.mesh.node_coords).ndim != 2:
+      raise ValueError(
+          'partitioned premesh requires the UNPARTITIONED twin StokesSEM '
+          '(create it from premesh.replace(partitions=None)); got a solver '
+          'with stacked/partitioned leaves')
+    from swirlfem_tpu.ops.schwarz_distributed import build_distributed_schwarz
+    return build_distributed_schwarz(
+        sem, premesh, boundary_conditions, dt, time_order,
+        axis_name=axis_name, coarse=coarse,
+        max_coarse_dofs=max_coarse_dofs, overlap=overlap)
 
   pmesh = sem.pressure.pspace.mesh
   d = premesh.ndim

@@ -114,6 +114,37 @@ def crystal_router_spmd(n, data, target, *, axis_name, out_capacity,
       return lax.ragged_all_to_all(
           sorted_leaf, out, input_offsets, send_sizes, output_offsets,
           recv_sizes, axis_name=axis_name)
+  elif implementation == 'ppermute':
+    # Simulation of the ragged collective's exact data movement with P - 1
+    # ppermute rotation rounds, driven by the SAME ``ragged_offsets`` plan:
+    # each receiver slices the chunk destined for it out of the rotating
+    # send buffer at the sender's input offset and scatters it to its own
+    # output offset.  Exercises the send/recv-offset plumbing (not just the
+    # plan arithmetic) on backends without ``lax.ragged_all_to_all``
+    # (XLA:CPU) at >1 participants; placement is asserted equal to the
+    # dense path in tests/test_comm.py.  O(P * capacity) traffic — a test
+    # harness, not a production path.
+    idx = jnp.arange(cap)
+
+    def _place(out, buf, src):
+      # src's plan, recomputed from the replicated count matrix: where my
+      # chunk starts in src's sorted buffer and where it lands in mine.
+      in_off, send_sz, out_off, _ = ragged_offsets(count_matrix, src)
+      start, size, tgt = in_off[me], send_sz[me], out_off[me]
+      valid = (idx >= start) & (idx < start + size)
+      dest = jnp.where(valid, idx - start + tgt, out_capacity)
+      return out.at[dest].set(buf, mode='drop')
+
+    def route(leaf):
+      sorted_leaf = leaf[order]
+      out = jnp.zeros((out_capacity,) + leaf.shape[1:], dtype=leaf.dtype)
+      out = _place(out, sorted_leaf, me)  # local chunk, round 0
+      perm = [(i, (i + 1) % num) for i in range(num)]
+      buf = sorted_leaf
+      for r in range(1, num):
+        buf = lax.ppermute(buf, axis_name, perm)
+        out = _place(out, buf, (me - r) % num)
+      return out
   else:
     # Dense fallback (XLA:CPU has no ragged-all-to-all): bucket entries by
     # destination into a (P, cap) buffer, dense all_to_all, then compact.

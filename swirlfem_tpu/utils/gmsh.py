@@ -325,10 +325,20 @@ def _parse_binary(data: bytes, size_t_bytes: int, byteorder: str):
   return tags, coords3, blocks, names, entity_phys, periodic_records
 
 
+def _require_section(sections, name: str, fmt: str):
+  """Fetch a mandatory $-section or raise a descriptive parse error
+  (a malformed file must not surface as a bare KeyError — advisor r3)."""
+  if name not in sections:
+    raise ValueError(
+        f'malformed {fmt} MSH file: missing required ${name} section '
+        f'(found: {sorted(sections) or "none"})')
+  return sections[name]
+
+
 def _parse_ascii(text: str):
   sections = _sections(text)
-  tags, coords3 = _parse_nodes(sections['Nodes'])
-  blocks = _parse_elements(sections['Elements'])
+  tags, coords3 = _parse_nodes(_require_section(sections, 'Nodes', '4.1'))
+  blocks = _parse_elements(_require_section(sections, 'Elements', '4.1'))
   names = {}
   if 'PhysicalNames' in sections:
     # Line-wise (like the binary path): quoted names may contain spaces.
@@ -355,7 +365,7 @@ def _parse_ascii22(text: str):
   """
   sections = _sections(text)
 
-  tok = _Tokens(sections['Nodes'])
+  tok = _Tokens(_require_section(sections, 'Nodes', '2.2'))
   total = tok.int()
   tags = np.empty(total, dtype=np.int64)
   coords3 = np.empty((total, 3), dtype=np.float64)
@@ -363,7 +373,7 @@ def _parse_ascii22(text: str):
     tags[k] = tok.int()
     coords3[k] = tok.floats(3)
 
-  tok = _Tokens(sections['Elements'])
+  tok = _Tokens(_require_section(sections, 'Elements', '2.2'))
   count = tok.int()
   grouped: dict[tuple[int, int, int], list[np.ndarray]] = {}
   entity_phys: dict[tuple[int, int], list[int]] = {}

@@ -202,6 +202,54 @@ def test_ragged_offset_plan_matches_dense_placement(seed):
     np.testing.assert_array_equal(out[d][:n_d], expected)
 
 
+@pytest.mark.parametrize('seed', range(6))
+def test_crystal_router_ppermute_matches_dense(dmesh, seed):
+  """Multi-participant execution of the ragged plan's data plumbing.
+
+  The 'ppermute' implementation moves data with P - 1 rotation rounds but
+  computes every slice/placement from the SAME ``ragged_offsets`` plan the
+  TPU ragged_all_to_all dispatch uses — so running it on the 8-virtual-
+  device mesh exercises the send/recv-offset plumbing (not just the plan
+  arithmetic) and must be row-for-row identical to the dense fallback,
+  including zero-traffic devices and empty sends.
+  """
+  from swirlfem_tpu.parallel.crystal_router import crystal_router_spmd
+
+  rng = np.random.default_rng(100 + seed)
+  cap = 6
+  n = rng.integers(0, cap + 1, P).astype(np.int32)
+  if seed == 0:
+    n[:] = 0              # nobody sends anything
+  if seed == 1:
+    n[: P // 2] = 0       # half the devices silent
+  target = rng.integers(0, P, (P, cap)).astype(np.int32)
+  if seed == 2:
+    target[:] = 3         # all traffic into one device
+  data = {'a': rng.standard_normal((P, cap)),
+          'b': (rng.integers(0, 100, (P, cap, 2))).astype(np.int32)}
+  out_capacity = P * cap  # cannot overflow
+
+  def run(impl):
+    f = spmd_map(
+        lambda n_, d_, t_: crystal_router_spmd(
+            n_, d_, t_, axis_name='x', out_capacity=out_capacity,
+            implementation=impl),
+        dmesh, 'x')
+    return f(jnp.asarray(n), jax.tree.map(jnp.asarray, data),
+             jnp.asarray(target))
+
+  n_d, d_d, s_d = run('dense')
+  n_p, d_p, s_p = run('ppermute')
+  np.testing.assert_array_equal(np.asarray(n_d), np.asarray(n_p))
+  for p in range(P):
+    k = int(np.asarray(n_d)[p])
+    np.testing.assert_array_equal(np.asarray(s_d)[p, :k],
+                                  np.asarray(s_p)[p, :k])
+    for leaf_d, leaf_p in zip(jax.tree.leaves(d_d), jax.tree.leaves(d_p)):
+      np.testing.assert_array_equal(np.asarray(leaf_d)[p][:k],
+                                    np.asarray(leaf_p)[p][:k])
+
+
 @pytest.mark.parametrize('op', [jnp.add, jnp.multiply, jnp.maximum,
                                 jnp.minimum])
 def test_tree_pscan_matches_all_gather(dmesh, op):

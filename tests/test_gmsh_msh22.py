@@ -81,6 +81,19 @@ def test_msh22_binary_rejected(tmp_path):
     G.read(str(p), ndim=2)
 
 
+def test_msh22_missing_section_descriptive_error(tmp_path):
+  """A 2.2 file with no $Elements must raise a descriptive ValueError,
+  not a bare KeyError (advisor r3)."""
+  p = tmp_path / 'trunc22.msh'
+  p.write_text('$MeshFormat\n2.2 0 8\n$EndMeshFormat\n'
+               '$Nodes\n1\n1 0 0 0\n$EndNodes\n')
+  with pytest.raises(ValueError, match=r'missing required \$Elements'):
+    G.read(str(p), ndim=2)
+  p.write_text('$MeshFormat\n2.2 0 8\n$EndMeshFormat\n')
+  with pytest.raises(ValueError, match=r'missing required \$Nodes'):
+    G.read(str(p), ndim=2)
+
+
 def test_msh22_finalizes(tmp_path):
   text = open(f'{TESTDATA}/periodic_cube.msh').read()
   p22 = tmp_path / 'legacy.msh'

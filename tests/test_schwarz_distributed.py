@@ -74,6 +74,35 @@ def test_distributed_apply_matches_unpartitioned(dmesh, overlap):
                              rtol=1e-9, atol=1e-11)
 
 
+def test_plain_builder_delegates_partitioned_premesh(dmesh):
+  """`ops.schwarz.build_schwarz_pressure_solver` fed a PARTITIONED premesh
+  routes to the distributed builder (VERDICT r3 #9: the seam no longer
+  raises); the result applies identically to a direct
+  `build_distributed_schwarz` call.  A partitioned (stacked-leaf) solver
+  passed as the probing oracle is rejected with a descriptive error."""
+  pm, bcs, sem_u, dt, k = _setup()
+  m_delegated = build_schwarz_pressure_solver(sem_u, pm, bcs, dt, k,
+                                              axis_name='part')
+  m_direct = build_distributed_schwarz(sem_u, pm, bcs, dt, k,
+                                       axis_name='part')
+  assert type(m_delegated) is type(m_direct)
+
+  sem_p = StokesSEM.create(pm, bcs, order=4, axis_name='part',
+                           device_mesh=dmesh)
+  p_idx = np.asarray(sem_p.pressure.pspace.mesh.node_indices)
+  npn = sem_u.pressure.pspace.mesh.num_nodes
+  rng = np.random.default_rng(11)
+  r = rng.standard_normal(npn)
+  r_sharded = jnp.asarray(r[np.clip(p_idx, 0, None)] * (p_idx != -1))
+  apply_d = spmd_map(lambda m, x: m(x), dmesh, 'part')
+  np.testing.assert_allclose(np.asarray(apply_d(m_delegated, r_sharded)),
+                             np.asarray(apply_d(m_direct, r_sharded)),
+                             rtol=1e-12, atol=1e-14)
+
+  with pytest.raises(ValueError, match='UNPARTITIONED twin'):
+    build_schwarz_pressure_solver(sem_p, pm, bcs, dt, k, axis_name='part')
+
+
 def test_distributed_vertex_coarse_matches_unpartitioned(dmesh):
   """'vertex' coarse (psum of nv floats, the very-large-mesh path)."""
   pm, bcs, sem_u, dt, k = _setup()
