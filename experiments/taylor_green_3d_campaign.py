@@ -62,8 +62,30 @@ def main():
     wall = time.time() - t0
     s = slice(None, None, args.subsample)
     num_dofs = 3 * ((order + 1) * n_el) ** 3  # el-form dof count
+
+    # One-line HBM budget (VERDICT r3 #3): what the chunked advance keeps
+    # resident — slim solver pytree (after StokesSEM.slim_for_el_step)
+    # vs the full one, plus the donated time-stepping carry.
+    def tree_gib(t):
+      return round(sum(x.nbytes for x in jax.tree_util.tree_leaves(t)
+                       if hasattr(x, 'nbytes')) / 2**30, 3)
+
+    sem = r['sem']
+    carry_fields = 3 * args.time_order * 2  # us + cus comps
+    field_gib = (order + 1) ** 3 * n_el ** 3 * 4 / 2**30
+    p_gib = (order - 1) ** 3 * n_el ** 3 * 4 / 2**30
+    hbm_budget = {
+        'solver_full_gib': tree_gib(sem),
+        'solver_slim_gib': tree_gib(sem.slim_for_el_step()),
+        'carry_gib': round(carry_fields * field_gib
+                           + args.time_order * p_gib, 3),
+        'per_field_gib': round(field_gib, 3),
+        'carry_donated': True,
+    }
+
     case_out = {
         'n_el': n_el, 'order': order,
+        'hbm_budget': hbm_budget,
         'effective_resolution': (order + 1) * n_el,
         'num_dofs': num_dofs,
         'dt': r['dt'], 'steps': r['steps'],

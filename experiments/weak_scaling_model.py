@@ -225,8 +225,11 @@ def main():
   n = [pt['num_devices'] for pt in points]
   assert nb[-1] <= nb[1] * 1.5 + 64, (
       f'neighbor payload should stay ~constant: {nb}')
-  growth = (ps[-1] / ps[0]) / (n[-1] / n[0])
-  assert 0.5 <= growth <= 1.5, (
+  # Asymptotic linearity from the LAST pair: small device grids have a
+  # higher boundary-to-interior ratio (P=4 is all corner devices), which
+  # contaminates a first-to-last slope.
+  growth = (ps[-1] / ps[-2]) / (n[-1] / n[-2])
+  assert 0.8 <= growth <= 1.3, (
       f'psum payload should grow ~linearly in P: {ps} vs {n}')
 
   result = {

@@ -112,7 +112,7 @@ def make_diagnostics(sem: StokesSEM, mu: float, vol: float | None = None):
 def make_advance(sem: StokesSEM, *, mu: float, dt: float,
                  time_order: int = 2, alpha: float = 0.0,
                  steps_per_chunk: int = 200, tol: float = 1e-5,
-                 atol: float = 1e-6):
+                 atol: float = 1e-6, device=None):
   """Jitted chunk advance: (us, ps, cus) -> carry + per-step (ke, diss).
 
   The solver pytree is passed as a jit ARGUMENT, not a closure constant:
@@ -133,8 +133,13 @@ def make_advance(sem: StokesSEM, *, mu: float, dt: float,
   # path's geometric fields; dropping them (and compressing the congruent
   # kinv fields) cuts the device-resident solver pytree ~6.4 -> ~0.9 GiB
   # at 32^3:7 — the difference between OOM and fitting on one v5e.  The
-  # preconditioners above were built from the full solver first.
+  # preconditioners above were built from the full solver first.  Pass
+  # ``device`` to place ONLY the slim copy there (callers must then keep
+  # the full solver on the host; device_put-ing it first would defeat
+  # the diet).
   sem = sem.slim_for_el_step()
+  if device is not None:
+    sem = jax.device_put(sem, device)
 
   def conv_el_with(sem, ut):
     flat = [_flat_el(sem, c) for c in ut]
@@ -186,10 +191,14 @@ def run_tgv(re: float = 1600.0, n_el: int = 16, order: int = 7, *,
   import time as _time
 
   device = jax.devices()[0]
-  if device.platform != 'cpu':
+  on_device = device.platform != 'cpu'
+  if on_device:
+    # Build on the host CPU backend; ONLY the slim solver (inside
+    # make_advance) is placed on the chip — device_put-ing the full
+    # pytree first would park ~6.4 GiB of never-read generic-path fields
+    # in HBM at 32^3:7.
     with jax.default_device(jax.local_devices(backend='cpu')[0]):
       sem = create_tgv(n_el, order, dtype, use_pallas=use_pallas)
-    sem = jax.device_put(sem, device)
   else:
     sem = create_tgv(n_el, order, dtype, use_pallas=use_pallas)
   mu = 1.0 / re
@@ -198,7 +207,8 @@ def run_tgv(re: float = 1600.0, n_el: int = 16, order: int = 7, *,
 
   advance, conv_el = make_advance(
       sem, mu=mu, dt=dt, time_order=time_order, alpha=alpha,
-      steps_per_chunk=steps_per_chunk, tol=tol)
+      steps_per_chunk=steps_per_chunk, tol=tol,
+      device=device if on_device else None)
 
   u0 = tgv_initial(sem)
   m = sem.fast_ops.pinfo.order + 1
