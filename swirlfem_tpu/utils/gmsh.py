@@ -424,9 +424,123 @@ def _parse_ascii22(text: str):
   return tags, coords3, blocks, names, entity_phys, periodic_records
 
 
+def _parse_binary22(data: bytes, byteorder: str):
+  """Legacy BINARY MSH 2.2 parser, normalized to the 4.1 internal layout.
+
+  Spec (gmsh.info, legacy file format): ``$Nodes`` holds one i4 tag +
+  3 f8 coordinates per node (count on an ASCII line); ``$Elements`` holds
+  blocks headed by 3 i4 (etype, block count, tag count) followed by
+  ``count x (1 + ntags + nper)`` i4 records.  ``$PhysicalNames`` and
+  ``$Periodic`` stay ASCII even in binary 2.x files.  Tag conventions
+  ((physical, elementary) pairs -> per-entity physical lists) mirror
+  `_parse_ascii22`.
+  """
+  r = _BinReader(data, data.index(b'$EndMeshFormat'), 8, byteorder)
+  r.line()  # $EndMeshFormat
+  node_rec = np.dtype([('tag', byteorder + 'i4'),
+                       ('xyz', byteorder + 'f8', (3,))])
+  tags = coords3 = None
+  grouped: dict[tuple[int, int, int], list[np.ndarray]] = {}
+  entity_phys: dict[tuple[int, int], list[int]] = {}
+  names = {}
+  periodic_records = []
+  while True:
+    r.skip_newline()
+    if r._pos >= len(data):  # pylint: disable=protected-access
+      break
+    header = r.line()
+    if not header.startswith('$'):
+      continue
+    name = header[1:]
+    if name == 'Nodes':
+      total = int(r.line())
+      raw = r._array(node_rec, total)  # pylint: disable=protected-access
+      tags = raw['tag'].astype(np.int64)
+      coords3 = np.ascontiguousarray(raw['xyz'], dtype=np.float64)
+    elif name == 'Elements':
+      total = int(r.line())
+      done = 0
+      while done < total:
+        etype, nblock, ntags = (int(v) for v in r.i4(3))
+        if etype not in _ELEM_TYPES:
+          raise NotImplementedError(
+              f'unsupported Gmsh element type {etype}; only points, '
+              '2-node lines, 4-node quads and 8-node hexahedra are '
+              'supported')
+        dim, nper = _ELEM_TYPES[etype]
+        rec = r.i4(nblock * (1 + ntags + nper)).reshape(
+            nblock, 1 + ntags + nper)
+        phys = rec[:, 1] if ntags >= 1 else np.zeros(nblock, np.int64)
+        entity = rec[:, 2] if ntags >= 2 else np.zeros(nblock, np.int64)
+        nodes = rec[:, 1 + ntags:]
+        for ent in np.unique(entity):
+          sel = entity == ent
+          grouped.setdefault((dim, int(ent), etype), []).append(
+              np.ascontiguousarray(nodes[sel]))
+          for ph in np.unique(phys[sel]):
+            if ph:
+              known = entity_phys.setdefault((dim, int(ent)), [])
+              if int(ph) not in known:
+                known.append(int(ph))
+        done += nblock
+    elif name == 'PhysicalNames':
+      num_names = int(r.line())
+      for _ in range(num_names):
+        parts = r.line().split()
+        names[(int(parts[0]), int(parts[1]))] = ' '.join(
+            parts[2:]).strip('"')
+    elif name == 'Periodic':
+      # ASCII in 2.x binary files; delimit by the end marker.
+      end = data.find(b'$EndPeriodic', r._pos)  # pylint: disable=protected-access
+      if end < 0:
+        raise ValueError('malformed binary MSH 2.x: unterminated '
+                         '$Periodic section')
+      text = data[r._pos:end].decode('utf-8')  # pylint: disable=protected-access
+      tok = _Tokens(text.splitlines())
+      num_links = tok.int()
+      for _ in range(num_links):
+        entity_dim, _, _ = tok.ints(3)
+        nxt = tok.take()[0]
+        if nxt == 'Affine':
+          tok.floats(16)
+          count = tok.int()
+        else:
+          count = int(nxt)
+        table = {}
+        for _ in range(count):
+          slave, master = tok.ints(2)
+          table[slave] = master
+        periodic_records.append((entity_dim, table))
+      r._pos = end  # pylint: disable=protected-access
+    elif name.startswith('End'):
+      continue
+    else:
+      marker = f'$End{name}'.encode('ascii')
+      end = data.find(marker, r._pos)  # pylint: disable=protected-access
+      if end < 0:
+        raise ValueError(f'malformed binary MSH 2.x: unterminated '
+                         f'${name} section')
+      r._pos = end + len(marker)  # pylint: disable=protected-access
+      continue
+    r.skip_newline()
+    end_line = r.line()
+    if end_line != f'$End{name}':
+      raise ValueError(f'malformed binary MSH 2.x: expected $End{name}, '
+                       f'got {end_line!r}')
+  if tags is None:
+    raise ValueError(
+        'malformed 2.2 MSH file: missing required $Nodes section')
+  if not grouped:
+    raise ValueError(
+        'malformed 2.2 MSH file: missing required $Elements section')
+  blocks = [(dim, entity, etype, np.concatenate(rows).astype(np.int64))
+            for (dim, entity, etype), rows in grouped.items()]
+  return tags, coords3, blocks, names, entity_phys, periodic_records
+
+
 def read(path, ndim: int) -> Premesh:
-  """Parses an MSH 4.1 (ASCII/binary) or legacy ASCII 2.2 file into an
-  order-1 `Premesh`."""
+  """Parses an MSH 4.1 (ASCII/binary) or legacy 2.2 (ASCII/binary) file
+  into an order-1 `Premesh`."""
   if ndim not in (1, 2, 3):
     raise ValueError(f'invalid ndim {ndim}; expected 1, 2 or 3')
   with open(path, 'rb') as f:
@@ -438,9 +552,14 @@ def read(path, ndim: int) -> Premesh:
   file_type = int(version[1])
   if version[0].startswith(b'2'):
     if file_type != 0:
-      raise NotImplementedError('binary MSH 2.x is not supported; '
-                                're-export as ASCII or as MSH 4.1')
-    parsed = _parse_ascii22(data.decode('utf-8'))
+      # Legacy binary 2.x: the binary int 1 after the version line probes
+      # byte order (same convention as 4.x binary).
+      head = data[:data.index(b'$EndMeshFormat')]
+      nl = head.index(b'\n', head.index(b'\n') + 1)
+      one = int.from_bytes(data[nl + 1:nl + 5], 'little', signed=True)
+      parsed = _parse_binary22(data, '<' if one == 1 else '>')
+    else:
+      parsed = _parse_ascii22(data.decode('utf-8'))
   elif not version[0].startswith(b'4'):
     raise NotImplementedError(
         f'only MSH formats 2.x (ASCII) and 4.x are supported, '

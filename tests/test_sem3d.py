@@ -160,3 +160,38 @@ def test_stiffness_el_multi_matches_per_component():
     np.testing.assert_allclose(np.asarray(got),
                                np.asarray(ops.stiffness_el(u)),
                                rtol=1e-13, atol=1e-13)
+
+
+def test_slim_for_el_step_preserves_el_operators(sem):
+  """`StokesSEM.slim_for_el_step` (VERDICT r3 #3 HBM diet): drops the
+  generic-path geometric fields and compresses the congruent kinv fields
+  to broadcastable views — every el-form operator must be IDENTICAL."""
+  slim = sem.slim_for_el_step()
+
+  def nbytes(t):
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(t)
+               if hasattr(x, 'nbytes'))
+
+  assert nbytes(slim) < nbytes(sem) / 3
+  # Congruent box: kinv/kinv_o compressed to per-element-constant views.
+  assert slim.fast_ops.kinv.shape[2:] == (1, 1, 1, 1)
+  assert slim.fast_ops.kinv_o.shape[2:] == (1, 1, 1, 1)
+
+  ops, ops_s = sem.fast_ops, slim.fast_ops
+  k = ops.vinfo.order + 1
+  m = ops.pinfo.order + 1
+  num_e = ops.vinfo.num_elements_per_dim ** 3
+  rng = np.random.default_rng(7)
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, num_e)))
+             for _ in range(3))
+  p = jnp.asarray(rng.standard_normal((m, m, m, num_e)))
+
+  for a, b in zip(ops.stiffness_el_multi(us), ops_s.stiffness_el_multi(us)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+  for a, b in zip(ops.convection_el(*us), ops_s.convection_el(*us)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+  np.testing.assert_allclose(
+      np.asarray(ops.divergence_el(*us)),
+      np.asarray(ops_s.divergence_el(*us)), atol=1e-13)
+  for a, b in zip(ops.gradient_el(p), ops_s.gradient_el(p)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
