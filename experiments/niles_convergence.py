@@ -205,6 +205,11 @@ def main():
   args.workdir = args.workdir or base
   args.dataset_dir = args.dataset_dir or base + '/data'
 
+  # Surface the trainer's step/eval logging without app.run (absl default
+  # verbosity swallows INFO otherwise — round-12 operational note).
+  from absl import logging as absl_logging
+  absl_logging.set_verbosity(absl_logging.INFO)
+
   import glob as _glob
 
   from swirlfem_tpu.niles import coarsen
