@@ -35,6 +35,8 @@ def main():
   ap.add_argument('--alpha', type=float, default=0.0,
                   help='modal filter strength (0 = none; DNS default)')
   ap.add_argument('--time_order', type=int, default=2)
+  ap.add_argument('--dt', type=float, default=None,
+                  help='time step override (default: CFL-derived)')
   ap.add_argument('--subsample', type=int, default=4,
                   help='keep every k-th point of the recorded curves')
   ap.add_argument('--out',
@@ -56,7 +58,7 @@ def main():
     n_el, order = (int(v) for v in case.split(':'))
     t0 = time.time()
     r = tg.run_tgv(re=args.re, n_el=n_el, order=order, t_end=args.t_end,
-                   time_order=args.time_order, alpha=args.alpha,
+                   time_order=args.time_order, alpha=args.alpha, dt=args.dt,
                    dtype=dtype, use_pallas=on_tpu,
                    steps_per_chunk=250 if on_tpu else 25, verbose=True)
     wall = time.time() - t0

@@ -160,7 +160,7 @@ def make_advance(sem: StokesSEM, *, mu: float, dt: float,
       f_el = tmap(lambda c: -c, cu)
       u, p, _ = sem.stokes_one_step_el(
           list(us), list(ps), f_el, mu=mu, dt=dt, time_order=time_order,
-          alpha=alpha, tol=tol, atol=atol,
+          alpha=alpha, tol=tol, atol=atol, maxiter=100,
           pressure_preconditioner_el=pp_el, viscous_preconditioner_el=vp_el,
           exact_solves=True)
       carry = (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (conv_el_with(sem, u),))
