@@ -134,10 +134,14 @@ def run_case(re, n_el, order, dt, t_end, steps_per_chunk, steady_tol,
   u = np.asarray(us[-1] + u_boundary)
 
   def centerline(axis):
-    """Profile of u[1-axis] along the centerline x_axis = 0.5."""
+    """Profile of u[axis] along the centerline {x_axis = 0.5}.
+
+    axis=0: u_x through the vertical line x = 0.5 (Ghia Table I);
+    axis=1: u_y through the horizontal line y = 0.5 (Ghia Table II).
+    """
     sel = np.abs(coords[:, axis] - 0.5) < 1e-12
     pos = coords[sel, 1 - axis]
-    vals = u[sel, 1 - axis]
+    vals = u[sel, axis]
     order_idx = np.argsort(pos)
     pos, vals = pos[order_idx], vals[order_idx]
     uniq, inv = np.unique(np.round(pos, 12), return_inverse=True)
