@@ -384,6 +384,9 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
                                      batch_factors=True, uniform=False)
   # Dense congruent kernel: one (k^3, k^3) matmul per component.
   counts_dense = (3 * 2 * kk ** 3 * pts3, 3 * 2 * pts3 * 4)
+  # Pair-axis congruent kernel: two (k^2, k^2) matmuls per xi-slab
+  # (MXU) + a 2k-flops/point VPU xi chain.
+  counts_pair = (3 * (4 * kk * kk + 2 * kk) * pts3, 3 * 2 * pts3 * 4)
 
   # The congruent kernels (no factor-field streams) are the default on
   # uniform boxes; fused (sum-factorized) and dense ((k^3, k^3) matmul at
@@ -397,29 +400,41 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
     both.append(measure(ops.replace(use_uniform_kernel=True),
                         'fused congruent (no factor streams)',
                         *counts_fused_u))
-    # Dense bf16x3: gate against the f64 Kronecker element operator.
+    # bf16x3 congruent variants: gate against the f64 Kronecker element
+    # operator.  Pair-axis first (the measured winner: MXU pair matmuls
+    # + VPU xi chain both hidden behind the HBM stream), dense second.
     from swirlfem_tpu.ops.pallas_stiffness3d import _uniform_amat3d_np
     a64 = _uniform_amat3d_np(ops.c_uniform, ops.w1, ops.dmat)
-    ops_dense3 = ops.replace(uniform_kernel_impl='dense',
-                             kernel_precision='bf16x3')
-    try:
-      got = ops_dense3.stiffness_el_multi(us)
-      ref64 = a64 @ np.asarray(us[0], np.float64).reshape(kk ** 3, -1)
-      err_d3 = (float(np.abs(np.asarray(got[0], np.float64)
-                             .reshape(kk ** 3, -1) - ref64).max())
-                / float(np.abs(ref64).max()))
-      if err_d3 < 1e-4 and _remaining() > 120:
-        e = measure(ops_dense3, 'dense congruent (k^3 matmul, bf16x3)',
-                    *counts_dense)
-        e['bf16x3_rel_err'] = err_d3
-        both.append(e)
-      if _remaining() > 120:
-        both.append(measure(ops.replace(uniform_kernel_impl='dense'),
-                            'dense congruent (k^3 matmul, f32)',
-                            *counts_dense))
-    except Exception as exc:  # pylint: disable=broad-except
-      print(f'dense 3D kernel failed ({type(exc).__name__}: {exc}); '
-            'keeping fused', file=sys.stderr)
+    ref64 = a64 @ np.asarray(us[0], np.float64).reshape(kk ** 3, -1)
+    ref_scale = float(np.abs(ref64).max())
+
+    def gated_err(ops_v):
+      got = ops_v.stiffness_el_multi(us)
+      return (float(np.abs(np.asarray(got[0], np.float64)
+                           .reshape(kk ** 3, -1) - ref64).max())
+              / ref_scale)
+
+    for impl, label, counts, extra in (
+        ('pair', 'pair congruent ((k^2)^2 matmuls, bf16x3)', counts_pair,
+         {}),
+        ('dense', 'dense congruent (k^3 matmul, bf16x3)', counts_dense,
+         {'kernel_precision': 'bf16x3'}),
+    ):
+      if _remaining() < 120:
+        break
+      ops_v = ops.replace(uniform_kernel_impl=impl, **extra)
+      try:
+        err_v = gated_err(ops_v)
+        if err_v < 1e-4:
+          e = measure(ops_v, label, *counts)
+          e['bf16x3_rel_err'] = err_v
+          both.append(e)
+        else:
+          print(f'{impl} 3D kernel err {err_v:.2e} fails the 1e-4 gate',
+                file=sys.stderr)
+      except Exception as exc:  # pylint: disable=broad-except
+        print(f'{impl} 3D kernel failed ({type(exc).__name__}: {exc}); '
+              'skipping', file=sys.stderr)
     if _remaining() > 90:
       both.append(measure(ops.replace(use_uniform_kernel=False),
                           'fused general (6 factor fields)',

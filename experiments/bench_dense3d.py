@@ -86,6 +86,7 @@ def main():
 
   variants = [
       ('fused', ops.replace(use_uniform_kernel=True)),
+      ('pair_bf16x3', ops.replace(uniform_kernel_impl='pair')),
       ('dense_f32', ops.replace(uniform_kernel_impl='dense')),
       ('dense_bf16x3', ops.replace(uniform_kernel_impl='dense',
                                    kernel_precision='bf16x3')),

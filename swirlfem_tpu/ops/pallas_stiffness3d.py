@@ -289,6 +289,107 @@ def stiffness3d_el_pallas_uniform(us, c_uniform, w1, dmat, *,
   return tuple(outs)
 
 
+def _kernel_3d_pair(a2hi_ref, a2lo_ref, w2hi_ref, w2lo_ref, *refs,
+                    num_components: int, c11: float, at_row, w1):
+  """Pair-axis congruent kernel body (see `stiffness3d_el_pallas_pair`).
+
+  Blocks are ``(k, k^2, TE)`` — the (eta, zeta) pair merged on the
+  sublane axis (a free relayout: zeta already sits on sublanes and the
+  merge only widens them).  Per xi-slab ``a``:
+
+      out[a] = w1[a] * (A2 @ u[a]) + c11 * sum_b At[a, b] * (W2 @ u[b])
+
+  with ``A2 = c22 At (x) W + c33 W (x) At`` and ``W2 = diag(w (x) w)``
+  both STATIC (k^2, k^2) matrices in bf16x3 hi/lo split form.  All heavy
+  arithmetic is two (k^2, k^2) x (k^2, TE) MXU matmuls per slab; the xi
+  contraction is a k-term scalar-weighted VPU FMA chain.
+  """
+  u_refs = refs[:num_components]
+  out_refs = refs[num_components:]
+  a2hi, a2lo = a2hi_ref[:], a2lo_ref[:]
+  w2hi, w2lo = w2hi_ref[:], w2lo_ref[:]
+  k = len(at_row)
+
+  def mm3(mhi, mlo, u):
+    uhi = u.astype(jnp.bfloat16)
+    ulo = (u - uhi.astype(u.dtype)).astype(jnp.bfloat16)
+    return (jnp.dot(mhi, uhi, preferred_element_type=u.dtype)
+            + jnp.dot(mhi, ulo, preferred_element_type=u.dtype)
+            + jnp.dot(mlo, uhi, preferred_element_type=u.dtype))
+
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    u = [u_ref[a] for a in range(k)]                  # (k^2, TE) slices
+    w2u = [mm3(w2hi, w2lo, u[a]) for a in range(k)]
+    for a in range(k):
+      acc = sum((c11 * at_row[a][b]) * w2u[b] for b in range(k))
+      out_ref[a] = w1[a] * mm3(a2hi, a2lo, u[a]) + acc
+
+
+def stiffness3d_el_pallas_pair(us, c_uniform, w1, dmat, *,
+                               tile_e: int = 512,
+                               interpret: bool = False):
+  """Congruent 3D stiffness via pair-axis (k^2, k^2) MXU matmuls.
+
+  The machine-balance sweet spot between the fused sum-factorized
+  congruent kernel (VPU-chain bound at ~40% of the HBM roofline) and the
+  full dense (k^3, k^3) matmul (3x too many MXU flops to hide behind the
+  HBM stream in bf16x3): grouping the (eta, zeta) pair gives
+  2 x 2 k^2 = 4 k^2 flops/point on the MXU (~24 us per apply at 16^3:7
+  in bf16x3, under the ~61 us HBM window) plus a 2k flops/point VPU
+  chain — both hidden behind the bandwidth stream, so the apply runs at
+  the in+out-traffic roofline.  Always bf16x3 (the split constants cost
+  nothing; accuracy ~1e-5 relative, gate in tests/bench).
+
+  Args/returns as `stiffness3d_el_pallas_uniform`.
+  """
+  import numpy as np
+
+  c = len(us)
+  k = us[0].shape[0]
+  num_e = us[0].shape[3]
+  k2 = k * k
+  itemsize = us[0].dtype.itemsize
+  while tile_e > 128 and 4 * c * k * k2 * tile_e * itemsize >= 12 * 2 ** 20:
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  w64 = np.asarray(w1, dtype=np.float64)
+  d64 = np.asarray(dmat, dtype=np.float64)
+  wm = np.diag(w64)
+  at = d64.T @ wm @ d64
+  c11, c22, c33 = (float(v) for v in c_uniform)
+  a2_64 = c22 * np.kron(at, wm) + c33 * np.kron(wm, at)
+  w2_64 = np.diag(np.kron(w64, w64))
+
+  def split(m64):
+    m32 = jnp.asarray(m64, dtype=jnp.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+  a2hi, a2lo = split(a2_64)
+  w2hi, w2lo = split(w2_64)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((k, k2, tile_e), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+  mspec = pl.BlockSpec((k2, k2), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(k, k2, num_e)
+  outs = pl.pallas_call(
+      functools.partial(
+          _kernel_3d_pair, num_components=c, c11=c11,
+          at_row=tuple(tuple(float(v) for v in row) for row in at),
+          w1=tuple(float(v) for v in w64)),
+      out_shape=[jax.ShapeDtypeStruct((k, k2, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=[mspec] * 4 + [block] * c,
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(a2hi, a2lo, w2hi, w2lo, *[flat(u) for u in us])
+  return tuple(o.reshape(k, k, k, num_e) for o in outs)
+
+
 def stiffness3d_el_pallas(us, gs, dmat, *, tile_e: int = 128,
                           interpret: bool = False):
   """Component-batched fused 3D stiffness apply.

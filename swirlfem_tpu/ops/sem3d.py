@@ -227,6 +227,11 @@ class Sem3DOps:
     """
     if self.use_pallas:
       if self.c_uniform is not None and self.use_uniform_kernel:
+        if self.uniform_kernel_impl == 'pair':
+          from swirlfem_tpu.ops.pallas_stiffness3d import (
+              stiffness3d_el_pallas_pair)
+          return stiffness3d_el_pallas_pair(us, self.c_uniform, self.w1,
+                                            self.dmat)
         if self.uniform_kernel_impl == 'dense':
           from swirlfem_tpu.ops.pallas_stiffness3d import (
               stiffness3d_el_pallas_dense)

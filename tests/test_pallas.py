@@ -277,6 +277,35 @@ def test_pallas_stiffness3d_dense_matches_einsum():
   assert ops_dense.uniform_kernel_impl == 'fused'
 
 
+def test_pallas_stiffness3d_pair_matches_einsum():
+  """Pair-axis congruent kernel (two (k^2, k^2) bf16x3 MXU matmuls per
+  xi-slab + VPU xi chain) vs the einsum oracle, interpret mode."""
+  from swirlfem_tpu.ops.pallas_stiffness3d import stiffness3d_el_pallas_pair
+  sem = StokesSEM.create(unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2)),
+                         {}, order=3)
+  ops = sem.fast_ops
+  assert ops.c_uniform is not None
+  rng = np.random.default_rng(9)
+  k = 4
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, 8)), jnp.float32)
+             for _ in range(3))
+  ref = ops.stiffness_el_multi(us)
+  got = stiffness3d_el_pallas_pair(us, ops.c_uniform, ops.w1, ops.dmat,
+                                   interpret=True)
+  scale = max(float(jnp.abs(r).max()) for r in ref)
+  for g, r in zip(got, ref):
+    # bf16x3 arithmetic: ~1e-5 relative against the f32 einsum oracle.
+    np.testing.assert_allclose(np.asarray(g, np.float64),
+                               np.asarray(r, np.float64),
+                               atol=5e-5 * scale)
+  got_tiled = stiffness3d_el_pallas_pair(us, ops.c_uniform, ops.w1,
+                                         ops.dmat, tile_e=4, interpret=True)
+  for g, r in zip(got_tiled, ref):
+    np.testing.assert_allclose(np.asarray(g, np.float64),
+                               np.asarray(r, np.float64),
+                               atol=5e-5 * scale)
+
+
 def test_sem3d_uniform_detection_rejects_warped():
   """A non-axis-aligned warp must disable the congruent fast path."""
   premesh = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
