@@ -72,9 +72,16 @@ def solve_one_step(us, ps, cus, f, sem, config, preconds=None):
   cu = sum(ext[-i] * cus[-i] for i in range(1, len(ext) + 1))
   f = f + kolmogorov_forcing(config, sem.velocity.mesh.node_coords, us[-1])
   f = -cu + sem.B(f)
+  # maxiter caps the CG while_loops: with exact FDM preconds both solves
+  # certify in 0-2 iterations, but the default cap is 10x the problem
+  # size and a single below-floor wander (observed once ~step 790 of a
+  # chip run: the dispatch blocked for minutes with zero host CPU) can
+  # spin one step effectively forever.  A 200 cap is numerically inert
+  # on the healthy path and bounds the pathological one.
   u, p, _ = sem.stokes_one_step(
       list(us), list(ps), f, mu=1.0 / config.reynolds_number, dt=config.dt,
       alpha=config.alpha, time_order=config.time_order, tol=0.0, atol=1e-7,
+      maxiter=200,
       viscous_preconditioner=vprecond, pressure_preconditioner=pprecond)
   return u, p, sem.C(u)
 
