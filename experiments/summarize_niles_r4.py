@@ -81,16 +81,27 @@ def sde_summary(result):
 
 def main():
   summary = {'seeds': {}, 'sde': None}
+  weights = {}
   for path in sorted(glob.glob(
       os.path.join(HERE, 'niles_convergence_ref20k_result_spec_s*.json'))):
     result = load(path)
-    seed = result.get('config', {}).get('seed', '?')
-    summary['seeds'][f'seed{seed}'] = seed_summary(result)
+    cfg = result.get('config', {})
+    seed = cfg.get('seed', '?')
+    key = f'seed{seed}_w{cfg.get("spectrum_loss_weight", 0)}'
+    summary['seeds'][key] = seed_summary(result)
+    weights[key] = cfg.get('spectrum_loss_weight', 0)
   sde_path = os.path.join(HERE, 'niles_convergence_ref20k_result_sde.json')
   if os.path.exists(sde_path):
     summary['sde'] = sde_summary(load(sde_path))
-  summary['both_seeds_win_all'] = bool(summary['seeds']) and all(
-      s['all_required_wins'] for s in summary['seeds'].values())
+  # Headline claim: every seed of the FLAGSHIP recipe (the largest
+  # spectrum weight) wins all required metrics; smaller-weight runs are
+  # dose-response ablation points.
+  wmax = max(weights.values(), default=0)
+  flagship = [k for k, w in weights.items() if w == wmax]
+  summary['flagship_weight'] = wmax
+  summary['flagship_seeds'] = flagship
+  summary['both_seeds_win_all'] = len(flagship) >= 2 and all(
+      summary['seeds'][k]['all_required_wins'] for k in flagship)
   out = os.path.join(HERE, 'niles_r4_summary.json')
   with open(out + '.tmp', 'w') as fh:
     json.dump(summary, fh, indent=1)
