@@ -193,6 +193,9 @@ def main():
   ap.add_argument('--spectrum_weight', type=float, default=0.0,
                   help='weight on the training-time log-spectrum loss '
                        '(config.spectrum_loss_weight)')
+  ap.add_argument('--final_eval_batch', type=int, default=0,
+                  help='run one final-checkpoint eval pass at this batch '
+                       'size (the reference evaluates at 128)')
   ap.add_argument('--suffix', default='',
                   help='suffix for the result filename')
   args = ap.parse_args()
@@ -238,6 +241,8 @@ def main():
     cfg.learning_rate = args.lr
   cfg.seed = args.seed
   cfg.spectrum_loss_weight = args.spectrum_weight
+  if args.final_eval_batch:
+    cfg.final_eval_batch_size = args.final_eval_batch
   if args.seed or args.spectrum_weight:
     # Seed/ablation runs each need their own checkpoint dir — restoring a
     # previous variant's checkpoint would silently skip training.
@@ -283,6 +288,8 @@ def main():
 
   losses = [h['train_mse'] for h in history['train'] if 'train_mse' in h]
   evals = [h for h in history['eval'] if 'eval_mse' in h]
+  final_batch_evals = [h for h in history['eval']
+                       if any(k.startswith('eval_final') for k in h)]
   result = {
       'config': {'element_grid_size': frozen.element_grid_size,
                  'order': frozen.order,
@@ -306,6 +313,11 @@ def main():
       'last_train_mse': losses[-1] if losses else None,
       'improvement': (1 - losses[-1] / losses[0]) if losses else None,
   }
+  if final_batch_evals:
+    # Final-checkpoint eval at the reference batch size (VERDICT r4 #9).
+    result['final_batch_eval'] = {
+        k: round(v, 6) for k, v in final_batch_evals[-1].items()
+        if 'logspec' not in k}
   if evals and 'eval_mse_baseline' in evals[-1]:
     last = evals[-1]
     result['final_eval_mse'] = last['eval_mse']

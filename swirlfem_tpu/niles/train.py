@@ -78,12 +78,21 @@ def solve_one_step(us, ps, cus, f, sem, config, preconds=None):
   # chip run: the dispatch blocked for minutes with zero host CPU) can
   # spin one step effectively forever.  A 200 cap is numerically inert
   # on the healthy path and bounds the pathological one.
-  u, p, _ = sem.stokes_one_step(
+  u, p, aux = sem.stokes_one_step(
       list(us), list(ps), f, mu=1.0 / config.reynolds_number, dt=config.dt,
       alpha=config.alpha, time_order=config.time_order, tol=0.0, atol=1e-7,
       maxiter=200,
       viscous_preconditioner=vprecond, pressure_preconditioner=pprecond)
-  return u, p, sem.C(u)
+  # Solve-convergence telemetry: surfaced into the training metrics so every
+  # campaign artifact PROVES the maxiter cap above was inert (iterations far
+  # below the cap) instead of asserting it in a comment.
+  cg_stats = {
+      'cg_u_iters': aux['u_star_info']['num_iterations'].astype(jnp.float32),
+      'cg_p_iters': aux['dp_info']['num_iterations'].astype(jnp.float32),
+      'cg_u_resid': aux['u_star_info']['residual'].astype(jnp.float32),
+      'cg_p_resid': aux['dp_info']['residual'].astype(jnp.float32),
+  }
+  return u, p, sem.C(u), cg_stats
 
 
 def make_solver_preconds(sem, config):
@@ -214,7 +223,7 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
   vmesh = sem.velocity.mesh
 
   def body_fn(carry, i):
-    us, ps, cus, prev_aux = carry
+    us, ps, cus, prev_aux, prev_cg = carry
     z_key = jax.random.fold_in(z_rng, i)
     drop_key = jax.random.fold_in(dropout_rng, i)
 
@@ -240,19 +249,24 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
          vmesh.ndim)).astype(us[-1].dtype)
     forcing = jax.vmap(sem.velocity.scatter)(forcing)
 
-    u, p, cu = jax.vmap(
+    u, p, cu, cg = jax.vmap(
         functools.partial(solve_one_step, sem=sem, config=config,
                           preconds=preconds))(
             us, ps, cus, forcing)
 
     new_aux = {k: (aux[k] + prev_aux[k] if k in ('kl_path', 'kl_q0')
                    else aux[k]) for k in prev_aux}
-    return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (cu,), new_aux), u
+    # Running max over rollout steps and batch of the CG telemetry.
+    new_cg = {k: jnp.maximum(prev_cg[k], jnp.max(v)) for k, v in cg.items()}
+    return (us[1:] + (u,), ps[1:] + (p,), cus[1:] + (cu,), new_aux,
+            new_cg), u
 
   num_solver_steps = config.num_steps if train else config.eval_num_steps
   zeros = jnp.zeros(batch_size, dtype=jnp.float32)
   aux0 = {k: zeros for k in
           ('kl_q0', 'kl_path', 'z0_means', 'z1_means', 'z1_stds')}
+  cg0 = {k: jnp.zeros((), dtype=jnp.float32) for k in
+         ('cg_u_iters', 'cg_p_iters', 'cg_u_resid', 'cg_p_resid')}
   if config.get('remat', False):
     # Rematerialize each rollout step in the backward pass: the scan
     # otherwise stores every step's transformer activations AND solver
@@ -262,8 +276,8 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
     # jax.checkpoint move for solver-in-the-loop training.  prevent_cse
     # is unnecessary under lax.scan (per jax.checkpoint docs).
     body_fn = jax.checkpoint(body_fn, prevent_cse=False)
-  (_, _, _, aux), preds = lax.scan(
-      body_fn, (us, ps, cus, aux0),
+  (_, _, _, aux, cg_max), preds = lax.scan(
+      body_fn, (us, ps, cus, aux0, cg0),
       jnp.arange(num_solver_steps, dtype=jnp.int32))
   preds = jnp.moveaxis(preds, 0, 1)  # (batch, steps, nodes, ndim)
 
@@ -285,6 +299,11 @@ def compute_mse_loss(batch, params, model_apply_fn, step_rng, kl_penalty,
       'z0_means': jnp.abs(aux['z0_means']).mean(),
       'z1_means': jnp.abs(aux['z1_means']).mean(),
       'z1_stds': jnp.abs(aux['z1_stds']).mean(),
+      # Rollout-max CG telemetry (proves the maxiter=200 cap is inert).
+      'cg_max_iters': jnp.maximum(cg_max['cg_u_iters'],
+                                  cg_max['cg_p_iters']),
+      'cg_max_resid': jnp.maximum(cg_max['cg_u_resid'],
+                                  cg_max['cg_p_resid']),
   }
 
   if train and to_grid is not None and spectrum_weight > 0:
@@ -338,6 +357,9 @@ def compute_metrics(loss, aux, train: bool):
       'z1_means': aux['z1_means'],
       'z1_stds': aux['z1_stds'],
   }
+  for k in ('cg_max_iters', 'cg_max_resid'):
+    if k in aux:
+      metrics[k] = aux[k]
   if train and 'spec_err' in aux:
     metrics['spec_err'] = aux['spec_err']
   if not train:
@@ -617,8 +639,8 @@ def train_and_evaluate(config, workdir: str):
     if config.log_every_steps:
       train_metrics.append(jax.device_get(metrics))
       if (step + 1) % config.log_every_steps == 0:
-        stacked = {k: np.mean([m[k] for m in train_metrics])
-                   for k in train_metrics[0]}
+        stacked = {k: (np.max if k.startswith('cg_max') else np.mean)(
+            [m[k] for m in train_metrics]) for k in train_metrics[0]}
         stacked['steps_per_second'] = config.log_every_steps / (
             time.time() - last_t)
         logging.info('step %d: %s', step + 1,
@@ -634,7 +656,8 @@ def train_and_evaluate(config, workdir: str):
         evals.append(jax.device_get(
             p_eval_step(state, eval_batch,
                         jax.random.fold_in(eval_rng, step))))
-      summary = {k: np.mean([m[k] for m in evals]) for k in evals[0]}
+      summary = {k: (np.max if k.startswith('cg_max') else np.mean)(
+          [m[k] for m in evals]) for k in evals[0]}
       logging.info(
           'eval at step %d: loss %.5f  %s', step + 1, summary['loss'],
           {k: round(float(v), 6) for k, v in summary.items()
@@ -647,6 +670,29 @@ def train_and_evaluate(config, workdir: str):
 
   if profile is not None:
     profile.close()
+
+  # Final-checkpoint eval at an arbitrary (e.g. the reference's 128) batch
+  # size: the flagship comparisons train at batch 16 on one chip, but the
+  # reference regime evaluates at batch 128 (swirl_fem/niles/train.py:630 +
+  # config batch_size=128); this closes that evidence gap cheaply.
+  fe_batch = config.get('final_eval_batch_size', 0)
+  if fe_batch:
+    fe_local = fe_batch // jax.process_count()
+    fe_iter = input_pipeline.create_split(fe_local, False, config)
+    evals = []
+    for i in range(config.steps_per_eval):
+      eval_batch = put_batch(next(fe_iter))
+      evals.append(jax.device_get(
+          p_eval_step(state, eval_batch,
+                      jax.random.fold_in(eval_rng, 10**6 + i))))
+    summary = {k: (np.max if k.startswith('cg_max') else np.mean)(
+        [m[k] for m in evals]) for k in evals[0]}
+    logging.info('final eval (batch %d): %s', fe_batch,
+                 {k: round(float(v), 6) for k, v in summary.items()
+                  if k.startswith('mse') or k.startswith('tke_err')})
+    writer.write_scalars(
+        num_steps + 1,
+        {f'eval_final{fe_batch}_{k}': float(v) for k, v in summary.items()})
   manager.wait_until_finished()
   writer.flush()
   return state
