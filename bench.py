@@ -387,6 +387,12 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
   # Pair-axis congruent kernel: two (k^2, k^2) matmuls per xi-slab
   # (MXU) + a 2k-flops/point VPU xi chain.
   counts_pair = (3 * (4 * kk * kk + 2 * kk) * pts3, 3 * 2 * pts3 * 4)
+  # Pair-axis GENERAL kernel (VERDICT r4 #2): two stacked (2k^2, k^2)
+  # derivative matmuls per xi-slab (8k^2 flops/point MXU) + 4k/point VPU
+  # xi chains + 15/point flux; factor fields still stream (same bytes as
+  # the fused general kernel).
+  counts_pair_g = (3 * (8 * kk * kk + 4 * kk + 15) * pts3,
+                   (2 * 3 + 6) * pts3 * 4)
 
   # The congruent kernels (no factor-field streams) are the default on
   # uniform boxes; fused (sum-factorized) and dense ((k^3, k^3) matmul at
@@ -439,6 +445,25 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
       both.append(measure(ops.replace(use_uniform_kernel=False),
                           'fused general (6 factor fields)',
                           *counts_fused_g))
+    if _remaining() > 90:
+      # General pair-axis kernel, gated against the f64 element operator
+      # (on this congruent box the streamed factors equal the analytic
+      # ones, so the Kronecker oracle still applies).
+      ops_pg = ops.replace(use_uniform_kernel=False,
+                           general_kernel_impl='pair')
+      try:
+        err_v = gated_err(ops_pg)
+        if err_v < 1e-4:
+          e = measure(ops_pg, 'pair general (factor streams, bf16x3)',
+                      *counts_pair_g)
+          e['bf16x3_rel_err'] = err_v
+          both.append(e)
+        else:
+          print(f'pair general 3D kernel err {err_v:.2e} fails the 1e-4 '
+                'gate', file=sys.stderr)
+      except Exception as exc:  # pylint: disable=broad-except
+        print(f'pair general 3D kernel failed ({type(exc).__name__}: '
+              f'{exc}); skipping', file=sys.stderr)
   else:
     both.append(measure(ops, 'fused general (6 factor fields)',
                         *counts_fused_g))

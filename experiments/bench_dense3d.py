@@ -90,6 +90,11 @@ def main():
       ('dense_f32', ops.replace(uniform_kernel_impl='dense')),
       ('dense_bf16x3', ops.replace(uniform_kernel_impl='dense',
                                    kernel_precision='bf16x3')),
+      # General (warped-mesh) path variants, measured on the same box with
+      # the factor fields streamed (VERDICT r4 #2 A/B).
+      ('general_fused', ops.replace(use_uniform_kernel=False)),
+      ('general_pair_bf16x3', ops.replace(use_uniform_kernel=False,
+                                          general_kernel_impl='pair')),
   ]
   out = {'workload': f'3D {n_el}^3 elements order {order}, 3 components',
          'num_dofs': num_dofs, 'device': str(device), 'kernels': []}

@@ -390,6 +390,122 @@ def stiffness3d_el_pallas_pair(us, c_uniform, w1, dmat, *,
   return tuple(o.reshape(k, k, k, num_e) for o in outs)
 
 
+def _kernel_3d_pair_general(dphi_ref, dplo_ref, dthi_ref, dtlo_ref, *refs,
+                            num_components: int, d_rows):
+  """General (warped-mesh) pair-axis kernel body.
+
+  Blocks are ``(k, k^2, TE)`` with the (eta, zeta) pair merged on the
+  sublane axis.  Per xi-slab ``a`` and component:
+
+      [us; ut] = DP @ u[a]          one stacked (2k^2, k^2) bf16x3 matmul
+      (fa, fb, fc) = G(a) . (ur, us, ut)   pointwise flux (VPU, streamed G)
+      out[a] = DP^T @ [fb; fc] + sum_m d[m, a] fa[m]
+
+  with ``DP = [D_eta (x) I; I (x) D_zeta]`` STATIC, split hi/lo for three
+  bf16 MXU passes; the xi derivative and its transpose stay k^2-term
+  static-float VPU FMA chains, exactly as in the congruent pair kernel
+  (`_kernel_3d_pair`).  Same HBM traffic as `_kernel_3d` (the six factor
+  fields still stream), but the eta/zeta work rides the MXU instead of
+  Mosaic-overhead-bound VPU chains.
+  """
+  u_refs = refs[:num_components]
+  g11, g12, g13, g22, g23, g33 = refs[num_components:num_components + 6]
+  out_refs = refs[num_components + 6:]
+  dp_hi, dp_lo = dphi_ref[:], dplo_ref[:]    # (2k^2, k^2)
+  dt_hi, dt_lo = dthi_ref[:], dtlo_ref[:]    # (k^2, 2k^2)
+  k = len(d_rows)
+  k2 = k * k
+
+  def mm3(mhi, mlo, x):
+    xhi = x.astype(jnp.bfloat16)
+    xlo = (x - xhi.astype(x.dtype)).astype(jnp.bfloat16)
+    return (jnp.dot(mhi, xhi, preferred_element_type=x.dtype)
+            + jnp.dot(mhi, xlo, preferred_element_type=x.dtype)
+            + jnp.dot(mlo, xhi, preferred_element_type=x.dtype))
+
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    u = [u_ref[a] for a in range(k)]                  # (k^2, TE) slices
+    # xi-derivative: static-float VPU chain.
+    ur = [sum(d_rows[a][m] * u[m] for m in range(k)) for a in range(k)]
+    fa, pair = [], []
+    for a in range(k):
+      st = mm3(dp_hi, dp_lo, u[a])                    # (2k^2, TE)
+      s_, t_ = st[:k2], st[k2:]
+      r = ur[a]
+      fa.append(g11[a] * r + g12[a] * s_ + g13[a] * t_)
+      fb = g12[a] * r + g22[a] * s_ + g23[a] * t_
+      fc = g13[a] * r + g23[a] * s_ + g33[a] * t_
+      pair.append(mm3(dt_hi, dt_lo, jnp.concatenate([fb, fc], axis=0)))
+    # Transposed xi stage + the pair contribution.
+    for m in range(k):
+      out_ref[m] = pair[m] + sum(d_rows[a][m] * fa[a] for a in range(k))
+
+
+def stiffness3d_el_pallas_pair_general(us, gs, dmat, *, tile_e: int = 256,
+                                       interpret: bool = False):
+  """General-mesh 3D stiffness with pair-axis MXU derivatives (bf16x3).
+
+  The warped-mesh counterpart of `stiffness3d_el_pallas_pair` (VERDICT r4
+  #2): identical HBM traffic to the fused general kernel
+  (`stiffness3d_el_pallas` — C inputs + 6 factor fields in, C outputs
+  out), but the eta/zeta derivative and transposed-derivative stages run
+  as one stacked ``(2k^2, k^2) x (k^2, TE)`` and one
+  ``(k^2, 2k^2) x (2k^2, TE)`` bf16x3 MXU matmul per xi-slab instead of
+  ~k^3 scalar-weighted VPU FMAs — the restructuring that took the
+  congruent kernel from 40% to 66% of its HBM roofline.  bf16x3 is
+  ~1e-5 relative against the f32 einsum oracle (gate in tests/bench, as
+  for the congruent pair kernel).
+
+  Args/returns as `stiffness3d_el_pallas`.
+  """
+  import numpy as np
+
+  c = len(us)
+  k = us[0].shape[0]
+  num_e = us[0].shape[3]
+  k2 = k * k
+  itemsize = us[0].dtype.itemsize
+  # VMEM: (2C + 6) double-buffered (k^3, tile) blocks + slab temporaries.
+  while (tile_e > 128
+         and 2 * (2 * c + 6) * k * k2 * tile_e * itemsize >= 12 * 2 ** 20):
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  d64 = np.asarray(dmat, dtype=np.float64)
+  eye = np.eye(k)
+  dp64 = np.vstack([np.kron(d64, eye), np.kron(eye, d64)])  # (2k^2, k^2)
+
+  def split(m64):
+    m32 = jnp.asarray(m64, dtype=jnp.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+  dphi, dplo = split(dp64)
+  dthi, dtlo = split(dp64.T)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((k, k2, tile_e), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+  dpspec = pl.BlockSpec((2 * k2, k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+  dtspec = pl.BlockSpec((k2, 2 * k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(k, k2, num_e)
+  outs = pl.pallas_call(
+      functools.partial(
+          _kernel_3d_pair_general, num_components=c,
+          d_rows=tuple(tuple(float(v) for v in row) for row in d64)),
+      out_shape=[jax.ShapeDtypeStruct((k, k2, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=[dpspec, dpspec, dtspec, dtspec] + [block] * (c + 6),
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(dphi, dplo, dthi, dtlo, *[flat(u) for u in us], *[flat(g) for g in gs])
+  return tuple(o.reshape(k, k, k, num_e) for o in outs)
+
+
 def stiffness3d_el_pallas(us, gs, dmat, *, tile_e: int = 128,
                           interpret: bool = False):
   """Component-batched fused 3D stiffness apply.
