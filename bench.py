@@ -162,29 +162,55 @@ def _peaks_for(device_kind):
   return None
 
 
-def _timeit(fn, *args, iters=3, warmup=1, repeats=5):
+def _timeit(fn, *args, iters=3, warmup=1, repeats=5, max_retries=2):
   """Repeat-median timing (VERDICT r3 #5): ``repeats`` independent timed
   passes of ``iters`` back-to-back calls each; returns a stats dict
   ``{median, min, max, n}`` in seconds per call.  Round-over-round drift of
   a single-pass measurement through the tunneled chip was ~4% and
   uninterpretable; the median of >=5 passes plus the reported dispersion
-  makes regression vs run-to-run noise distinguishable."""
+  makes regression vs run-to-run noise distinguishable.
+
+  Dispersion defense (VERDICT r4 #7): when a pass set spreads >10%
+  (max-min over median) the whole set is re-measured up to ``max_retries``
+  times (budget permitting) and the LOWEST-dispersion set wins; the number
+  of retries burned ships in the stats.  BENCH_r04 recorded a
+  degraded-chip 63.6 GDOF/s an hour before a healthy 67.8 — a single
+  noisy set must not become the round's number when 20 more seconds of
+  measuring fixes it."""
   import jax
   for _ in range(warmup):
     out = fn(*args)
   jax.block_until_ready(out)
-  times = []
-  for _ in range(repeats):
-    start = time.perf_counter()
-    for _ in range(iters):
-      out = fn(*args)
-    jax.block_until_ready(out)
-    times.append((time.perf_counter() - start) / iters)
-  times.sort()
-  k = len(times)
-  med = (times[k // 2] if k % 2
-         else 0.5 * (times[k // 2 - 1] + times[k // 2]))
-  return {'median': med, 'min': times[0], 'max': times[-1], 'n': k}
+
+  def one_set():
+    times = []
+    for _ in range(repeats):
+      start = time.perf_counter()
+      for _ in range(iters):
+        out = fn(*args)
+      jax.block_until_ready(out)
+      times.append((time.perf_counter() - start) / iters)
+    times.sort()
+    k = len(times)
+    med = (times[k // 2] if k % 2
+           else 0.5 * (times[k // 2 - 1] + times[k // 2]))
+    return {'median': med, 'min': times[0], 'max': times[-1], 'n': k}
+
+  best = one_set()
+  retries = 0
+  while (_dispersion_pct(best) > 10.0 and retries < max_retries
+         and _remaining() > 90):
+    retries += 1
+    _stage(f'dispersion {_dispersion_pct(best):.1f}% > 10%: '
+           f'retry {retries}/{max_retries}')
+    cand = one_set()
+    if _dispersion_pct(cand) < _dispersion_pct(best):
+      best = cand
+  if retries:
+    best['retries'] = retries
+  if _dispersion_pct(best) > 10.0:
+    best['degraded'] = True
+  return best
 
 
 def _dispersion_pct(stats):
@@ -197,6 +223,9 @@ def _stats_ms(stats, chain=1):
          for k in ('median', 'min', 'max')}
   out['n'] = stats['n']
   out['dispersion_pct'] = round(_dispersion_pct(stats), 2)
+  for k in ('retries', 'degraded'):
+    if k in stats:
+      out[k] = stats[k]
   return out
 
 
@@ -213,7 +242,8 @@ def _chained(apply_fn, chain):
 def _timeit_chained(apply_fn, u, chain=10, iters=3, jitted=None, repeats=5):
   stats = _timeit(jitted or _chained(apply_fn, chain), u, iters=iters,
                   repeats=repeats)
-  return {k: (v / chain if k != 'n' else v) for k, v in stats.items()}
+  return {k: (v / chain if k in ('median', 'min', 'max') else v)
+          for k, v in stats.items()}
 
 
 def _stiffness_counts(ndim, order, num_elems, num_components,
@@ -450,11 +480,11 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
       # (on this congruent box the streamed factors equal the analytic
       # ones, so the Kronecker oracle still applies).
       ops_pg = ops.replace(use_uniform_kernel=False,
-                           general_kernel_impl='pair')
+                           general_kernel_impl='pairs2')
       try:
         err_v = gated_err(ops_pg)
         if err_v < 1e-4:
-          e = measure(ops_pg, 'pair general (factor streams, bf16x3)',
+          e = measure(ops_pg, 'pair general (superslab-2, bf16x3)',
                       *counts_pair_g)
           e['bf16x3_rel_err'] = err_v
           both.append(e)
@@ -478,7 +508,7 @@ def _bench_3d_stiffness(device, dtype, peaks, on_tpu):
   return out
 
 
-def run_bench(on_tpu, device_kind):
+def run_bench(on_tpu, device_kind, probe_s=None):
   import jax
   import jax.numpy as jnp
   import numpy as np
@@ -489,6 +519,18 @@ def run_bench(on_tpu, device_kind):
 
   dtype = jnp.float32
   peaks = _peaks_for(device_kind) if on_tpu else None
+
+  # Chip-health preamble (VERDICT r4 #7): probe latency + first in-process
+  # dispatch time, so a degraded-worker round is attributable.  Healthy:
+  # probe ~2 s, first dispatch <5 s; a wedged worker shows minutes.
+  chip_health = {'probe_s': round(probe_s, 2) if probe_s else None}
+  if on_tpu:
+    t0 = time.time()
+    jax.block_until_ready(
+        jnp.ones((256, 256)) @ jnp.ones((256, 256)))
+    chip_health['first_dispatch_s'] = round(time.time() - t0, 2)
+    _stage(f'chip health: probe {chip_health["probe_s"]} s, '
+           f'first dispatch {chip_health["first_dispatch_s"]} s')
 
   _stage('building 2D solver (host)')
   premesh = unit_cube_mesh(N_ELEMS, ndim=2, periodic_dims=(0, 1))
@@ -697,6 +739,7 @@ def run_bench(on_tpu, device_kind):
       'nse_step_ms': round(t_step * 1e3, 4) if t_step else 'skipped (budget)',
       'nse_step_ms_stats': _stats_ms(st_step) if st_step else None,
       'device': str(jax.devices()[0]),
+      'chip_health': chip_health,
       'roofline': roofline,
   }
   if headline_disp > 10.0:
@@ -727,9 +770,11 @@ def run_bench(on_tpu, device_kind):
 def main():
   threading.Thread(target=_watchdog, daemon=True).start()
   _stage('probing TPU')
+  t0 = time.time()
   device_kind = _probe_tpu()
+  probe_s = time.time() - t0
   on_tpu = device_kind is not None
-  _stage(f'probe done: {device_kind}')
+  _stage(f'probe done: {device_kind} ({probe_s:.1f} s)')
   import jax
   _enable_compilation_cache()
   if not on_tpu:
@@ -739,7 +784,7 @@ def main():
     print('TPU unavailable (probe failed); CPU fallback numbers',
           file=sys.stderr)
   try:
-    result = run_bench(on_tpu, device_kind)
+    result = run_bench(on_tpu, device_kind, probe_s=probe_s)
   except Exception as e:  # pylint: disable=broad-except
     # The driver must always get one parsed JSON metric line (rc=0).
     import traceback

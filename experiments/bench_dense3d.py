@@ -95,6 +95,10 @@ def main():
       ('general_fused', ops.replace(use_uniform_kernel=False)),
       ('general_pair_bf16x3', ops.replace(use_uniform_kernel=False,
                                           general_kernel_impl='pair')),
+      ('general_pairs2_bf16x3', ops.replace(use_uniform_kernel=False,
+                                            general_kernel_impl='pairs2')),
+      ('general_pairs4_bf16x3', ops.replace(use_uniform_kernel=False,
+                                            general_kernel_impl='pairs4')),
   ]
   out = {'workload': f'3D {n_el}^3 elements order {order}, 3 components',
          'num_dofs': num_dofs, 'device': str(device), 'kernels': []}

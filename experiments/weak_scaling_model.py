@@ -82,6 +82,21 @@ def run_single(num_devices: int) -> dict:
   out['neighbor_payload_floats_per_device'] = int(nt.neighbor_payload)
   out['neighbor_rounds'] = len(nt.perms)
 
+  # Owner-based two-round schedule (VERDICT r4 #5): per-device true
+  # payload = busiest device's phase-1 sends + phase-2 sends (the ragged
+  # collective moves exactly these), always 2 collective rounds.
+  sem_ow = StokesSEM.create(pm, bcs, order=ORDER, axis_name='space',
+                            device_mesh=dmesh, exchange_mode='owner')
+  ot = sem_ow.velocity.vspace.mesh.exchange_neighbors
+  from swirlfem_tpu.core import topology as _topo
+  assert isinstance(ot, _topo.OwnerExchange)
+  s1 = np.asarray(ot.send_ranks) != _topo.SENTINEL
+  s2 = np.asarray(ot.send_ranks_t) != _topo.SENTINEL
+  per_dev = s1.sum(axis=(1, 2)) + s2.sum(axis=(1, 2))
+  out['owner_payload_floats_per_device'] = int(per_dev.max())
+  out['owner_padded_payload_per_device'] = int(ot.padded_payload)
+  out['owner_rounds'] = 2
+
   # Execute one partitioned step (neighbor exchange) and parity-check it
   # against the unpartitioned oracle — the scaling claim is only worth
   # stating for a step that actually runs at this device count.
@@ -119,6 +134,18 @@ def run_single(num_devices: int) -> dict:
                        - np.asarray(p_exp)[p_idx[valid_p]]).max())
   assert err_u < 1e-8 and err_p < 1e-7, (err_u, err_p)
   out['step_parity'] = {'u': err_u, 'p': err_p}
+
+  # Same executed-step parity for the owner-mode exchange.
+  u_got, p_got, _ = run(sem_ow,
+                        [shard_v(np.asarray(u)) for u in (u0, 0.9 * u0)],
+                        [shard_p(np.asarray(p)) for p in (p0, 0.9 * p0)],
+                        jnp.zeros_like(shard_v(np.asarray(u0))))
+  err_u = float(np.abs(np.asarray(u_got)[valid_v]
+                       - np.asarray(u_exp)[v_idx[valid_v]]).max())
+  err_p = float(np.abs(np.asarray(p_got)[valid_p]
+                       - np.asarray(p_exp)[p_idx[valid_p]]).max())
+  assert err_u < 1e-8 and err_p < 1e-7, ('owner', err_u, err_p)
+  out['owner_step_parity'] = {'u': err_u, 'p': err_p}
   return out
 
 
@@ -129,7 +156,7 @@ def cost_model(points: list[dict]) -> dict:
   # workload (2D 64x64 order 8), measured on the attached v5e.
   t_step_s = 0.5e-3
   bench = os.path.join(os.path.dirname(os.path.dirname(
-      os.path.abspath(__file__))), 'BENCH_r03.json')
+      os.path.abspath(__file__))), 'BENCH_r04.json')
   try:
     with open(bench) as fh:
       t_step_s = float(json.load(fh)['parsed']['details']['nse_step_ms']
@@ -157,6 +184,11 @@ def cost_model(points: list[dict]) -> dict:
   base = points[-1]
   nb_bytes = base['neighbor_payload_floats_per_device'] * 4 * scale
   rounds = base['neighbor_rounds']
+  # Owner mode (VERDICT r4 #5): TWO single-collective rounds per exchange
+  # regardless of P; the ragged collective moves the true per-device
+  # payload (measured busiest-device sends, both phases).
+  ow_bytes = base['owner_payload_floats_per_device'] * 4 * scale
+  ow_rounds = base['owner_rounds']
   # psum payload per device grows ~linearly with P (measured): fit the
   # per-P slope from the sweep, in production-block units.
   slope = (points[-1]['psum_payload_floats']
@@ -165,6 +197,7 @@ def cost_model(points: list[dict]) -> dict:
   curve = []
   for chips in (8, 16, 32, 64, 128, 256):
     t_nb = n_exch * (rounds * t_lat + nb_bytes / bw_ici)
+    t_ow = n_exch * (ow_rounds * t_lat + ow_bytes / bw_ici)
     # psum = allreduce of the whole shared vector: 2(P-1)/P * bytes over
     # the slowest link with ring scheduling; latency log2 P rounds.
     psum_bytes = slope * chips
@@ -173,6 +206,9 @@ def cost_model(points: list[dict]) -> dict:
                      + 2.0 * psum_bytes / bw_ici)
     curve.append({
         'chips': chips,
+        'owner2': {
+            'comm_s': t_ow,
+            'efficiency': t_step_s / (t_step_s + t_ow)},
         'neighbors': {
             'comm_s': t_nb,
             'efficiency': t_step_s / (t_step_s + t_nb)},
@@ -221,10 +257,14 @@ def main():
   # (interface-proportional; interior devices have all 8 neighbors from
   # P=16 on), psum payload grows ~linearly with P.
   nb = [pt['neighbor_payload_floats_per_device'] for pt in points]
+  ow = [pt['owner_payload_floats_per_device'] for pt in points]
   ps = [pt['psum_payload_floats'] for pt in points]
   n = [pt['num_devices'] for pt in points]
   assert nb[-1] <= nb[1] * 1.5 + 64, (
       f'neighbor payload should stay ~constant: {nb}')
+  assert ow[-1] <= ow[1] * 1.5 + 64, (
+      f'owner payload should stay ~constant: {ow}')
+  assert all(pt['owner_rounds'] == 2 for pt in points)
   # Asymptotic linearity from the LAST pair: small device grids have a
   # higher boundary-to-interior ratio (P=4 is all corner devices), which
   # contaminates a first-to-last slope.
@@ -236,6 +276,7 @@ def main():
       'measured': points,
       'payload_check': {
           'neighbor_payloads': nb,
+          'owner_payloads': ow,
           'psum_payloads': ps,
           'psum_linear_growth_factor': growth,
       },

@@ -130,10 +130,13 @@ class Premesh:
         allreduce over all shared dofs, the reference's pattern),
         ``'neighbors'`` (matched ppermute rounds among sharing partitions
         only; see :class:`swirlfem_tpu.core.topology.NeighborExchange`),
+        ``'owner'`` (the TWO-round owner-based schedule — one all_to_all
+        of contributions to each dof's owner, one all_to_all of totals
+        back; see :class:`swirlfem_tpu.core.topology.OwnerExchange`),
         or ``'auto'`` (neighbors when it at least halves the payload of a
         large psum).
     """
-    if exchange_mode not in ('auto', 'psum', 'neighbors'):
+    if exchange_mode not in ('auto', 'psum', 'neighbors', 'owner'):
       raise ValueError(f'unknown exchange_mode: {exchange_mode!r}')
     if not self.is_partitioned():
       node_indices = topology.unique_node_indices(
@@ -173,7 +176,9 @@ class Premesh:
     # host-side construction when 'auto' would keep psum anyway.
     psum_payload = (int(uniq.max()) + 1 if uniq is not None
                     else gather_idx.shape[-1])
-    if exchange_mode == 'neighbors' or (
+    if exchange_mode == 'owner':
+      neighbors = topology.build_owner_exchange(gather_idx, uniq)
+    elif exchange_mode == 'neighbors' or (
         exchange_mode == 'auto' and psum_payload >= 4096):
       nt = topology.build_neighbor_exchange(gather_idx, uniq)
       if nt is not None and (

@@ -179,6 +179,176 @@ def build_neighbor_exchange(
       neighbor_payload=int(sum(widths)))
 
 
+@flax.struct.dataclass
+class OwnerExchange:
+  """Static schedule for the owner-based TWO-ROUND exchange (VERDICT r4 #5).
+
+  The edge-colored `NeighborExchange` needs one matched ppermute round per
+  color — 8 rounds on a 2D face+corner partition graph, 26 in 3D — and the
+  ICI cost model shows the neighbor mode is LATENCY-dominated at scale
+  (rounds x exchanges/step, not bytes).  This schedule reduces every
+  exchange to exactly TWO single-collective rounds:
+
+    1. every sharer sends its local contributions for each shared dof to
+       that dof's OWNER (the lowest-id sharer) — one ``lax.all_to_all``;
+    2. the owner sums all contributions in ascending-sharer order and
+       sends the total back to every non-owner sharer — one more
+       ``lax.all_to_all``.
+
+  Consistency is *copy-identical by construction*: each total is computed
+  exactly once (at the owner) and every copy receives those same bits —
+  strictly stronger than the ascending-ordinal bitwise argument the
+  ppermute schedule needs.  Traffic drops too: a dof with K sharers moves
+  2(K-1) values total instead of the pairwise schedule's K(K-1).
+
+  The collective payload is dense-padded: each device sends ``W`` floats
+  to every axis peer (``W`` = max over ordered pairs of their shared-dof
+  count), so the wire payload is ``2 P W`` per device.  On TPU the same
+  static plan drives ``lax.ragged_all_to_all`` (exactly the crystal
+  router's collective, `parallel/crystal_router.py`) carrying only the
+  true ``2 (K-1)``-per-dof bytes; the dense form is the
+  every-backend-correct default and what the CPU parity tests run.
+
+  Attributes:
+    send_ranks: ``(P, P, W)`` — ``[me, dest]`` lists (ascending, SENTINEL
+      padded) the shared-dof ranks whose contribution ``me`` sends to
+      owner ``dest`` in round 1; by symmetry the SAME row lists the ranks
+      whose totals ``me`` receives back from ``dest`` in round 2.
+    send_ranks_t: transpose view ``send_ranks[dest, me]`` stacked per
+      ``me`` — the ranks ``me`` owns that ``dest`` shares (round-2 sends).
+    own_mask: ``(P, S)`` bool — dofs this partition owns.
+    own_ord: ``(P, S)`` ordinal of this partition among sharers.
+    src_of: ``(P, K, S)`` flat position (``src * W + slot``) in the
+      round-1 receive matrix of the ordinal-``k`` contribution of each
+      owned rank; SENTINEL when ``k`` is the owner itself or absent.
+    recv_pos: ``(P, S)`` flat position (``owner * W + slot``) in the
+      round-2 receive matrix of each non-owned rank's total.
+    width: static W.
+    num_ordinals: static K = max sharers of any dof.
+    psum_payload / true_payload / padded_payload: floats per exchange for
+      the replaced psum, the ragged (true) plan, and the dense-padded
+      all_to_all form.
+  """
+
+  send_ranks: jax.Array
+  send_ranks_t: jax.Array
+  own_mask: jax.Array
+  own_ord: jax.Array
+  src_of: jax.Array
+  recv_pos: jax.Array
+  width: int = flax.struct.field(pytree_node=False)
+  num_ordinals: int = flax.struct.field(pytree_node=False)
+  psum_payload: int = flax.struct.field(pytree_node=False)
+  true_payload: int = flax.struct.field(pytree_node=False)
+  padded_payload: int = flax.struct.field(pytree_node=False)
+
+
+def build_owner_exchange(
+    gather_indices: np.ndarray,
+    unique_indices: np.ndarray | None) -> OwnerExchange | None:
+  """Builds the static owner-exchange schedule (host-side numpy).
+
+  Args/returns as `build_neighbor_exchange`, but for the two-round
+  owner-based schedule (`OwnerExchange`).
+  """
+  gather_indices = np.asarray(gather_indices)
+  if gather_indices.ndim != 2:
+    return None
+  num_parts, num_slots = gather_indices.shape
+  seg = (np.arange(num_slots, dtype=np.int64) if unique_indices is None
+         else np.asarray(unique_indices, dtype=np.int64))
+  num_shared = int(seg.max()) + 1 if num_slots else 0
+  if num_shared == 0 or num_parts < 2:
+    return None
+
+  present = np.zeros((num_parts, num_shared), dtype=bool)
+  valid = gather_indices != SENTINEL
+  for p in range(num_parts):
+    present[p, seg[valid[p]]] = True
+
+  ord_mat = np.cumsum(present, axis=0) - 1
+  own_ord = np.where(present, ord_mat, SENTINEL).astype(np.int32)
+  num_ordinals = max(int(present.sum(axis=0).max()), 1)
+  # Owner = lowest-id sharer (ordinal 0).
+  owner = np.argmax(present, axis=0).astype(np.int32)
+  own_mask = present & (np.arange(num_parts)[:, None] == owner[None, :])
+
+  # Round-1 (and, by symmetry, round-2 return) rank lists per (me, dest).
+  lists: dict[tuple[int, int], np.ndarray] = {}
+  width = 1
+  for p in range(num_parts):
+    shared_here = np.nonzero(present[p])[0]
+    ranks = shared_here[owner[shared_here] != p]
+    if ranks.size == 0:
+      continue
+    for o in np.unique(owner[ranks]):
+      rs = ranks[owner[ranks] == o]  # ascending by construction
+      lists[(p, int(o))] = rs
+      width = max(width, len(rs))
+
+  send_ranks = np.full((num_parts, num_parts, width), SENTINEL,
+                       dtype=np.int32)
+  src_of = np.full((num_parts, num_ordinals, num_shared), SENTINEL,
+                   dtype=np.int32)
+  recv_pos = np.full((num_parts, num_shared), SENTINEL, dtype=np.int32)
+  for (p, o), rs in lists.items():
+    slots = np.arange(len(rs))
+    send_ranks[p, o, :len(rs)] = rs
+    # Round 1: owner o receives p's chunk as row p of its (P, W) receive
+    # matrix -> flat position p * W + slot.
+    src_of[o, own_ord[p, rs], rs] = p * width + slots
+    # Round 2: p receives the totals back as row o -> flat o * W + slot.
+    recv_pos[p, rs] = o * width + slots
+
+  true_payload = 2 * sum(len(rs) for rs in lists.values())
+  return OwnerExchange(
+      send_ranks=jnp.asarray(send_ranks),
+      send_ranks_t=jnp.asarray(np.swapaxes(send_ranks, 0, 1).copy()),
+      own_mask=jnp.asarray(own_mask),
+      own_ord=jnp.asarray(own_ord),
+      src_of=jnp.asarray(src_of),
+      recv_pos=jnp.asarray(recv_pos),
+      width=width,
+      num_ordinals=num_ordinals,
+      psum_payload=num_shared,
+      true_payload=true_payload,
+      padded_payload=2 * num_parts * width)
+
+
+def _owner_reduce(summed: jax.Array, ot: OwnerExchange,
+                  axis_name: str) -> jax.Array:
+  """Owner-based two-round reduction (see `OwnerExchange`).
+
+  Under `spmd_map` each device sees its own table rows: ``send_ranks`` /
+  ``send_ranks_t`` as ``(P, W)``, ``own_mask``/``own_ord``/``recv_pos`` as
+  ``(S,)``-shaped, ``src_of`` as ``(K, S)``.
+  """
+  zero = jnp.zeros((), dtype=summed.dtype)
+
+  def take(vec, idx):
+    return jnp.where(idx != SENTINEL, vec[jnp.clip(idx, 0, None)], zero)
+
+  # Round 1: contributions -> owners.  Row d of `buf1` is my chunk for
+  # owner d; row s of `recv1` is sharer s's chunk for me.
+  buf1 = take(summed, ot.send_ranks)                       # (P, W)
+  recv1 = lax.all_to_all(buf1, axis_name, split_axis=0, concat_axis=0)
+  flat1 = recv1.reshape(-1)
+
+  # Owner-side fixed-order sum (ascending sharer ordinal).
+  total = jnp.zeros_like(summed)
+  for k in range(ot.num_ordinals):
+    contrib = take(flat1, ot.src_of[k])
+    total = total + jnp.where(ot.own_ord == k, summed, contrib)
+  total = jnp.where(ot.own_mask, total, zero)
+
+  # Round 2: totals -> the other sharers.  Row d of `buf2` is the totals
+  # of my owned dofs that d shares.
+  buf2 = take(total, ot.send_ranks_t)                      # (P, W)
+  recv2 = lax.all_to_all(buf2, axis_name, split_axis=0, concat_axis=0)
+  from_owner = take(recv2.reshape(-1), ot.recv_pos)
+  return jnp.where(ot.own_mask, total, from_owner)
+
+
 def _neighbor_reduce(summed: jax.Array, nt: NeighborExchange,
                      axis_name: str) -> jax.Array:
   """Sums contributions across sharing partitions via matched ppermutes.
@@ -313,7 +483,9 @@ def exchange(
     summed = own
 
   if axis_name is not None:
-    if neighbors is not None:
+    if isinstance(neighbors, OwnerExchange):
+      summed = _owner_reduce(summed, neighbors, axis_name)
+    elif neighbors is not None:
       summed = _neighbor_reduce(summed, neighbors, axis_name)
     else:
       summed = lax.psum(summed, axis_name=axis_name)

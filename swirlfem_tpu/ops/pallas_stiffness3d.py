@@ -390,7 +390,8 @@ def stiffness3d_el_pallas_pair(us, c_uniform, w1, dmat, *,
   return tuple(o.reshape(k, k, k, num_e) for o in outs)
 
 
-def _kernel_3d_pair_general(dphi_ref, dplo_ref, dthi_ref, dtlo_ref, *refs,
+def _kernel_3d_pair_general(dphi_ref, dplo_ref, ethi_ref, etlo_ref,
+                            zthi_ref, ztlo_ref, *refs,
                             num_components: int, d_rows):
   """General (warped-mesh) pair-axis kernel body.
 
@@ -399,20 +400,24 @@ def _kernel_3d_pair_general(dphi_ref, dplo_ref, dthi_ref, dtlo_ref, *refs,
 
       [us; ut] = DP @ u[a]          one stacked (2k^2, k^2) bf16x3 matmul
       (fa, fb, fc) = G(a) . (ur, us, ut)   pointwise flux (VPU, streamed G)
-      out[a] = DP^T @ [fb; fc] + sum_m d[m, a] fa[m]
+      out[a] = De^T @ fb + Dz^T @ fc + sum_m d[m, a] fa[m]
 
   with ``DP = [D_eta (x) I; I (x) D_zeta]`` STATIC, split hi/lo for three
-  bf16 MXU passes; the xi derivative and its transpose stay k^2-term
-  static-float VPU FMA chains, exactly as in the congruent pair kernel
-  (`_kernel_3d_pair`).  Same HBM traffic as `_kernel_3d` (the six factor
-  fields still stream), but the eta/zeta work rides the MXU instead of
-  Mosaic-overhead-bound VPU chains.
+  bf16 MXU passes; the transposed stage runs as TWO (k^2, k^2) bf16x3
+  matmuls accumulated in f32 (a sublane `concatenate` of fb/fc measured
+  SLOWER than the extra matmul dispatches — Mosaic copies both halves);
+  the xi derivative and its transpose stay k^2-term static-float VPU FMA
+  chains, exactly as in the congruent pair kernel (`_kernel_3d_pair`).
+  Same HBM traffic as `_kernel_3d` (the six factor fields still stream),
+  but the eta/zeta work rides the MXU instead of Mosaic-overhead-bound
+  VPU chains.
   """
   u_refs = refs[:num_components]
   g11, g12, g13, g22, g23, g33 = refs[num_components:num_components + 6]
   out_refs = refs[num_components + 6:]
   dp_hi, dp_lo = dphi_ref[:], dplo_ref[:]    # (2k^2, k^2)
-  dt_hi, dt_lo = dthi_ref[:], dtlo_ref[:]    # (k^2, 2k^2)
+  et_hi, et_lo = ethi_ref[:], etlo_ref[:]    # (k^2, k^2)  De^T
+  zt_hi, zt_lo = zthi_ref[:], ztlo_ref[:]    # (k^2, k^2)  Dz^T
   k = len(d_rows)
   k2 = k * k
 
@@ -435,7 +440,7 @@ def _kernel_3d_pair_general(dphi_ref, dplo_ref, dthi_ref, dtlo_ref, *refs,
       fa.append(g11[a] * r + g12[a] * s_ + g13[a] * t_)
       fb = g12[a] * r + g22[a] * s_ + g23[a] * t_
       fc = g13[a] * r + g23[a] * s_ + g33[a] * t_
-      pair.append(mm3(dt_hi, dt_lo, jnp.concatenate([fb, fc], axis=0)))
+      pair.append(mm3(et_hi, et_lo, fb) + mm3(zt_hi, zt_lo, fc))
     # Transposed xi stage + the pair contribution.
     for m in range(k):
       out_ref[m] = pair[m] + sum(d_rows[a][m] * fa[a] for a in range(k))
@@ -465,15 +470,21 @@ def stiffness3d_el_pallas_pair_general(us, gs, dmat, *, tile_e: int = 256,
   num_e = us[0].shape[3]
   k2 = k * k
   itemsize = us[0].dtype.itemsize
-  # VMEM: (2C + 6) double-buffered (k^3, tile) blocks + slab temporaries.
+  # VMEM: (2C + 6) double-buffered (k^3, tile) blocks + slab temporaries
+  # (~1.5 MiB at tile 256).  The cap is 14 MiB, NOT 12: the streamed
+  # blocks hit 12.0 MiB exactly at tile 256/C=3/k=8 and halving to 128
+  # (measured) costs ~25% — every op falls to 128-lane width and Mosaic
+  # per-op overhead dominates.
   while (tile_e > 128
-         and 2 * (2 * c + 6) * k * k2 * tile_e * itemsize >= 12 * 2 ** 20):
+         and 2 * (2 * c + 6) * k * k2 * tile_e * itemsize >= 14 * 2 ** 20):
     tile_e //= 2
   tile_e = _pick_tile(num_e, tile_e)
 
   d64 = np.asarray(dmat, dtype=np.float64)
   eye = np.eye(k)
-  dp64 = np.vstack([np.kron(d64, eye), np.kron(eye, d64)])  # (2k^2, k^2)
+  de64 = np.kron(d64, eye)                   # D_eta (x) I,  (k^2, k^2)
+  dz64 = np.kron(eye, d64)                   # I (x) D_zeta, (k^2, k^2)
+  dp64 = np.vstack([de64, dz64])             # (2k^2, k^2)
 
   def split(m64):
     m32 = jnp.asarray(m64, dtype=jnp.float32)
@@ -482,14 +493,15 @@ def stiffness3d_el_pallas_pair_general(us, gs, dmat, *, tile_e: int = 256,
     return hi, lo
 
   dphi, dplo = split(dp64)
-  dthi, dtlo = split(dp64.T)
+  ethi, etlo = split(de64.T)
+  zthi, ztlo = split(dz64.T)
 
   grid = (num_e // tile_e,)
   block = pl.BlockSpec((k, k2, tile_e), lambda i: (0, 0, i),
                        memory_space=pltpu.VMEM)
   dpspec = pl.BlockSpec((2 * k2, k2), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
-  dtspec = pl.BlockSpec((k2, 2 * k2), lambda i: (0, 0),
+  dtspec = pl.BlockSpec((k2, k2), lambda i: (0, 0),
                         memory_space=pltpu.VMEM)
 
   flat = lambda x: x.reshape(k, k2, num_e)
@@ -499,10 +511,258 @@ def stiffness3d_el_pallas_pair_general(us, gs, dmat, *, tile_e: int = 256,
           d_rows=tuple(tuple(float(v) for v in row) for row in d64)),
       out_shape=[jax.ShapeDtypeStruct((k, k2, num_e), us[0].dtype)] * c,
       grid=grid,
-      in_specs=[dpspec, dpspec, dtspec, dtspec] + [block] * (c + 6),
+      in_specs=[dpspec, dpspec] + [dtspec] * 4 + [block] * (c + 6),
       out_specs=[block] * c,
       interpret=interpret,
-  )(dphi, dplo, dthi, dtlo, *[flat(u) for u in us], *[flat(g) for g in gs])
+  )(dphi, dplo, ethi, etlo, zthi, ztlo,
+    *[flat(u) for u in us], *[flat(g) for g in gs])
+  return tuple(o.reshape(k, k, k, num_e) for o in outs)
+
+
+def _kernel_3d_pairs_general(dphi_ref, dplo_ref, ethi_ref, etlo_ref,
+                             zthi_ref, ztlo_ref, *refs,
+                             num_components: int, d_rows, superslab: int):
+  """Superslab-stacked general pair kernel body (VERDICT r4 #2, v3).
+
+  Blocks are ``(k/S, S*k^2, TE)`` — a FREE host reshape of the row-major
+  ``(k, k^2, E)`` pair layout: S consecutive xi-slabs merge on the
+  sublane axis with no data movement (the vreg arrangement of
+  ``(S, k^2, TE)`` and ``(S*k^2, TE)`` is identical).  Per superslab K
+  the eta/zeta derivative pair runs as ONE stacked
+  ``(2S k^2, S k^2) x (S k^2, TE)`` bf16x3 MXU matmul (block-diagonal
+  De/Dz repeats) and the transposed stage as two ``(S k^2, S k^2)``
+  matmuls: S x fewer MXU dispatches at S x the systolic-array
+  utilization vs the per-slab variant (`_kernel_3d_pair_general`), which
+  measures dispatch-bound at (64, 64, TE) op shapes.  The xi chains
+  still run per-slab on (k^2, TE) sublane-slice views; only the r-flux
+  stack needs one S-way sublane concatenate per superslab.
+  """
+  u_refs = refs[:num_components]
+  g11, g12, g13, g22, g23, g33 = refs[num_components:num_components + 6]
+  out_refs = refs[num_components + 6:]
+  dp_hi, dp_lo = dphi_ref[:], dplo_ref[:]
+  et_hi, et_lo = ethi_ref[:], etlo_ref[:]
+  zt_hi, zt_lo = zthi_ref[:], ztlo_ref[:]
+  k = len(d_rows)
+  k2 = k * k
+  s = superslab
+  ns = k // s
+
+  def mm3(mhi, mlo, x):
+    xhi = x.astype(jnp.bfloat16)
+    xlo = (x - xhi.astype(x.dtype)).astype(jnp.bfloat16)
+    return (jnp.dot(mhi, xhi, preferred_element_type=x.dtype)
+            + jnp.dot(mhi, xlo, preferred_element_type=x.dtype)
+            + jnp.dot(mlo, xhi, preferred_element_type=x.dtype))
+
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    uk = [u_ref[kk] for kk in range(ns)]               # (S k^2, TE) each
+    # Per-slab views (sublane-aligned slices, no copies).
+    usl = lambda a: uk[a // s][(a % s) * k2:(a % s + 1) * k2]
+    for kk in range(ns):
+      st = mm3(dp_hi, dp_lo, uk[kk])                   # (2S k^2, TE)
+      s_, t_ = st[:s * k2], st[s * k2:]
+      r_ = jnp.concatenate(
+          [sum(d_rows[kk * s + j][m] * usl(m) for m in range(k))
+           for j in range(s)], axis=0)                 # (S k^2, TE)
+      fa = g11[kk] * r_ + g12[kk] * s_ + g13[kk] * t_
+      fb = g12[kk] * r_ + g22[kk] * s_ + g23[kk] * t_
+      fc = g13[kk] * r_ + g23[kk] * s_ + g33[kk] * t_
+      pair = mm3(et_hi, et_lo, fb) + mm3(zt_hi, zt_lo, fc)
+      # Stash fa / pair through VMEM-resident lists (small: k of them).
+      if kk == 0:
+        fas, pairs = [fa], [pair]
+      else:
+        fas.append(fa)
+        pairs.append(pair)
+    fsl = lambda a: fas[a // s][(a % s) * k2:(a % s + 1) * k2]
+    for kk in range(ns):
+      for j in range(s):
+        m = kk * s + j
+        out_ref[kk, j * k2:(j + 1) * k2] = (
+            pairs[kk][j * k2:(j + 1) * k2]
+            + sum(d_rows[a][m] * fsl(a) for a in range(k)))
+
+
+def stiffness3d_el_pallas_pairs_general(us, gs, dmat, *, superslab: int = 2,
+                                        tile_e: int = 256,
+                                        interpret: bool = False):
+  """General-mesh 3D stiffness with superslab-stacked pair matmuls.
+
+  See `_kernel_3d_pairs_general`.  Args/returns as
+  `stiffness3d_el_pallas`; ``superslab`` must divide k.
+  """
+  import numpy as np
+  from scipy.linalg import block_diag
+
+  c = len(us)
+  k = us[0].shape[0]
+  num_e = us[0].shape[3]
+  k2 = k * k
+  s = superslab
+  assert k % s == 0, (k, s)
+  itemsize = us[0].dtype.itemsize
+  while (tile_e > 128
+         and 2 * (2 * c + 6) * k * k2 * tile_e * itemsize >= 14 * 2 ** 20):
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  d64 = np.asarray(dmat, dtype=np.float64)
+  eye = np.eye(k)
+  de64 = block_diag(*([np.kron(d64, eye)] * s))    # (S k^2, S k^2)
+  dz64 = block_diag(*([np.kron(eye, d64)] * s))
+  dp64 = np.vstack([de64, dz64])                   # (2S k^2, S k^2)
+
+  def split(m64):
+    m32 = jnp.asarray(m64, dtype=jnp.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+  dphi, dplo = split(dp64)
+  ethi, etlo = split(de64.T)
+  zthi, ztlo = split(dz64.T)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((k // s, s * k2, tile_e), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+  dpspec = pl.BlockSpec((2 * s * k2, s * k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+  dtspec = pl.BlockSpec((s * k2, s * k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(k // s, s * k2, num_e)
+  outs = pl.pallas_call(
+      functools.partial(
+          _kernel_3d_pairs_general, num_components=c,
+          d_rows=tuple(tuple(float(v) for v in row) for row in d64),
+          superslab=s),
+      out_shape=[jax.ShapeDtypeStruct((k // s, s * k2, num_e),
+                                      us[0].dtype)] * c,
+      grid=grid,
+      in_specs=[dpspec, dpspec] + [dtspec] * 4 + [block] * (c + 6),
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(dphi, dplo, ethi, etlo, zthi, ztlo,
+    *[flat(u) for u in us], *[flat(g) for g in gs])
+  return tuple(o.reshape(k, k, k, num_e) for o in outs)
+
+
+def _kernel_3d_pairz_general(dphi_ref, dplo_ref, xthi_ref, xtlo_ref,
+                             ethi_ref, etlo_ref, *refs,
+                             num_components: int, d_cols, tile_e: int):
+  """General kernel with the (xi, eta) pair merged on sublanes (v3).
+
+  Blocks are ``(k^2, k, TE)`` — a FREE reshape of the row-major
+  ``(k, k, k, E)`` field (xi and eta merge into the leading dim; no
+  transpose) — viewed in-kernel as ``(k^2, k*TE)``.  The (xi, eta)
+  derivative pair then runs as ONE stacked ``(2k^2, k^2) x (k^2, k*TE)``
+  bf16x3 matmul over the WHOLE block (lane width k*TE = 2048 at k = 8,
+  tile 256) instead of one small matmul per slab: ~8x fewer, 8x larger
+  MXU dispatches than `_kernel_3d_pair_general`, which measures
+  dispatch-bound at (64, 64, 256) op shapes.  The zeta derivative and
+  its transpose are static-float VPU FMA chains over aligned lane
+  slices (zeta-index c selects columns [c*TE, (c+1)*TE)).
+  """
+  u_refs = refs[:num_components]
+  g11, g12, g13, g22, g23, g33 = refs[num_components:num_components + 6]
+  out_refs = refs[num_components + 6:]
+  dp_hi, dp_lo = dphi_ref[:], dplo_ref[:]    # (2k^2, k^2) [Dxi(x)I; I(x)Deta]
+  xt_hi, xt_lo = xthi_ref[:], xtlo_ref[:]    # (k^2, k^2)  (Dxi(x)I)^T
+  et_hi, et_lo = ethi_ref[:], etlo_ref[:]    # (k^2, k^2)  (I(x)Deta)^T
+  k = len(d_cols)
+  k2 = k * k
+  wide = k * tile_e
+
+  def mm3(mhi, mlo, x):
+    xhi = x.astype(jnp.bfloat16)
+    xlo = (x - xhi.astype(x.dtype)).astype(jnp.bfloat16)
+    return (jnp.dot(mhi, xhi, preferred_element_type=x.dtype)
+            + jnp.dot(mhi, xlo, preferred_element_type=x.dtype)
+            + jnp.dot(mlo, xhi, preferred_element_type=x.dtype))
+
+  sl = lambda c: slice(c * tile_e, (c + 1) * tile_e)
+
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    u = u_ref[:].reshape(k2, wide)
+    g11v, g12v, g13v = (g.reshape(k2, wide) for g in
+                        (g11[:], g12[:], g13[:]))
+    g22v, g23v, g33v = (g.reshape(k2, wide) for g in
+                        (g22[:], g23[:], g33[:]))
+    st = mm3(dp_hi, dp_lo, u)                          # (2k^2, k*TE)
+    r, s_ = st[:k2], st[k2:]
+    # zeta-derivative: static-float chains over lane slices, assembled
+    # full-width so the flux and transposed stages stay full-block ops.
+    t_ = jnp.concatenate(
+        [sum(d_cols[c][m] * u[:, sl(m)] for m in range(k))
+         for c in range(k)], axis=1)
+    fa = g11v * r + g12v * s_ + g13v * t_
+    fb = g12v * r + g22v * s_ + g23v * t_
+    fc = g13v * r + g23v * s_ + g33v * t_
+    pair = mm3(xt_hi, xt_lo, fa) + mm3(et_hi, et_lo, fb)
+    for m in range(k):
+      out_ref[:, m] = (pair[:, sl(m)]
+                       + sum(d_cols[c][m] * fc[:, sl(c)] for c in range(k)))
+
+
+def stiffness3d_el_pallas_pairz_general(us, gs, dmat, *, tile_e: int = 256,
+                                        interpret: bool = False):
+  """General-mesh 3D stiffness, (xi, eta)-pair full-block MXU derivatives.
+
+  See `_kernel_3d_pairz_general`: same HBM traffic as the fused general
+  kernel (C inputs + 6 streamed factor fields), but the heavy derivative
+  stages are three full-block bf16x3 matmuls at lane width k*tile_e.
+  Args/returns as `stiffness3d_el_pallas`.
+  """
+  import numpy as np
+
+  c = len(us)
+  k = us[0].shape[0]
+  num_e = us[0].shape[3]
+  k2 = k * k
+  itemsize = us[0].dtype.itemsize
+  while (tile_e > 128
+         and 2 * (2 * c + 6) * k * k2 * tile_e * itemsize >= 14 * 2 ** 20):
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  d64 = np.asarray(dmat, dtype=np.float64)
+  eye = np.eye(k)
+  dx64 = np.kron(d64, eye)                   # D_xi (x) I,   (k^2, k^2)
+  de64 = np.kron(eye, d64)                   # I (x) D_eta,  (k^2, k^2)
+  dp64 = np.vstack([dx64, de64])             # (2k^2, k^2)
+
+  def split(m64):
+    m32 = jnp.asarray(m64, dtype=jnp.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+  dphi, dplo = split(dp64)
+  xthi, xtlo = split(dx64.T)
+  ethi, etlo = split(de64.T)
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((k2, k, tile_e), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+  dpspec = pl.BlockSpec((2 * k2, k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+  dtspec = pl.BlockSpec((k2, k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(k2, k, num_e)
+  outs = pl.pallas_call(
+      functools.partial(
+          _kernel_3d_pairz_general, num_components=c,
+          d_cols=tuple(tuple(float(v) for v in row) for row in d64),
+          tile_e=tile_e),
+      out_shape=[jax.ShapeDtypeStruct((k2, k, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=[dpspec, dpspec] + [dtspec] * 4 + [block] * (c + 6),
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(dphi, dplo, xthi, xtlo, ethi, etlo,
+    *[flat(u) for u in us], *[flat(g) for g in gs])
   return tuple(o.reshape(k, k, k, num_e) for o in outs)
 
 

@@ -262,6 +262,16 @@ class Sem3DOps:
         from swirlfem_tpu.ops.pallas_stiffness3d import (
             stiffness3d_el_pallas_pair_general)
         return stiffness3d_el_pallas_pair_general(us, self._gs(), self.dmat)
+      if self.general_kernel_impl == 'pairz':
+        from swirlfem_tpu.ops.pallas_stiffness3d import (
+            stiffness3d_el_pallas_pairz_general)
+        return stiffness3d_el_pallas_pairz_general(us, self._gs(), self.dmat)
+      if self.general_kernel_impl in ('pairs2', 'pairs4'):
+        from swirlfem_tpu.ops.pallas_stiffness3d import (
+            stiffness3d_el_pallas_pairs_general)
+        return stiffness3d_el_pallas_pairs_general(
+            us, self._gs(), self.dmat,
+            superslab=int(self.general_kernel_impl[-1]))
       from swirlfem_tpu.ops.pallas_stiffness3d import stiffness3d_el_pallas
       return stiffness3d_el_pallas(us, self._gs(), self.dmat)
     if len(us) == 1:

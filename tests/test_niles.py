@@ -445,6 +445,65 @@ def test_training_reduces_loss(cfg, train_setup):
   assert min(losses[-3:]) < 0.995 * losses[0], losses
 
 
+def test_train_step_multidevice_matches_single_device(cfg, train_setup):
+  """The REAL train_step — model apply + solver-in-the-loop scan + adamw
+  update — executes on the 8-virtual-device 'batch' mesh (VERDICT r4 #6),
+  exactly as train_and_evaluate wires it (replicated state/sem, batch
+  sharded on its leading axis), for TWO steps, and the sharded run matches
+  the single-device run on identical global data.  Reference normal mode:
+  pmapped trainer over 'batch', ``swirl_fem/niles/train.py:630-637``."""
+  from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+  state, batch = train_setup['state'], train_setup['batch']
+  sem, kl_fn, lr_fn = (train_setup['sem'], train_setup['kl_fn'],
+                       train_setup['lr_fn'])
+  ndev = len(jax.devices())
+  assert ndev == 8, 'conftest must provide the 8-device virtual host mesh'
+  mesh = Mesh(np.asarray(jax.devices()), ('batch',))
+  batch_sharding = NamedSharding(mesh, P('batch'))
+  replicated = NamedSharding(mesh, P())
+
+  # Tile the module batch (leading dim 2) up to one row per device.
+  reps = ndev // int(batch['u'].shape[0])
+  gbatch = jax.tree.map(lambda x: jnp.concatenate([x] * reps), batch)
+
+  step_fn = functools.partial(
+      niles_train.train_step, learning_rate_fn=lr_fn, kl_penalty_fn=kl_fn,
+      sem=sem, config=cfg)
+
+  # Sharded: replicated state + sem (as train_and_evaluate places them),
+  # batch split over 'batch'.
+  state_r = jax.device_put(state, replicated)
+  sem_r = jax.device_put(sem, replicated)
+  gbatch_sh = jax.device_put(gbatch, batch_sharding)
+  assert len(gbatch_sh['u'].sharding.device_set) == 8
+  step_sh = jax.jit(functools.partial(step_fn, sem=sem_r))
+  rng1, rng2 = jax.random.PRNGKey(31), jax.random.PRNGKey(32)
+  s1, m1 = step_sh(state_r, gbatch_sh, rng1)
+  s2, m2 = step_sh(s1, gbatch_sh, rng2)
+  assert int(s2.step) == int(state.step) + 2
+  assert np.isfinite(float(m1['loss'])) and np.isfinite(float(m2['loss']))
+  # The gradient all-reduce really spans the mesh: updated params remain
+  # replicated across all 8 devices.
+  leaf = jax.tree_util.tree_leaves(s2.params)[0]
+  assert len(leaf.sharding.device_set) == 8
+
+  # Single-device oracle on the same global batch.
+  dev0 = jax.devices()[0]
+  s1d, m1d = jax.jit(step_fn, device=dev0)(
+      jax.device_put(state, dev0), jax.device_put(gbatch, dev0), rng1)
+  s2d, m2d = jax.jit(step_fn, device=dev0)(s1d, gbatch, rng2)
+  np.testing.assert_allclose(float(m2['loss']), float(m2d['loss']),
+                             rtol=1e-5)
+  np.testing.assert_allclose(float(m1['mse']), float(m1d['mse']), rtol=1e-5)
+  diff = jax.tree_util.tree_reduce(
+      lambda acc, ab: max(acc, float(jnp.abs(ab).max())),
+      jax.tree.map(lambda a, b: a - b, s2.params, s2d.params), 0.0)
+  scale = jax.tree_util.tree_reduce(
+      lambda acc, x: max(acc, float(jnp.abs(x).max())), s2.params, 0.0)
+  assert diff <= 1e-5 * scale, (diff, scale)
+
+
 def test_assemble_global_batch_multihost_path():
   """The multi-host batch-assembly branch
   (jax.make_array_from_process_local_data) on the 8-virtual-device mesh:

@@ -345,6 +345,65 @@ def test_pallas_stiffness3d_pair_general_matches_einsum():
   assert ops.general_kernel_impl == 'fused'
 
 
+def test_pallas_stiffness3d_pairs_general_matches_einsum():
+  """Superslab-stacked general pair kernel (S = 2 and 4) vs the einsum
+  oracle on a warped 3D mesh, interpret mode, including a tiled grid."""
+  from swirlfem_tpu.ops.pallas_stiffness3d import (
+      stiffness3d_el_pallas_pairs_general)
+  premesh = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
+  coords = np.asarray(premesh.node_coords).copy()
+  coords[:, 0] += 0.05 * coords[:, 1] * coords[:, 2]
+  coords[:, 2] += 0.04 * coords[:, 0] * coords[:, 0]
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=3)
+  ops = sem.fast_ops
+  assert ops.c_uniform is None, 'warped mesh must not be congruent'
+  rng = np.random.default_rng(13)
+  k = 4
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, 8)), jnp.float32)
+             for _ in range(3))
+  ref = ops.stiffness_el_multi(us)
+  gs = tuple(g.astype(jnp.float32) for g in
+             (ops.g11, ops.g12, ops.g13, ops.g22, ops.g23, ops.g33))
+  scale = max(float(jnp.abs(r).max()) for r in ref)
+  for superslab in (2, 4):
+    for tile in (8, 4):
+      got = stiffness3d_el_pallas_pairs_general(
+          us, gs, ops.dmat, superslab=superslab, tile_e=tile, interpret=True)
+      for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g, np.float64),
+                                   np.asarray(r, np.float64),
+                                   atol=5e-5 * scale)
+
+
+def test_pallas_stiffness3d_pairz_general_matches_einsum():
+  """(xi, eta)-pair full-block variant (`pairz`) vs the einsum oracle on
+  the same warped mesh, interpret mode, including a tiled grid."""
+  from swirlfem_tpu.ops.pallas_stiffness3d import (
+      stiffness3d_el_pallas_pairz_general)
+  premesh = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
+  coords = np.asarray(premesh.node_coords).copy()
+  coords[:, 0] += 0.05 * coords[:, 1] * coords[:, 2]
+  coords[:, 2] += 0.04 * coords[:, 0] * coords[:, 0]
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=3)
+  ops = sem.fast_ops
+  assert ops.c_uniform is None, 'warped mesh must not be congruent'
+  rng = np.random.default_rng(12)
+  k = 4
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, 8)), jnp.float32)
+             for _ in range(3))
+  ref = ops.stiffness_el_multi(us)
+  gs = tuple(g.astype(jnp.float32) for g in
+             (ops.g11, ops.g12, ops.g13, ops.g22, ops.g23, ops.g33))
+  scale = max(float(jnp.abs(r).max()) for r in ref)
+  for tile in (8, 4):
+    got = stiffness3d_el_pallas_pairz_general(us, gs, ops.dmat, tile_e=tile,
+                                              interpret=True)
+    for g, r in zip(got, ref):
+      np.testing.assert_allclose(np.asarray(g, np.float64),
+                                 np.asarray(r, np.float64),
+                                 atol=5e-5 * scale)
+
+
 def test_sem3d_uniform_detection_rejects_warped():
   """A non-axis-aligned warp must disable the congruent fast path."""
   premesh = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
