@@ -98,6 +98,14 @@ def main():
         'peak_dedt': r['peak_dedt'],
         'peak_dedt_time': r['peak_dedt_time'],
         'ke_final': float(r['ke'][-1]),
+        # Solve-convergence telemetry (VERDICT r4 #4): the advance caps
+        # maxiter=100 as a stall guard; prove it inert on the healthy path.
+        'cg_max_iters': r['cg_max_iters'],
+        'cg_max_resid': r['cg_max_resid'],
+        'cg_iters_per_chunk': r['cg_iters_per_chunk'],
+        'cg_resid_per_chunk': r['cg_resid_per_chunk'],
+        'cg_maxiter_cap': 100,
+        'cg_cap_inert': bool(r['cg_max_iters'] < 100),
         't': r['t'][s].tolist(),
         'ke': r['ke'][s].tolist(),
         'dissipation': r['dissipation'][s].tolist(),

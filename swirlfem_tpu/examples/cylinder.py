@@ -147,7 +147,8 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
                       use_assembled_viscous: bool = False,
                       use_projection: bool = True,
                       checkpoint_path: str | None = None,
-                      checkpoint_every: int = 20):
+                      checkpoint_every: int = 20,
+                      alpha: float = 0.05):
   """Long shedding run: `steps_per_dispatch` steps per jitted dispatch.
 
   Returns ``(u, p, trace)`` with the full per-step probe trace of the
@@ -259,6 +260,7 @@ def run_cylinder_scan(sem: StokesSEM, reynolds: float = 100.0,
       f = -imask * cu + jnp.where(step0 + k < kick_steps, 1.0, 0.0) * f_kick
       u, p, aux = sem.stokes_one_step(
           list(us), list(ps), f, mu=mu, dt=dt, time_order=time_order,
+          alpha=alpha,
           u_boundary=u_boundary, tol=tol, atol=tol * 1e-2,
           pressure_preconditioner=precond, viscous_matvec=viscous_matvec,
           project_out_nullspace=False, projection_state=proj)
