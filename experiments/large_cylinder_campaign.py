@@ -11,6 +11,7 @@ Run:  python experiments/large_cylinder_campaign.py [--num_steps 150000]
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -86,6 +87,46 @@ def main():
   print(f'St = {st:.4f}  (benchmark 0.295-0.305)')
   print(f'Cd_max = {cd.max():.4f}  (benchmark 3.22-3.24)')
   print(f'Cl in [{cl.min():+.4f}, {cl.max():+.4f}]  (Cl_max 0.99-1.01)')
+
+  # Peak statistics defended against f32 dudt noise (VERDICT r4 #3): the
+  # force's BDF du/dt term differences O(1) states over a CFL-limited dt,
+  # so per-SAMPLE noise ~eps/dt inflates a raw max over 1e5 samples
+  # (measured r4: Cd_max - Cd_mean = 0.073 vs the benchmark's ~0.03
+  # physical oscillation).  A box filter over 1/8 shedding period kills
+  # the grid-dt noise, >10x above the St frequency it leaves the physics.
+  period = 2 * cyl.RADIUS / (st * 1.0) / dt
+  w = max(int(period // 8), 1)
+  ker = np.ones(w) / w
+  cd_s = np.convolve(coeffs[:, 0], ker, mode='same')[tail]
+  cl_s = np.convolve(coeffs[:, 1], ker, mode='same')[tail]
+  # Per-period Cl peaks over the tail: flat sequence = saturated limit
+  # cycle (the amplitude claim is only valid if it stopped growing).
+  k = int(len(cl_s) // period)
+  peaks = [float(cl_s[int(i * period):int((i + 1) * period)].max())
+           for i in range(k)]
+  result = {
+      'mesh': f'{premesh.num_elements} el order {args.order} '
+              f'({sem.pressure.pspace.mesh.num_nodes} pressure dofs)',
+      'dt': dt, 'num_steps': args.num_steps,
+      'ms_per_step_tpu': round(wall / args.num_steps * 1e3, 1),
+      'St': st,
+      'Cd_max': float(cd.max()), 'Cd_mean': float(cd.mean()),
+      'Cl_min': float(cl.min()), 'Cl_max': float(cl.max()),
+      'smoothed': {'window_samples': w, 'Cd_max': float(cd_s.max()),
+                   'Cd_mean': float(cd_s.mean()),
+                   'Cl_min': float(cl_s.min()), 'Cl_max': float(cl_s.max())},
+      'per_period_cl_peaks_tail': [round(v, 4) for v in peaks],
+      'benchmark': {'St': [0.295, 0.305], 'Cd_max': [3.22, 3.24],
+                    'Cl_max': [0.99, 1.01]},
+  }
+  print(f'smoothed: Cd_max = {cd_s.max():.4f}  '
+        f'Cl in [{cl_s.min():+.4f}, {cl_s.max():+.4f}]')
+  art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     f'cylinder_o{args.order}_r5_result.json')
+  with open(art + '.tmp', 'w') as fh:
+    json.dump(result, fh, indent=1)
+  os.replace(art + '.tmp', art)
+  print(f'wrote {art}')
 
 
 if __name__ == '__main__':
