@@ -124,6 +124,54 @@ def main():
       print(f'{name}: FAILED {type(e).__name__}: {e}', flush=True)
       out['kernels'].append({'kernel': name,
                              'error': f'{type(e).__name__}: {e}'})
+  # --- Affine (graded + sheared) mesh section: the (6, E)-coefficient
+  # kernel vs the general fused/pair kernels on the SAME warped-but-
+  # affine geometry (per-element parallelepipeds).  Roofline: only
+  # in+out fields stream (~102 GDOF/s on v5e) vs the general kernels'
+  # 12-field 51.2.
+  with jax.default_device(jax.local_devices(backend='cpu')[0]):
+    pm = unit_cube_mesh(n_el, ndim=3, periodic_dims=(0, 1, 2))
+    coords = np.asarray(pm.node_coords).copy()
+    coords[:, 0] = coords[:, 0] + 0.15 * coords[:, 0] ** 2
+    coords[:, 1] = coords[:, 1] + 0.10 * coords[:, 1] ** 2
+    coords[:, 0] += 0.3 * coords[:, 1] + 0.1 * coords[:, 2]
+    coords[:, 1] += 0.2 * coords[:, 2]
+    sem_a = StokesSEM.create(pm.replace(node_coords=coords), {},
+                             order=order, use_pallas_kernels=on_tpu)
+    sem_a = jax.tree.map(
+        lambda x: (x.astype(jnp.float32)
+                   if jnp.issubdtype(x.dtype, jnp.floating) else x), sem_a)
+  ops_a = jax.device_put(sem_a.fast_ops, device)
+  out['affine'] = {'detected': ops_a.g_affine is not None, 'kernels': []}
+  if ops_a.g_affine is not None:
+    ref_a = jax.block_until_ready(
+        ops_a.replace(use_pallas=False).stiffness_el_multi(us))
+    scale_a = max(float(np.abs(np.asarray(r, np.float64)).max())
+                  for r in ref_a)
+    for name, ops_v in (
+        ('affine_general_fused', ops_a.replace(use_uniform_kernel=False)),
+        ('affine_pair_coeffs_bf16x3',
+         ops_a.replace(use_uniform_kernel=False, use_affine_kernel=True)),
+    ):
+      try:
+        got = ops_v.stiffness_el_multi(us)
+        err = max(
+            float(np.abs(np.asarray(g, np.float64)
+                         - np.asarray(r, np.float64)).max()) / scale_a
+            for g, r in zip(got, ref_a))
+        t, times = timeit(ops_v)
+        entry = {'kernel': name, 'gdofs': round(num_dofs / t / 1e9, 3),
+                 'apply_ms': round(t * 1e3, 4),
+                 'times_ms': [round(v * 1e3, 4) for v in times],
+                 'rel_err_vs_f32_einsum': err}
+        print(f'{name:26s} {entry["gdofs"]:8.2f} GDOF/s  '
+              f'{entry["apply_ms"]:.4f} ms  err {err:.2e}', flush=True)
+        out['affine']['kernels'].append(entry)
+      except Exception as e:  # pylint: disable=broad-except
+        print(f'{name}: FAILED {type(e).__name__}: {e}', flush=True)
+        out['affine']['kernels'].append(
+            {'kernel': name, 'error': f'{type(e).__name__}: {e}'})
+
   path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       'dense3d_ab.json')
   with open(path + '.tmp', 'w') as fh:

@@ -648,6 +648,163 @@ def stiffness3d_el_pallas_pairs_general(us, gs, dmat, *, superslab: int = 2,
   return tuple(o.reshape(k, k, k, num_e) for o in outs)
 
 
+def _kernel_3d_pair_affine(dphi_ref, dplo_ref, ethi_ref, etlo_ref,
+                           zthi_ref, ztlo_ref, w2f_ref, c_ref, *refs,
+                           num_components: int, dw_rows, d_rows, w_slab):
+  """Affine-elements pair-axis kernel body (see
+  `stiffness3d_el_pallas_pair_affine`).
+
+  Blocks are ``(k, k^2, TE)``; the SIX per-element metric coefficients
+  stream as one ``(6, TE)`` row block (vs six full ``(k^3, TE)`` fields
+  in the general kernel) and the separable quadrature weight
+  ``w = w_a * W2[sublane]`` is folded STATICALLY: ``W2`` into the
+  transposed pair matrices (``M = D^T diag(W2)``) and into one
+  materialized ``(k^2, TE)`` constant operand for the xi term;
+  ``w_a`` into the transposed xi-chain coefficients
+  (``dw_rows[a][m] = d[a][m] * w_a``) and one scalar multiply per slab
+  for the pair fluxes.  No sublane-broadcast multiplies anywhere (they
+  lower ~60x slow under Mosaic).
+  """
+  u_refs = refs[:num_components]
+  out_refs = refs[num_components:]
+  dp_hi, dp_lo = dphi_ref[:], dplo_ref[:]    # (2k^2, k^2)
+  et_hi, et_lo = ethi_ref[:], etlo_ref[:]    # (k^2, k^2)  De^T diag(W2)
+  zt_hi, zt_lo = zthi_ref[:], ztlo_ref[:]    # (k^2, k^2)  Dz^T diag(W2)
+  w2f = w2f_ref[:]                           # (k^2, TE) materialized W2
+  c11, c12, c13 = c_ref[0:1], c_ref[1:2], c_ref[2:3]   # (1, TE) rows
+  c22, c23, c33 = c_ref[3:4], c_ref[4:5], c_ref[5:6]
+  k = len(d_rows)
+
+  def mm3(mhi, mlo, x):
+    xhi = x.astype(jnp.bfloat16)
+    xlo = (x - xhi.astype(x.dtype)).astype(jnp.bfloat16)
+    return (jnp.dot(mhi, xhi, preferred_element_type=x.dtype)
+            + jnp.dot(mhi, xlo, preferred_element_type=x.dtype)
+            + jnp.dot(mlo, xhi, preferred_element_type=x.dtype))
+
+  for u_ref, out_ref in zip(u_refs, out_refs):
+    u = [u_ref[a] for a in range(k)]                  # (k^2, TE) slices
+    ur = [sum(d_rows[a][m] * u[m] for m in range(k)) for a in range(k)]
+    fa, pair = [], []
+    for a in range(k):
+      st = mm3(dp_hi, dp_lo, u[a])                    # (2k^2, TE)
+      s_, t_ = st[:k * k], st[k * k:]
+      r = ur[a]
+      # Flux rows are w-FREE here: w_a rides in via `wa` (fb/fc, one
+      # scalar multiply each) resp. `dw_rows` (fa, folded into the
+      # transposed xi-chain coefficients); W2 rides in via the
+      # transposed matrices (fb/fc) resp. the `w2f` operand (fa).
+      wa = w_slab[a]
+      fa.append(c11 * r + c12 * s_ + c13 * t_)
+      fb = wa * (c12 * r + c22 * s_ + c23 * t_)
+      fc = wa * (c13 * r + c23 * s_ + c33 * t_)
+      pair.append(mm3(et_hi, et_lo, fb) + mm3(zt_hi, zt_lo, fc))
+    for m in range(k):
+      out_ref[m] = (pair[m]
+                    + w2f * sum(dw_rows[a][m] * fa[a] for a in range(k)))
+
+
+def stiffness3d_el_pallas_pair_affine(us, c_affine, w1, dmat, *,
+                                      tile_e: int = 512,
+                                      interpret: bool = False):
+  """Affine-elements 3D stiffness: per-element metric COEFFICIENTS.
+
+  For meshes whose elements are (possibly sheared/graded) parallelepipeds
+  — constant Jacobian per element — the six factor fields collapse to
+  ``G_ab(q, e) = w(q) * C_ab(e)`` with ``w`` the separable static
+  quadrature weight: 6 floats per ELEMENT stream from HBM instead of six
+  ``(k^3, E)`` fields.  Traffic drops from 12 to ~6 field-equivalents
+  (roofline doubles back to the congruent kernel's ~102 GDOF/s on v5e)
+  and VMEM affords tile 512 again, so the pair-axis MXU restructuring
+  actually pays.  The 2D analogue is `pallas_stiffness.
+  stiffness_el_pallas_affine` (`g_affine`); detection in
+  `sem3d.build_sem3d_ops` (per-element variance of G/w in f64, same
+  representation-noise tolerance as the congruent gate).
+
+  Weight algebra (all static): with W = w_a * W2[eta*zeta],
+
+      A u = sum_ab D_a^T (W C_ab D_b u)
+          = pair-transposes with D^T diag(W2) matrices and per-slab
+            scalar w_a on the fluxes, plus an xi chain with
+            coefficients d[a, m] * w_a and ONE W2 multiply per output
+            slab (materialized (k^2, TE) operand, plain vector op).
+
+  Args:
+    us: tuple of C component fields, each ``(k, k, k, E)``.
+    c_affine: ``(6, E)`` per-element coefficients, rows ordered
+      (c11, c12, c13, c22, c23, c33).
+    w1: 1D quadrature weights (static numpy, length k).
+
+  Returns a tuple of C outputs, each ``(k, k, k, E)``.
+  """
+  import numpy as np
+
+  c = len(us)
+  k = us[0].shape[0]
+  num_e = us[0].shape[3]
+  k2 = k * k
+  itemsize = us[0].dtype.itemsize
+  # VMEM: 2C double-buffered (k^3, tile) blocks (+ the small W2/c/matrix
+  # operands + ~3 MiB slab temporaries at tile 512).
+  while (tile_e > 128
+         and 4 * c * k * k2 * tile_e * itemsize >= 13 * 2 ** 20):
+    tile_e //= 2
+  tile_e = _pick_tile(num_e, tile_e)
+
+  w64 = np.asarray(w1, dtype=np.float64)
+  d64 = np.asarray(dmat, dtype=np.float64)
+  eye = np.eye(k)
+  w2 = np.kron(w64, w64)                      # (k^2,) eta-zeta weights
+  de64 = np.kron(d64, eye)                    # D_eta (x) I
+  dz64 = np.kron(eye, d64)                    # I (x) D_zeta
+  dp64 = np.vstack([de64, dz64])
+  et64 = de64.T @ np.diag(w2)                 # D_eta^T diag(W2)
+  zt64 = dz64.T @ np.diag(w2)
+
+  def split(m64):
+    m32 = jnp.asarray(m64, dtype=jnp.float32)
+    hi = m32.astype(jnp.bfloat16)
+    lo = (m32 - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+  dphi, dplo = split(dp64)
+  ethi, etlo = split(et64)
+  zthi, ztlo = split(zt64)
+  w2f = jnp.asarray(np.broadcast_to(w2[:, None], (k2, tile_e)),
+                    dtype=us[0].dtype)
+
+  dw_rows = tuple(tuple(float(d64[a, m] * w64[a]) for m in range(k))
+                  for a in range(k))
+
+  grid = (num_e // tile_e,)
+  block = pl.BlockSpec((k, k2, tile_e), lambda i: (0, 0, i),
+                       memory_space=pltpu.VMEM)
+  cspec = pl.BlockSpec((6, tile_e), lambda i: (0, i),
+                       memory_space=pltpu.VMEM)
+  w2spec = pl.BlockSpec((k2, tile_e), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+  dpspec = pl.BlockSpec((2 * k2, k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+  dtspec = pl.BlockSpec((k2, k2), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+  flat = lambda x: x.reshape(k, k2, num_e)
+  outs = pl.pallas_call(
+      functools.partial(
+          _kernel_3d_pair_affine, num_components=c, dw_rows=dw_rows,
+          d_rows=tuple(tuple(float(v) for v in row) for row in d64),
+          w_slab=tuple(float(v) for v in w64)),
+      out_shape=[jax.ShapeDtypeStruct((k, k2, num_e), us[0].dtype)] * c,
+      grid=grid,
+      in_specs=[dpspec, dpspec] + [dtspec] * 4 + [w2spec, cspec]
+      + [block] * c,
+      out_specs=[block] * c,
+      interpret=interpret,
+  )(dphi, dplo, ethi, etlo, zthi, ztlo, w2f,
+    jnp.asarray(c_affine, dtype=us[0].dtype), *[flat(u) for u in us])
+  return tuple(o.reshape(k, k, k, num_e) for o in outs)
+
+
 def _kernel_3d_pairz_general(dphi_ref, dplo_ref, xthi_ref, xtlo_ref,
                              ethi_ref, etlo_ref, *refs,
                              num_components: int, d_cols, tile_e: int):

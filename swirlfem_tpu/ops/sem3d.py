@@ -151,6 +151,15 @@ class Sem3DOps:
   c_uniform: tuple | None = flax.struct.field(pytree_node=False,
                                               default=None)
   w1: object = flax.struct.field(pytree_node=False, default=None)
+  # Affine (constant-Jacobian-per-element) meshes: the six factor fields
+  # collapse to per-element coefficients G_ab = w(q) * C_ab(e), stored as
+  # one (6, E) array — the affine pair kernel streams these 6 floats per
+  # element instead of six (k^3, E) fields (detected in build_sem3d_ops;
+  # 3D analogue of sem2d's g_affine).  Opt-in (bf16x3 accuracy class)
+  # via use_affine_kernel; the default keeps the exact-f32 general path.
+  g_affine: jax.Array | None = None
+  use_affine_kernel: bool = flax.struct.field(pytree_node=False,
+                                              default=False)
   use_uniform_kernel: bool = flax.struct.field(pytree_node=False,
                                                default=True)
   # Congruent-kernel implementation: 'fused' = sum-factorized VPU+MXU mix
@@ -216,6 +225,11 @@ class Sem3DOps:
             stiffness3d_el_pallas_uniform)
         return stiffness3d_el_pallas_uniform(
             (u,), self.c_uniform, self.w1, self.dmat)[0]
+      if self.g_affine is not None and self.use_affine_kernel:
+        from swirlfem_tpu.ops.pallas_stiffness3d import (
+            stiffness3d_el_pallas_pair_affine)
+        return stiffness3d_el_pallas_pair_affine(
+            (u,), self.g_affine, self.w1, self.dmat)[0]
       if self.general_kernel_impl == 'pair':
         from swirlfem_tpu.ops.pallas_stiffness3d import (
             stiffness3d_el_pallas_pair_general)
@@ -258,6 +272,11 @@ class Sem3DOps:
             stiffness3d_el_pallas_uniform)
         return stiffness3d_el_pallas_uniform(us, self.c_uniform, self.w1,
                                              self.dmat)
+      if self.g_affine is not None and self.use_affine_kernel:
+        from swirlfem_tpu.ops.pallas_stiffness3d import (
+            stiffness3d_el_pallas_pair_affine)
+        return stiffness3d_el_pallas_pair_affine(us, self.g_affine,
+                                                 self.w1, self.dmat)
       if self.general_kernel_impl == 'pair':
         from swirlfem_tpu.ops.pallas_stiffness3d import (
             stiffness3d_el_pallas_pair_general)
@@ -434,7 +453,33 @@ def build_sem3d_ops(velocity, pressure) -> Sem3DOps:
     if len(cs) == 3:
       c_uniform = tuple(cs)
 
+  # Affine-elements detection (constant Jacobian per ELEMENT, but not the
+  # same across elements / not axis-aligned): every factor field is
+  # G_ab(q, e) = w(q) * C_ab(e), so G/w must be constant WITHIN each
+  # element to representation noise.  Then only the 6 x E coefficient
+  # matrix streams from HBM (stiffness3d_el_pallas_pair_affine) — 3D
+  # analogue of the 2D `g_affine` path.  Covers sheared/graded
+  # parallelepiped meshes (straight-sided hex imports); curved elements
+  # (e.g. cylinder O-grids) fail the gate and keep the general kernel.
+  g_affine = None
+  if c_uniform is None:
+    fields = [g_diag[0], g_off[0], g_off[1], g_diag[1], g_off[2], g_diag[2]]
+    hs = [np.asarray(g, dtype=np.float64) / wq3 for g in fields]
+    hd_max = [np.abs(hs[i]).max() for i in (0, 3, 5)]
+    scale_of = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+    rows = []
+    for h, (a, b) in zip(hs, scale_of):
+      c_e = h.mean(axis=(0, 1, 2))
+      scale = float(np.sqrt(hd_max[a] * hd_max[b]))
+      if float(np.abs(h - c_e).max()) > rel_tol * scale:
+        rows = None
+        break
+      rows.append(c_e)
+    if rows is not None:
+      g_affine = jnp.asarray(np.stack(rows), dtype=wmass.dtype)
+
   return Sem3DOps(
+      g_affine=g_affine,
       g11=g_diag[0], g12=g_off[0], g13=g_off[1],
       g22=g_diag[1], g23=g_off[2], g33=g_diag[2],
       wmass=wmass, kinv=kinv, wmass_o=wmass_o, kinv_o=kinv_o,

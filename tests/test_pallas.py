@@ -375,6 +375,49 @@ def test_pallas_stiffness3d_pairs_general_matches_einsum():
                                    atol=5e-5 * scale)
 
 
+def test_pallas_stiffness3d_pair_affine_matches_einsum():
+  """Affine (graded + sheared parallelepiped) mesh: detection stores the
+  (6, E) per-element coefficients, and the affine pair kernel matches the
+  einsum oracle in interpret mode (incl. a tiled grid)."""
+  from swirlfem_tpu.ops.pallas_stiffness3d import (
+      stiffness3d_el_pallas_pair_affine)
+  premesh = unit_cube_mesh(2, ndim=3, periodic_dims=(0, 1, 2))
+  coords = np.asarray(premesh.node_coords).copy()
+  # Per-axis grading (per-element size variation) + global shear (nonzero
+  # cross metrics): every element remains a parallelepiped -> affine.
+  coords[:, 0] = coords[:, 0] + 0.15 * coords[:, 0] ** 2
+  coords[:, 1] = coords[:, 1] + 0.10 * coords[:, 1] ** 2
+  coords[:, 0] += 0.3 * coords[:, 1] + 0.1 * coords[:, 2]
+  coords[:, 1] += 0.2 * coords[:, 2]
+  sem = StokesSEM.create(premesh.replace(node_coords=coords), {}, order=3)
+  ops = sem.fast_ops
+  assert ops.c_uniform is None
+  assert ops.g_affine is not None, 'affine detection must fire'
+  assert ops.g_affine.shape == (6, 8)
+  # Genuine per-element variation and nonzero shear coefficients.
+  assert float(jnp.abs(ops.g_affine[1]).max()) > 1e-3   # c12 shear
+  assert float(jnp.std(ops.g_affine[0])) > 1e-6         # grading
+  rng = np.random.default_rng(14)
+  k = 4
+  us = tuple(jnp.asarray(rng.standard_normal((k, k, k, 8)), jnp.float32)
+             for _ in range(3))
+  ref = ops.stiffness_el_multi(us)
+  scale = max(float(jnp.abs(r).max()) for r in ref)
+  for tile in (8, 4):
+    got = stiffness3d_el_pallas_pair_affine(us, ops.g_affine, ops.w1,
+                                            ops.dmat, tile_e=tile,
+                                            interpret=True)
+    for g, r in zip(got, ref):
+      np.testing.assert_allclose(np.asarray(g, np.float64),
+                                 np.asarray(r, np.float64),
+                                 atol=5e-5 * scale)
+  # A warped (non-affine) mesh must NOT trigger the detection.
+  wc = np.asarray(premesh.node_coords).copy()
+  wc[:, 0] += 0.05 * wc[:, 1] * wc[:, 2]
+  sem_w = StokesSEM.create(premesh.replace(node_coords=wc), {}, order=3)
+  assert sem_w.fast_ops.g_affine is None
+
+
 def test_pallas_stiffness3d_pairz_general_matches_einsum():
   """(xi, eta)-pair full-block variant (`pairz`) vs the einsum oracle on
   the same warped mesh, interpret mode, including a tiled grid."""
