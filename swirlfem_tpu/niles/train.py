@@ -505,7 +505,13 @@ def eval_step(state, batch, step_rng, kl_penalty_fn, sem, to_grid, config,
 
 def save_checkpoint(manager, state):
   import orbax.checkpoint as ocp
-  manager.save(int(state.step), args=ocp.args.StandardSave(state))
+  try:
+    manager.save(int(state.step), args=ocp.args.StandardSave(state))
+  except Exception:  # pylint: disable=broad-except
+    # A failed save must never take down the run (and its metrics /
+    # final-eval artifact) with it — log and continue.
+    logging.exception('checkpoint save failed at step %d; continuing',
+                      int(state.step))
 
 
 def restore_checkpoint(manager, state):
@@ -594,7 +600,14 @@ def train_and_evaluate(config, workdir: str):
   parameter_overview.log_parameter_overview(state.params)
   manager = ocp.CheckpointManager(
       workdir + '/checkpoints',
-      options=ocp.CheckpointManagerOptions(max_to_keep=50))
+      options=ocp.CheckpointManagerOptions(
+          max_to_keep=50,
+          # Synchronous saves: the async commit path crashed two round-5
+          # chip campaigns at their FINAL save ('cannot schedule new
+          # futures after shutdown' inside orbax's asyncio thread) and
+          # took the whole run's artifact with it.  Our states are ~18 MB
+          # — a blocking save costs <1 s and cannot race the process.
+          enable_async_checkpointing=False))
   state = restore_checkpoint(manager, state)
   step_offset = int(state.step)
   state = jax.device_put(state, replicated)
@@ -693,6 +706,9 @@ def train_and_evaluate(config, workdir: str):
     writer.write_scalars(
         num_steps + 1,
         {f'eval_final{fe_batch}_{k}': float(v) for k, v in summary.items()})
-  manager.wait_until_finished()
+  try:
+    manager.wait_until_finished()
+  except Exception:  # pylint: disable=broad-except
+    logging.exception('checkpoint finalize failed; continuing')
   writer.flush()
   return state
