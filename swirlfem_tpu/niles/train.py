@@ -690,22 +690,36 @@ def train_and_evaluate(config, workdir: str):
   # config batch_size=128); this closes that evidence gap cheaply.
   fe_batch = config.get('final_eval_batch_size', 0)
   if fe_batch:
-    fe_local = fe_batch // jax.process_count()
-    fe_iter = input_pipeline.create_split(fe_local, False, config)
-    evals = []
-    for i in range(config.steps_per_eval):
-      eval_batch = put_batch(next(fe_iter))
-      evals.append(jax.device_get(
-          p_eval_step(state, eval_batch,
-                      jax.random.fold_in(eval_rng, 10**6 + i))))
-    summary = {k: (np.max if k.startswith('cg_max') else np.mean)(
-        [m[k] for m in evals]) for k in evals[0]}
-    logging.info('final eval (batch %d): %s', fe_batch,
-                 {k: round(float(v), 6) for k, v in summary.items()
-                  if k.startswith('mse') or k.startswith('tke_err')})
-    writer.write_scalars(
-        num_steps + 1,
-        {f'eval_final{fe_batch}_{k}': float(v) for k, v in summary.items()})
+    try:
+      # Clamp to the eval split size: the ref20k eval set holds only ~40
+      # windows, and the loader (correctly) refuses a batch it can never
+      # fill — a 128-batch request then evaluates at the full split.
+      fe_avail = input_pipeline.get_num_examples(
+          config.dataset_dir, False, config.eval_window_size,
+          config.eval_window_stride, debug=config.debug)
+      fe_local = min(fe_batch // jax.process_count(),
+                     fe_avail // jax.process_count())
+      fe_eff = fe_local * jax.process_count()
+      fe_iter = input_pipeline.create_split(fe_local, False, config)
+      evals = []
+      for i in range(config.steps_per_eval):
+        eval_batch = put_batch(next(fe_iter))
+        evals.append(jax.device_get(
+            p_eval_step(state, eval_batch,
+                        jax.random.fold_in(eval_rng, 10**6 + i))))
+      summary = {k: (np.max if k.startswith('cg_max') else np.mean)(
+          [m[k] for m in evals]) for k in evals[0]}
+      logging.info('final eval (batch %d, requested %d): %s', fe_eff,
+                   fe_batch,
+                   {k: round(float(v), 6) for k, v in summary.items()
+                    if k.startswith('mse') or k.startswith('tke_err')})
+      writer.write_scalars(
+          num_steps + 1,
+          {f'eval_final{fe_eff}_{k}': float(v) for k, v in summary.items()})
+    except Exception:  # pylint: disable=broad-except
+      # The final-batch eval is bonus evidence — it must never take the
+      # run's primary artifact down with it.
+      logging.exception('final batch eval failed; continuing')
   try:
     manager.wait_until_finished()
   except Exception:  # pylint: disable=broad-except
