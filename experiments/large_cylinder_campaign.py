@@ -92,10 +92,12 @@ def main():
   # force's BDF du/dt term differences O(1) states over a CFL-limited dt,
   # so per-SAMPLE noise ~eps/dt inflates a raw max over 1e5 samples
   # (measured r4: Cd_max - Cd_mean = 0.073 vs the benchmark's ~0.03
-  # physical oscillation).  A box filter over 1/8 shedding period kills
-  # the grid-dt noise, >10x above the St frequency it leaves the physics.
+  # physical oscillation).  A box filter over 1/32 shedding period (~100
+  # samples) cuts white noise ~10x while attenuating the St-frequency
+  # peak by only sinc(pi/32) ~ 0.16% (1/8 period measured -2.4% on a
+  # synthetic limit cycle — too biased for a +-1% band).
   period = 2 * cyl.RADIUS / (st * 1.0) / dt
-  w = max(int(period // 8), 1)
+  w = max(int(period // 32), 1)
   ker = np.ones(w) / w
   cd_s = np.convolve(coeffs[:, 0], ker, mode='same')[tail]
   cl_s = np.convolve(coeffs[:, 1], ker, mode='same')[tail]
