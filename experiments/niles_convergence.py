@@ -243,6 +243,10 @@ def main():
   cfg.spectrum_loss_weight = args.spectrum_weight
   if args.final_eval_batch:
     cfg.final_eval_batch_size = args.final_eval_batch
+  # Mid-run checkpoints: a chip-worker wedge or crash then costs a resume,
+  # not the whole campaign (three composed-run attempts died at/after
+  # their only save).
+  cfg.checkpoint_every_steps = 400
   if args.seed or args.spectrum_weight:
     # Seed/ablation runs each need their own checkpoint dir — restoring a
     # previous variant's checkpoint would silently skip training.

@@ -586,8 +586,9 @@ def train_and_evaluate(config, workdir: str):
       config.train_window_stride, debug=config.debug) // config.batch_size
   num_steps = (int(steps_per_epoch * config.num_epochs)
                if config.num_train_steps <= 0 else config.num_train_steps)
-  steps_per_checkpoint = max(
-      1, int(steps_per_epoch * config.checkpoint_epochs))
+  steps_per_checkpoint = (
+      int(config.get('checkpoint_every_steps', 0))
+      or max(1, int(steps_per_epoch * config.checkpoint_epochs)))
   eval_every_steps = max(1, int(steps_per_epoch * config.eval_every_epochs))
 
   base_learning_rate = config.learning_rate * config.batch_size / 256.0
